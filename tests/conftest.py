@@ -1,0 +1,21 @@
+"""
+Test configuration: force JAX onto the host CPU platform with 8 virtual
+devices so multi-chip sharding (data-parallel meshes over ICI) can be
+exercised without TPU hardware.
+"""
+import os
+
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+flags = os.environ.get('XLA_FLAGS', '')
+if '--xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import pathlib
+import pytest
+
+RESOURCES = pathlib.Path(__file__).parent / 'resources'
+
+
+@pytest.fixture(scope='session')
+def resources():
+    return RESOURCES
