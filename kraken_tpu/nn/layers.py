@@ -1,0 +1,663 @@
+"""
+kraken_tpu.nn.layers
+~~~~~~~~~~~~~~~~~~~~
+
+Functional JAX layers for VGSL networks.
+
+Design: each layer is a frozen dataclass holding only static configuration.
+Parameters live in plain nested dicts (pytrees) whose keys mirror the
+reference engine's torch module attribute paths (`co.weight`, `lin.bias`,
+`layer.weight_ih_l0`, ...; see /root/reference/kraken/lib/vgsl/layers.py) so
+kraken safetensors files load without any name translation.
+
+All data is NCHW with C as the feature dimension (LSTM outputs go into C like
+conv filters). Every layer exposes:
+
+  * ``init(rng) -> params``   — fresh parameters (reference init semantics:
+      orthogonal LSTM with Jozefowicz forget bias, uniform(-0.1, 0.1) convs,
+      Xavier linear; /root/reference/kraken/lib/vgsl/model.py:450-479)
+  * ``apply(params, x, seq_len, ...) -> (y, seq_len)`` — pure function,
+      jit/vmap/grad-safe
+  * ``get_shape(input) -> output shape``  — VGSL shape arithmetic
+
+Sequence lengths thread through every layer with the same arithmetic as the
+reference so batched variable-width lines stay correctly masked.
+"""
+import math
+from dataclasses import dataclass, field
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+__all__ = ['ActConv2D', 'Addition', 'Dropout', 'GroupNorm', 'Identity',
+           'LinSoftmax', 'MaxPool', 'Parallel', 'Reshape', 'Series',
+           'TransposedSummarizingRNN']
+
+Shape = tuple[int, int, int, int]
+
+
+def _uniform(rng, shape, lo, hi, dtype=jnp.float32):
+    return jax.random.uniform(rng, shape, dtype, lo, hi)
+
+
+def _xavier_uniform(rng, shape, dtype=jnp.float32):
+    fan_out, fan_in = shape[0], int(np.prod(shape[1:]))
+    a = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(rng, shape, dtype, -a, a)
+
+
+def _orthogonal(rng, shape, dtype=jnp.float32):
+    return jax.nn.initializers.orthogonal()(rng, shape, dtype)
+
+
+class Layer:
+    """Base class: layers are static configs over parameter pytrees."""
+
+    def init(self, rng) -> dict:
+        return {}
+
+    def get_shape(self, input: Shape) -> Shape:
+        return input
+
+    def apply(self, params: dict, x: jnp.ndarray,
+              seq_len: Optional[jnp.ndarray] = None,
+              output_shape: Optional[tuple[int, int]] = None,
+              train: bool = False,
+              rng: Optional[jax.Array] = None) -> tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        raise NotImplementedError
+
+
+@dataclass(frozen=True)
+class Identity(Layer):
+    """Identity (used for residual branches in parallel blocks)."""
+
+    def apply(self, params, x, seq_len=None, output_shape=None, train=False, rng=None):
+        return x, seq_len
+
+
+@dataclass(frozen=True)
+class Addition(Layer):
+    """
+    Splits `dim` into chunks of `chunk_size` and sums the chunks
+    (reference semantics: lib/vgsl/layers.py:188-221).
+    """
+    dim: int
+    chunk_size: int
+
+    def apply(self, params, x, seq_len=None, output_shape=None, train=False, rng=None):
+        d = self.dim % x.ndim
+        n = x.shape[d] // self.chunk_size
+        shape = x.shape[:d] + (n, self.chunk_size) + x.shape[d + 1:]
+        return jnp.reshape(x, shape).sum(axis=d), seq_len
+
+    def get_shape(self, input: Shape) -> Shape:
+        out = list(input)
+        out[self.dim] = self.chunk_size
+        return tuple(out)
+
+
+@dataclass(frozen=True)
+class MaxPool(Layer):
+    """2D max pooling, VALID padding (reference: lib/vgsl/layers.py:367-395)."""
+    kernel_size: tuple[int, int]
+    stride: tuple[int, int]
+
+    def apply(self, params, x, seq_len=None, output_shape=None, train=False, rng=None):
+        y = lax.reduce_window(x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+                              lax.max,
+                              (1, 1, self.kernel_size[0], self.kernel_size[1]),
+                              (1, 1, self.stride[0], self.stride[1]),
+                              'VALID')
+        if seq_len is not None:
+            seq_len = (jnp.floor((seq_len - (self.kernel_size[1] - 1) - 1).astype(jnp.float32)
+                                 / self.stride[1] + 1)).astype(jnp.int32)
+        return y, seq_len
+
+    def get_shape(self, input: Shape) -> Shape:
+        return (input[0], input[1],
+                int(np.floor((input[2] - (self.kernel_size[0] - 1) - 1) / self.stride[0] + 1) if input[2] != 0 else 0),
+                int(np.floor((input[3] - (self.kernel_size[1] - 1) - 1) / self.stride[1] + 1) if input[3] != 0 else 0))
+
+
+@dataclass(frozen=True)
+class Reshape(Layer):
+    """
+    Splits dimension `src_dim` into (part_a, part_b) and moves one part to
+    another dimension (reference: lib/vgsl/layers.py:285-342). Dimensions are
+    in NCHW index space (already mapped from the VGSL 0/1/2/3 convention by
+    the parser).
+    """
+    src_dim: int
+    part_a: int
+    part_b: int
+    high: int
+    low: int
+
+    def apply(self, params, x, seq_len=None, output_shape=None, train=False, rng=None):
+        initial_len = x.shape[3]
+        shape = x.shape[:self.src_dim] + (self.part_a, self.part_b) + x.shape[self.src_dim + 1:]
+        # -1 sizes are resolved by numpy-style reshape
+        x = jnp.reshape(x, shape)
+        dest = self.low
+        src_dim = self.src_dim
+        if self.high != src_dim:
+            dest = self.high
+        else:
+            src_dim += 1
+        perm = list(range(x.ndim))
+        step = 1 if dest > src_dim else -1
+        for i in range(src_dim, dest, step):
+            perm[i], perm[i + step] = perm[i + step], perm[i]
+        x = jnp.transpose(x, perm)
+        out = jnp.reshape(x, x.shape[:dest] + (x.shape[dest] * x.shape[dest + 1],) + x.shape[dest + 2:])
+        if seq_len is not None:
+            seq_len = (seq_len * (float(initial_len) / out.shape[3])).astype(jnp.int32)
+        return out, seq_len
+
+    def get_shape(self, input: Shape) -> Shape:
+        probe = jnp.zeros([x if x else 1 for x in input])
+        out, _ = self.apply({}, probe)
+        return tuple(out.shape)
+
+
+@dataclass(frozen=True)
+class Dropout(Layer):
+    """1D (per-element) or 2D (per-channel) dropout."""
+    p: float
+    dim: int
+
+    def apply(self, params, x, seq_len=None, output_shape=None, train=False, rng=None):
+        if not train or self.p <= 0 or rng is None:
+            return x, seq_len
+        if self.dim == 2:
+            mask_shape = x.shape[:2] + (1, 1)
+        else:
+            mask_shape = x.shape
+        keep = jax.random.bernoulli(rng, 1.0 - self.p, mask_shape)
+        return jnp.where(keep, x / (1.0 - self.p), 0.0).astype(x.dtype), seq_len
+
+
+@dataclass(frozen=True)
+class GroupNorm(Layer):
+    """
+    Group normalization, padding-aware: when sequence lengths are shorter
+    than the width, statistics are computed over the valid region only
+    (reference: lib/vgsl/layers.py:955-984 uses a per-sample python loop;
+    here it is a fully vectorized masked reduction).
+    """
+    in_channels: int
+    num_groups: int
+    eps: float = 1e-5
+
+    def init(self, rng):
+        return {'layer.weight': jnp.ones((self.in_channels,), jnp.float32),
+                'layer.bias': jnp.zeros((self.in_channels,), jnp.float32)}
+
+    def apply(self, params, x, seq_len=None, output_shape=None, train=False, rng=None):
+        t = x.dtype
+        x32 = x.astype(jnp.float32)
+        N, C, H, W = x32.shape
+        G = self.num_groups
+        grouped = x32.reshape(N, G, C // G, H, W)
+        if seq_len is None:
+            mean = grouped.mean(axis=(2, 3, 4), keepdims=True)
+            var = grouped.var(axis=(2, 3, 4), keepdims=True)
+            normed = (grouped - mean) * lax.rsqrt(var + self.eps)
+        else:
+            lens = jnp.clip(seq_len, 1, W)
+            mask = (jnp.arange(W)[None, :] < lens[:, None]).astype(jnp.float32)  # (N, W)
+            m = mask[:, None, None, None, :]                                     # (N,1,1,1,W)
+            count = (C // G) * H * lens.astype(jnp.float32)                      # (N,)
+            count = count[:, None, None, None, None]
+            mean = (grouped * m).sum(axis=(2, 3, 4), keepdims=True) / count
+            var = (((grouped - mean) ** 2) * m).sum(axis=(2, 3, 4), keepdims=True) / count
+            normed = (grouped - mean) * lax.rsqrt(var + self.eps)
+            # zero padding region like the reference (output buffer is zeros there)
+            normed = normed * m
+        normed = normed.reshape(N, C, H, W)
+        y = normed * params['layer.weight'][None, :, None, None] + params['layer.bias'][None, :, None, None]
+        if seq_len is not None:
+            y = y * (jnp.arange(W)[None, None, None, :] < jnp.clip(seq_len, 1, W)[:, None, None, None])
+        return y.astype(t), seq_len
+
+
+_ACTIVATIONS = {
+    's': ('SIGMOID', jax.nn.sigmoid),
+    't': ('TANH', jnp.tanh),
+    'm': ('SOFTMAX', lambda x: jax.nn.softmax(x, axis=1)),
+    'r': ('RELU', jax.nn.relu),
+    'lr': ('LEAKYRELU', lambda x: jax.nn.leaky_relu(x, 0.01)),
+    'l': ('LINEAR', lambda x: x),
+}
+
+
+@dataclass(frozen=True)
+class ActConv2D(Layer):
+    """
+    Convolution (or transposed convolution) + activation with automatic
+    'same-ish' padding (reference: lib/vgsl/layers.py:785-923).
+
+    Note the reference quirk: sigmoid-activated convolutions emit *logits*
+    in the forward pass (the sigmoid is applied downstream), which we
+    replicate.
+    """
+    in_channels: int
+    out_channels: int
+    kernel_size: tuple[int, int]
+    stride: tuple[int, int]
+    nl: str = 'l'
+    dilation: tuple[int, int] = (1, 1)
+    transposed: bool = False
+
+    @property
+    def padding(self) -> tuple[int, int]:
+        return tuple((self.dilation[i] * (self.kernel_size[i] - 1)) // 2 for i in range(2))
+
+    def init(self, rng):
+        k1, k2 = jax.random.split(rng)
+        if self.transposed:
+            w_shape = (self.in_channels, self.out_channels, *self.kernel_size)
+        else:
+            w_shape = (self.out_channels, self.in_channels, *self.kernel_size)
+        return {'co.weight': _uniform(k1, w_shape, -0.1, 0.1),
+                'co.bias': _uniform(k2, (self.out_channels,), -0.1, 0.1)}
+
+    def apply(self, params, x, seq_len=None, output_shape=None, train=False, rng=None):
+        w = params['co.weight'].astype(x.dtype)
+        b = params['co.bias'].astype(x.dtype)
+        p = self.padding
+        if self.transposed:
+            # torch ConvTranspose2d == gradient of conv: dilate input by
+            # stride, pad with (dilation*(k-1) - padding), flip kernel, swap
+            # in/out channels.
+            kh, kw = self.kernel_size
+            dh, dw = self.dilation
+            pad_h = dh * (kh - 1) - p[0]
+            pad_w = dw * (kw - 1) - p[1]
+            min_h = (x.shape[2] - 1) * self.stride[0] - 2 * p[0] + dh * (kh - 1) + 1
+            min_w = (x.shape[3] - 1) * self.stride[1] - 2 * p[1] + dw * (kw - 1) + 1
+            out_pad_h = out_pad_w = 0
+            if output_shape is not None:
+                out_pad_h = int(output_shape[0]) - min_h
+                out_pad_w = int(output_shape[1]) - min_w
+            w_t = jnp.flip(w, axis=(2, 3)).transpose(1, 0, 2, 3)
+            y = lax.conv_general_dilated(
+                x, w_t,
+                window_strides=(1, 1),
+                padding=[(pad_h, pad_h + out_pad_h), (pad_w, pad_w + out_pad_w)],
+                lhs_dilation=self.stride,
+                rhs_dilation=self.dilation,
+                dimension_numbers=('NCHW', 'OIHW', 'NCHW'))
+        else:
+            y = lax.conv_general_dilated(
+                x, w,
+                window_strides=self.stride,
+                padding=[(p[0], p[0]), (p[1], p[1])],
+                rhs_dilation=self.dilation,
+                dimension_numbers=('NCHW', 'OIHW', 'NCHW'))
+        y = y + b[None, :, None, None]
+        name, fn = _ACTIVATIONS[self.nl]
+        if name != 'SIGMOID':
+            y = fn(y)
+        if seq_len is not None:
+            if self.transposed:
+                seq_len = jnp.floor((seq_len - 1) * self.stride[1] - 2 * p[1]
+                                    + self.dilation[1] * (self.kernel_size[1] - 1) + 1).astype(jnp.int32)
+            else:
+                seq_len = jnp.clip(jnp.floor(
+                    (seq_len + 2 * p[1] - self.dilation[1] * (self.kernel_size[1] - 1) - 1).astype(jnp.float32)
+                    / self.stride[1] + 1), min=1).astype(jnp.int32)
+        return y, seq_len
+
+    def get_shape(self, input: Shape, target_shape: Optional[Shape] = None) -> Shape:
+        p = self.padding
+        if self.transposed:
+            min_y = int((input[2] - 1) * self.stride[0] - 2 * p[0] + self.dilation[0] * (self.kernel_size[0] - 1) + 1 if input[2] != 0 else 0)
+            target_y = min_y if not target_shape or target_shape[2] == 0 else target_shape[2]
+            min_x = int((input[3] - 1) * self.stride[1] - 2 * p[1] + self.dilation[1] * (self.kernel_size[1] - 1) + 1 if input[3] != 0 else 0)
+            target_x = min_x if not target_shape or target_shape[3] == 0 else target_shape[3]
+            return (input[0], self.out_channels,
+                    min(min_y + self.stride[0] - 1, max(target_y, min_y)),
+                    min(min_x + self.stride[1] - 1, max(target_x, min_x)))
+        return (input[0], self.out_channels,
+                int(max(np.floor((input[2] + 2 * p[0] - self.dilation[0] * (self.kernel_size[0] - 1) - 1) / self.stride[0] + 1), 1) if input[2] != 0 else 0),
+                int(max(np.floor((input[3] + 2 * p[1] - self.dilation[1] * (self.kernel_size[1] - 1) - 1) / self.stride[1] + 1), 1) if input[3] != 0 else 0))
+
+    def resize(self, params: dict, output_size: int, del_indices=None, rng=None) -> dict:
+        """
+        Resizes the output filters with minimal disturbance: deletes filters
+        at `del_indices`, appends fresh Xavier-initialized ones up to
+        `output_size`.
+        """
+        del_indices = set(del_indices or [])
+        keep = [i for i in range(params['co.weight'].shape[0]) if i not in del_indices]
+        weight = params['co.weight'][jnp.asarray(keep)]
+        bias = params['co.bias'][jnp.asarray(keep)]
+        extra = output_size - weight.shape[0]
+        if extra > 0:
+            rng = rng if rng is not None else jax.random.PRNGKey(0)
+            weight = jnp.concatenate([weight, _xavier_uniform(rng, (extra, *weight.shape[1:]))])
+            bias = jnp.concatenate([bias, jnp.zeros((extra,), bias.dtype)])
+        return {'co.weight': weight, 'co.bias': bias}
+
+
+@dataclass(frozen=True)
+class LinSoftmax(Layer):
+    """
+    Linear projection over the feature (C) dimension. Softmax itself is
+    applied downstream by CTC decoding / losses (reference:
+    lib/vgsl/layers.py:679-782).
+    """
+    input_size: int
+    output_size: int
+    augmentation: bool = False
+
+    @property
+    def _in(self):
+        return self.input_size + 1 if self.augmentation else self.input_size
+
+    def init(self, rng):
+        return {'lin.weight': _xavier_uniform(rng, (self.output_size, self._in)),
+                'lin.bias': jnp.zeros((self.output_size,), jnp.float32)}
+
+    def apply(self, params, x, seq_len=None, output_shape=None, train=False, rng=None):
+        # NCHW -> NWHC
+        x = jnp.transpose(x, (0, 3, 2, 1))
+        if self.augmentation:
+            x = jnp.concatenate([jnp.ones(x.shape[:3] + (1,), x.dtype), x], axis=3)
+        y = x @ params['lin.weight'].T.astype(x.dtype) + params['lin.bias'].astype(x.dtype)
+        return jnp.transpose(y, (0, 3, 2, 1)), seq_len
+
+    def get_shape(self, input: Shape) -> Shape:
+        return (input[0], self.output_size, input[2], input[3])
+
+    def resize(self, params: dict, output_size: int, del_indices=None, rng=None) -> dict:
+        del_indices = set(del_indices or [])
+        keep = [i for i in range(params['lin.weight'].shape[0]) if i not in del_indices]
+        weight = params['lin.weight'][jnp.asarray(keep)]
+        bias = params['lin.bias'][jnp.asarray(keep)]
+        extra = output_size - weight.shape[0]
+        if extra > 0:
+            rng = rng if rng is not None else jax.random.PRNGKey(0)
+            weight = jnp.concatenate([weight, _xavier_uniform(rng, (extra, weight.shape[1]))])
+            bias = jnp.concatenate([bias, jnp.zeros((extra,), bias.dtype)])
+        return {'lin.weight': weight, 'lin.bias': bias}
+
+
+def _lstm_scan(x: jnp.ndarray,
+               lens: Optional[jnp.ndarray],
+               w_ih: jnp.ndarray, w_hh: jnp.ndarray,
+               b: Optional[jnp.ndarray],
+               reverse: bool) -> jnp.ndarray:
+    """
+    Single-direction LSTM over (B, T, C) input with optional per-row valid
+    lengths, matching torch packed-sequence semantics (outputs beyond the
+    valid length are zero; the reverse direction starts at each row's true
+    end).
+
+    The input projection is hoisted out of the scan as one large matmul so
+    the MXU sees a (B*T, C) @ (C, 4H) contraction; the scan body only
+    contains the (B, H) @ (H, 4H) recurrent matmul.
+    """
+    B, T, _ = x.shape
+    H = w_hh.shape[1]
+    dtype = x.dtype
+    # hoisted input projection
+    gates_x = x @ w_ih.T.astype(dtype)
+    if b is not None:
+        gates_x = gates_x + b.astype(dtype)
+    if reverse:
+        gates_x = jnp.flip(gates_x, axis=1)
+    if lens is not None:
+        t_idx = jnp.arange(T)
+        if reverse:
+            # after the flip, row padding sits at the start
+            mask = (t_idx[None, :] >= (T - lens)[:, None])
+        else:
+            mask = (t_idx[None, :] < lens[:, None])
+        mask = mask.astype(dtype)[..., None]  # (B, T, 1)
+    else:
+        mask = None
+
+    w_hh_t = w_hh.T.astype(dtype)
+
+    def step(carry, inp):
+        h, c = carry
+        if mask is None:
+            gx = inp
+            m = None
+        else:
+            gx, m = inp
+        gates = gx + h @ w_hh_t
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i = jax.nn.sigmoid(i)
+        f = jax.nn.sigmoid(f)
+        g = jnp.tanh(g)
+        o = jax.nn.sigmoid(o)
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        if m is not None:
+            c_new = m * c_new + (1 - m) * c
+            h_out = m * h_new
+            h_new = m * h_new + (1 - m) * h
+        else:
+            h_out = h_new
+        return (h_new, c_new), h_out
+
+    init = (jnp.zeros((B, H), dtype), jnp.zeros((B, H), dtype))
+    xs = jnp.swapaxes(gates_x, 0, 1) if mask is None else (jnp.swapaxes(gates_x, 0, 1), jnp.swapaxes(mask, 0, 1))
+    _, ys = lax.scan(step, init, xs)
+    ys = jnp.swapaxes(ys, 0, 1)  # (B, T, H)
+    if reverse:
+        ys = jnp.flip(ys, axis=1)
+    return ys
+
+
+def _peephole_scan(x: jnp.ndarray, w_ih, w_hh, w_ip, w_fp, w_op, reverse: bool) -> jnp.ndarray:
+    """Legacy ocropy peephole LSTM (no biases; reference: layers.py:74-103)."""
+    B, T, _ = x.shape
+    dtype = x.dtype
+    H = w_hh.shape[1]
+    gates_x = x @ w_ih.T.astype(dtype)
+    if reverse:
+        gates_x = jnp.flip(gates_x, axis=1)
+
+    w_hh_t = w_hh.T.astype(dtype)
+
+    def step(carry, gx):
+        h, c = carry
+        gates = gx + h @ w_hh_t
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i = jax.nn.sigmoid(i + w_ip * c)
+        f = jax.nn.sigmoid(f + w_fp * c)
+        g = jnp.tanh(g)
+        c_new = f * c + i * g
+        o = jax.nn.sigmoid(o + w_op * c_new)
+        h_new = o * jnp.tanh(c_new)
+        return (h_new, c_new), h_new
+
+    init = (jnp.zeros((B, H), dtype), jnp.zeros((B, H), dtype))
+    _, ys = lax.scan(step, init, jnp.swapaxes(gates_x, 0, 1))
+    ys = jnp.swapaxes(ys, 0, 1)
+    if reverse:
+        ys = jnp.flip(ys, axis=1)
+    return ys
+
+
+@dataclass(frozen=True)
+class TransposedSummarizingRNN(Layer):
+    """
+    LSTM wrapper allowing time-axis transposition (y-dim recurrence) and
+    summarization (only the final step is emitted), matching the reference
+    TransposedSummarizingRNN (lib/vgsl/layers.py:462-676).
+
+    Parameter names and gate order (i, f, g, o) follow torch.nn.LSTM so
+    kraken weights load directly.
+    """
+    input_size: int
+    hidden_size: int
+    direction: str = 'b'
+    transpose: bool = True
+    summarize: bool = True
+    legacy: Optional[str] = None
+
+    @property
+    def bidi(self) -> bool:
+        return self.direction == 'b'
+
+    @property
+    def output_size(self) -> int:
+        return 2 * self.hidden_size if self.bidi else self.hidden_size
+
+    @property
+    def _in(self) -> int:
+        return self.input_size + 1 if self.legacy is not None else self.input_size
+
+    def init(self, rng):
+        H = self.hidden_size
+        params = {}
+        dirs = ['', '_reverse'] if (self.bidi or self.legacy == 'ocropy') else ['']
+        keys = jax.random.split(rng, 2 * len(dirs))
+        for i, sfx in enumerate(dirs):
+            if self.legacy == 'ocropy':
+                params[f'layer.weight_ih_l0{sfx}'] = _orthogonal(keys[2 * i], (4 * H, self._in))
+                params[f'layer.weight_hh_l0{sfx}'] = _orthogonal(keys[2 * i + 1], (4 * H, H))
+                params[f'layer.weight_ip_l0{sfx}'] = jnp.zeros((H,), jnp.float32)
+                params[f'layer.weight_fp_l0{sfx}'] = jnp.zeros((H,), jnp.float32)
+                params[f'layer.weight_op_l0{sfx}'] = jnp.zeros((H,), jnp.float32)
+            else:
+                params[f'layer.weight_ih_l0{sfx}'] = _orthogonal(keys[2 * i], (4 * H, self._in))
+                params[f'layer.weight_hh_l0{sfx}'] = _orthogonal(keys[2 * i + 1], (4 * H, H))
+                if not self.legacy:
+                    # Jozefowicz forget-gate bias of 1
+                    bias = jnp.zeros((4 * H,), jnp.float32).at[H:2 * H].set(1.0)
+                    params[f'layer.bias_ih_l0{sfx}'] = bias
+                    params[f'layer.bias_hh_l0{sfx}'] = bias
+        return params
+
+    def _run(self, params, x, lens):
+        """(B, T, C) -> (B, T, O)"""
+        outs = []
+        directions = [(False, '')]
+        if self.bidi or self.legacy == 'ocropy':
+            directions.append((True, '_reverse'))
+        for reverse, sfx in directions:
+            if self.legacy == 'ocropy':
+                ys = _peephole_scan(x,
+                                    params[f'layer.weight_ih_l0{sfx}'],
+                                    params[f'layer.weight_hh_l0{sfx}'],
+                                    params[f'layer.weight_ip_l0{sfx}'],
+                                    params[f'layer.weight_fp_l0{sfx}'],
+                                    params[f'layer.weight_op_l0{sfx}'],
+                                    reverse)
+            else:
+                b = None
+                if f'layer.bias_ih_l0{sfx}' in params:
+                    b = params[f'layer.bias_ih_l0{sfx}'] + params[f'layer.bias_hh_l0{sfx}']
+                ys = _lstm_scan(x, lens,
+                                params[f'layer.weight_ih_l0{sfx}'],
+                                params[f'layer.weight_hh_l0{sfx}'],
+                                b, reverse)
+            outs.append(ys)
+        return jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
+
+    def apply(self, params, x, seq_len=None, output_shape=None, train=False, rng=None):
+        # NCHW -> HNWC
+        x = jnp.transpose(x, (2, 0, 3, 1))
+        if self.transpose:
+            # HNWC -> WNHC (recurrence along H)
+            x = jnp.swapaxes(x, 0, 2)
+        if self.legacy is not None:
+            x = jnp.concatenate([jnp.ones(x.shape[:3] + (1,), x.dtype), x], axis=3)
+        H_, N_, W_, C_ = x.shape
+        x = x.reshape(H_ * N_, W_, C_)
+        lens = None
+        if not self.transpose and seq_len is not None:
+            if H_ != 1:
+                raise ValueError('Height must be 1 for batched sequence recurrence.')
+            lens = seq_len
+        ys = self._run(params, x, lens)  # (H*N, W, O)
+        ys = ys.reshape(H_, N_, W_, self.output_size)
+        if self.summarize:
+            if lens is not None:
+                # last valid step per row
+                idx = jnp.clip(lens - 1, 0, W_ - 1)
+                ys = jnp.take_along_axis(ys, idx[None, :, None, None], axis=2)
+            else:
+                ys = ys[:, :, -1:, :]
+        if self.transpose:
+            ys = jnp.swapaxes(ys, 0, 2)
+        # HNWO -> NOHW
+        return jnp.transpose(ys, (1, 3, 0, 2)), seq_len
+
+    def get_shape(self, input: Shape) -> Shape:
+        if self.summarize:
+            hw = (1, input[3]) if self.transpose else (input[2], 1)
+        else:
+            hw = (input[2], input[3])
+        return (input[0], self.output_size) + hw
+
+
+@dataclass(frozen=True)
+class Series(Layer):
+    """
+    Sequential container threading (x, seq_len); a target output_shape is
+    forwarded only to the final module (reference MultiParamSequential,
+    lib/vgsl/layers.py:39-53).
+    """
+    layers: tuple = field(default_factory=tuple)
+    names: tuple = field(default_factory=tuple)
+
+    def init(self, rng):
+        keys = jax.random.split(rng, max(len(self.layers), 1))
+        return {name: layer.init(k) for name, layer, k in zip(self.names, self.layers, keys)}
+
+    def apply(self, params, x, seq_len=None, output_shape=None, train=False, rng=None):
+        n = len(self.layers)
+        rngs = jax.random.split(rng, max(n, 1)) if rng is not None else [None] * n
+        for i, (name, layer) in enumerate(zip(self.names, self.layers)):
+            x, seq_len = layer.apply(params.get(name, {}), x, seq_len,
+                                     output_shape=output_shape if i == n - 1 else None,
+                                     train=train, rng=rngs[i])
+        return x, seq_len
+
+    def get_shape(self, input: Shape) -> Shape:
+        for layer in self.layers:
+            input = layer.get_shape(input)
+        return input
+
+
+@dataclass(frozen=True)
+class Parallel(Layer):
+    """
+    Parallel container concatenating branch outputs on the channel dim; the
+    first branch's spatial output shape becomes the target for later branches
+    (reference MultiParamParallel, lib/vgsl/layers.py:56-71).
+    """
+    layers: tuple = field(default_factory=tuple)
+    names: tuple = field(default_factory=tuple)
+
+    def init(self, rng):
+        keys = jax.random.split(rng, max(len(self.layers), 1))
+        return {name: layer.init(k) for name, layer, k in zip(self.names, self.layers, keys)}
+
+    def apply(self, params, x, seq_len=None, output_shape=None, train=False, rng=None):
+        n = len(self.layers)
+        rngs = jax.random.split(rng, max(n, 1)) if rng is not None else [None] * n
+        outputs = []
+        out_len = seq_len
+        for i, (name, layer) in enumerate(zip(self.names, self.layers)):
+            y, out_len = layer.apply(params.get(name, {}), x, seq_len,
+                                     output_shape=output_shape, train=train, rng=rngs[i])
+            outputs.append(y)
+            if output_shape is None:
+                output_shape = y.shape[2:]
+        return jnp.concatenate(outputs, axis=1), out_len
+
+    def get_shape(self, input: Shape) -> Shape:
+        shapes = [layer.get_shape(input) for layer in self.layers]
+        channels = sum(s[1] for s in shapes)
+        return (shapes[0][0], channels, *shapes[0][2:])

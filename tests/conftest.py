@@ -5,10 +5,13 @@ exercised without TPU hardware.
 """
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+os.environ['JAX_PLATFORM_NAME'] = 'cpu'
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax
+jax.config.update('jax_platforms', 'cpu')
 
 import pathlib
 import pytest
