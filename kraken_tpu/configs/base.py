@@ -1,0 +1,253 @@
+"""
+kraken_tpu.configs
+~~~~~~~~~~~~~~~~~~
+
+Layered configuration objects (reference: kraken/configs/base.py). Each
+config consumes its keyword arguments and passes the rest up, so subclasses
+compose. Inference configs carry injectable function members (CTC decoder,
+reading-order functions) exactly like the reference so behaviour can be
+swapped without subclassing.
+
+TPU-specific defaults: `precision` accepts 'bf16-true'/'bf16-mixed' (the
+natural TPU dtypes) in addition to the reference's names, and `device`
+selects a JAX device ('tpu', 'cpu', 'tpu:N').
+"""
+from collections import defaultdict
+
+
+class _Counter:
+    """Stateful counter for auto-assigned class mapping labels."""
+
+    def __init__(self, start=0):
+        self.value = start
+
+    def __call__(self):
+        self.value += 1
+        return self.value
+
+
+class Config:
+    """
+    Base configuration.
+
+    Args:
+        precision: numerical precision for inference/training
+                   ('32-true', 'bf16-true', 'bf16-mixed', '16-true', ...)
+        accelerator: 'auto', 'tpu', or 'cpu'
+        device: device selector ('auto', 'cpu', 'tpu', 'tpu:N')
+        batch_size: batch size for all operations
+        raise_on_error: raise exceptions instead of skipping failed inputs
+        num_threads: host-side thread pool size
+    """
+
+    def __init__(self, **kwargs):
+        self.precision = kwargs.pop('precision', '32-true')
+        self.accelerator = kwargs.pop('accelerator', 'auto')
+        self.device = kwargs.pop('device', 'auto')
+        self.batch_size = kwargs.pop('batch_size', 1)
+        self.compile_config = kwargs.pop('compile', None)
+        self.raise_on_error = kwargs.pop('raise_on_error', False)
+        self.num_threads = kwargs.pop('num_threads', 1)
+        if kwargs:
+            import logging
+            logging.getLogger(__name__).warning(f'Ignoring unknown configuration parameters: {sorted(kwargs)}')
+
+    def __repr__(self):
+        return f'{type(self).__name__}({vars(self)})'
+
+
+class RecognitionInferenceConfig(Config):
+    """
+    Text recognition inference configuration.
+
+    Args:
+        temperature: softmax temperature applied to logits
+        return_logits: attach raw logits to emitted records
+        return_line_image: attach the extracted line image to records
+        padding: horizontal padding added around extracted lines
+        num_line_workers: host workers for parallel line extraction
+        no_legacy_polygons: force the new polygon extractor
+        decoder: CTC decoding function (softmax outputs → label runs)
+        bidi_reordering: reorder output into logical order via UAX #9;
+                         'L'/'R' force a base direction
+        text_direction: principal text direction for serialization
+    """
+
+    def __init__(self, **kwargs):
+        from kraken_tpu.ops import ctc
+        self.temperature = kwargs.pop('temperature', 1.0)
+        self.return_logits = kwargs.pop('return_logits', False)
+        self.return_line_image = kwargs.pop('return_line_image', False)
+        self.padding = kwargs.pop('padding', 16)
+        self.num_line_workers = kwargs.pop('num_line_workers', 2)
+        self.no_legacy_polygons = kwargs.pop('no_legacy_polygons', False)
+        self.linetype = kwargs.pop('linetype', None)
+        self.decoder = kwargs.pop('decoder', ctc.greedy_decoder)
+        self.bidi_reordering = kwargs.pop('bidi_reordering', True)
+        self.text_direction = kwargs.pop('text_direction', 'horizontal-tb')
+        super().__init__(**kwargs)
+
+
+class SegmentationInferenceConfig(Config):
+    """
+    Layout analysis inference configuration.
+
+    Args:
+        text_direction: principal text direction
+        legacy_*: parameters of the legacy bbox page segmenter
+        bbox_ro_fn / baseline_ro_fn: injectable reading-order functions
+    """
+
+    def __init__(self, **kwargs):
+        from kraken_tpu.lib import geometry
+        self.text_direction = kwargs.pop('text_direction', 'horizontal-lr')
+        self.legacy_scale = kwargs.pop('legacy_scale', None)
+        self.legacy_maxcolseps = kwargs.pop('legacy_maxcolseps', 2)
+        self.legacy_black_colseps = kwargs.pop('legacy_black_colseps', False)
+        self.legacy_no_hlines = kwargs.pop('legacy_no_hlines', True)
+        self.bbox_line_padding = kwargs.pop('bbox_line_padding', 0)
+        self.input_padding = kwargs.pop('input_padding', 0)
+        self.bbox_ro_fn = kwargs.pop('bbox_ro_fn', geometry.reading_order)
+        self.baseline_ro_fn = kwargs.pop('baseline_ro_fn', geometry.polygonal_reading_order)
+        super().__init__(**kwargs)
+
+
+class TrainingDataConfig:
+    """
+    Generic training data configuration.
+
+    Args:
+        training_data / evaluation_data / test_data: input file lists
+        partition: train/validation split when no explicit eval data is given
+        num_workers: host data-loading workers
+        augment: enable augmentation
+        batch_size: batch size
+    """
+
+    def __init__(self, **kwargs):
+        self.training_data = kwargs.pop('training_data', None)
+        self.evaluation_data = kwargs.pop('evaluation_data', None)
+        self.test_data = kwargs.pop('test_data', None)
+        self.partition = kwargs.pop('partition', 0.9)
+        self.num_workers = kwargs.pop('num_workers', 1)
+        self.augment = kwargs.pop('augment', False)
+        self.batch_size = kwargs.pop('batch_size', 1)
+        if kwargs:
+            import logging
+            logging.getLogger(__name__).warning(f'Ignoring unknown configuration parameters: {sorted(kwargs)}')
+
+
+class SegmentationTrainingDataConfig(TrainingDataConfig):
+    """
+    Segmentation training data configuration: format type, line/region class
+    mappings (auto-assigning by default; labels 0/1 are reserved for the
+    start/end separator channels), topline flag.
+    """
+
+    def __init__(self, **kwargs):
+        counter = _Counter(start=1)
+        self.format_type = kwargs.pop('format_type', 'xml')
+        self.line_class_mapping = kwargs.pop('line_class_mapping', defaultdict(counter))
+        self.region_class_mapping = kwargs.pop('region_class_mapping', defaultdict(counter))
+        self.topline = kwargs.pop('topline', False)
+        super().__init__(**kwargs)
+
+
+class RecognitionTrainingDataConfig(TrainingDataConfig):
+    """
+    Recognition training data configuration: format type (xml/path/binary),
+    optional explicit codec, line type filter, binary dataset split flag.
+    """
+
+    def __init__(self, **kwargs):
+        self.binary_dataset_split = kwargs.pop('binary_dataset_split', False)
+        self.format_type = kwargs.pop('format_type', 'xml')
+        self.linetype = kwargs.pop('linetype', None)
+        self.codec = kwargs.pop('codec', None)
+        self.normalization = kwargs.pop('normalization', None)
+        self.normalize_whitespace = kwargs.pop('normalize_whitespace', True)
+        self.reorder = kwargs.pop('reorder', True)
+        super().__init__(**kwargs)
+
+
+class TrainingConfig(Config):
+    """
+    Generic training configuration: optimizer, schedule, early stopping,
+    checkpointing (reference: configs/base.py:288-376).
+    """
+
+    def __init__(self, **kwargs):
+        self.epochs = kwargs.pop('epochs', -1)
+        self.completed_epochs = kwargs.pop('completed_epochs', 0)
+        self.freq = kwargs.pop('freq', 1.0)
+        self.checkpoint_path = kwargs.pop('checkpoint_path', 'model')
+        self.weights_format = kwargs.pop('weights_format', 'safetensors')
+        self.optimizer = kwargs.pop('optimizer', 'AdamW')
+        self.lrate = kwargs.pop('lrate', 1e-5)
+        self.momentum = kwargs.pop('momentum', 0.9)
+        self.weight_decay = kwargs.pop('weight_decay', 0.0)
+        self.gradient_clip_val = kwargs.pop('gradient_clip_val', 1.0)
+        self.accumulate_grad_batches = kwargs.pop('accumulate_grad_batches', 1)
+        self.schedule = kwargs.pop('schedule', 'constant')
+        self.warmup = kwargs.pop('warmup', 0)
+        self.step_size = kwargs.pop('step_size', 10)
+        self.gamma = kwargs.pop('gamma', 0.1)
+        self.rop_factor = kwargs.pop('rop_factor', 0.1)
+        self.rop_patience = kwargs.pop('rop_patience', 5)
+        self.cos_t_max = kwargs.pop('cos_t_max', 10)
+        self.cos_min_lr = kwargs.pop('cos_min_lr', 1e-6)
+        self.quit = kwargs.pop('quit', 'fixed')
+        self.min_epochs = kwargs.pop('min_epochs', 0)
+        self.lag = kwargs.pop('lag', 10)
+        self.min_delta = kwargs.pop('min_delta', 0.0)
+        super().__init__(**kwargs)
+
+
+class RecognitionTrainingConfig(TrainingConfig):
+    """Recognition-specific training configuration."""
+
+    def __init__(self, **kwargs):
+        self.spec = kwargs.pop('spec', '[1,120,0,1 Cr3,13,32 Do0.1,2 Mp2,2 Cr3,13,32 Do0.1,2 Mp2,2 '
+                                       'Cr3,9,64 Do0.1,2 Mp2,2 Cr3,9,64 Do0.1,2 S1(1x0)1,3 Lbx200 '
+                                       'Do0.1,2 Lbx200 Do0.1,2 Lbx200 Do]')
+        self.append = kwargs.pop('append', None)
+        self.resize = kwargs.pop('resize', 'fail')
+        kwargs.setdefault('lrate', 1e-3)
+        kwargs.setdefault('optimizer', 'AdamW')
+        super().__init__(**kwargs)
+
+
+class SegmentationTrainingConfig(TrainingConfig):
+    """Segmentation-specific training configuration."""
+
+    def __init__(self, **kwargs):
+        self.spec = kwargs.pop('spec', '[1,1800,0,3 Cr7,7,64,2,2 Gn32 Cr3,3,128,2,2 Gn32 Cr3,3,128 Gn32 '
+                                       'Cr3,3,256 Gn32]')
+        self.resize = kwargs.pop('resize', 'fail')
+        self.topline = kwargs.pop('topline', False)
+        kwargs.setdefault('lrate', 2e-4)
+        super().__init__(**kwargs)
+
+
+class ReadingOrderTrainingConfig(TrainingConfig):
+    """Reading-order model training configuration."""
+
+    def __init__(self, **kwargs):
+        self.level = kwargs.pop('level', 'baselines')
+        self.reading_order = kwargs.pop('reading_order', 'line_implicit')
+        kwargs.setdefault('lrate', 1e-3)
+        super().__init__(**kwargs)
+
+
+class PretrainingConfig(TrainingConfig):
+    """Wav2Vec2-style pretraining configuration."""
+
+    def __init__(self, **kwargs):
+        self.spec = kwargs.pop('spec', '[1,120,0,1 Cr3,13,32 Do0.1,2 Mp2,2 Cr3,13,32 Do0.1,2 Mp2,2 '
+                                       'Cr3,9,64 Do0.1,2 Mp2,2 Cr3,9,64 Do0.1,2 S1(1x0)1,3 '
+                                       'W{w2v}128,2,0.115,32 Lbx200 Do0.1,2 Lbx200 Do0.1,2 Lbx200 Do]')
+        self.mask_width = kwargs.pop('mask_width', 4)
+        self.mask_prob = kwargs.pop('mask_prob', 0.5)
+        self.num_negatives = kwargs.pop('num_negatives', 100)
+        self.logit_temp = kwargs.pop('logit_temp', 0.1)
+        super().__init__(**kwargs)

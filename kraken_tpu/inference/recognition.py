@@ -1,0 +1,264 @@
+"""
+kraken_tpu.inference.recognition
+~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~
+
+Batched text recognition inference.
+
+Pipeline (functional equivalent of the reference mixin
+kraken/lib/vgsl/rpred.py:56-232, redesigned for XLA):
+
+  host: polygonal line extraction (thread pool) → input transforms →
+        queueing
+  device: bucketed padded batch → jitted CNN+BiLSTM forward → temperature
+        softmax → per-frame argmax/max
+  host: run-length grouping → codec decode → record assembly → BiDi
+
+TPU specifics: line widths are padded up to a geometric bucket ladder so the
+jit cache stays small while the MXU sees mostly-full tensors; the decoder's
+frame-wise reductions happen on device so only (N, W) label/confidence
+vectors cross back to the host.
+"""
+import dataclasses
+import logging
+from concurrent.futures import ThreadPoolExecutor
+from typing import TYPE_CHECKING, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kraken_tpu.containers import BaselineOCRRecord, BBoxOCRRecord
+from kraken_tpu.dataset import ImageInputTransforms
+from kraken_tpu.lib.geometry import extract_polygons
+
+if TYPE_CHECKING:
+    from PIL import Image
+    from kraken_tpu.containers import Segmentation
+    from kraken_tpu.vgsl import VGSLModel
+
+logger = logging.getLogger(__name__)
+
+__all__ = ['recognition_pred', 'prepare_recognition', 'width_bucket']
+
+_PRECISION_DTYPES = {
+    '32-true': jnp.float32, '32': jnp.float32,
+    'bf16-true': jnp.bfloat16, 'bf16-mixed': jnp.bfloat16, 'bf16': jnp.bfloat16,
+    '16-true': jnp.float16, '16-mixed': jnp.float16, '16': jnp.float16,
+    '64-true': jnp.float64, '64': jnp.float64,
+}
+
+
+def width_bucket(w: int, base: int = 128, growth: float = 1.25) -> int:
+    """
+    Rounds a width up to a geometric bucket ladder (base, base*growth, ...)
+    to bound the number of distinct compiled shapes.
+    """
+    b = base
+    while b < w:
+        b = int(np.ceil(b * growth / 16) * 16)
+    return b
+
+
+def _resolve_device(config):
+    dev = getattr(config, 'device', 'auto')
+    if dev in (None, 'auto'):
+        return jax.devices()[0]
+    if isinstance(dev, str):
+        if ':' in dev:
+            platform, idx = dev.split(':')
+            return jax.devices(platform)[int(idx)]
+        try:
+            return jax.devices(dev)[0]
+        except RuntimeError:
+            return jax.devices()[0]
+    return dev
+
+
+def prepare_recognition(model: 'VGSLModel', config) -> None:
+    """
+    Configures a recognition model for inference: precision cast, device
+    placement, line-extraction pool, and jit cache.
+    """
+    model._inf_config = config
+    dtype = _PRECISION_DTYPES.get(getattr(config, 'precision', '32-true'), jnp.float32)
+    model._m_dtype = dtype
+    device = _resolve_device(config)
+    model._device = device
+    cast = lambda x: jax.device_put(x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x, device)
+    model._inf_params = jax.tree.map(cast, model.params)
+    if getattr(model, '_rec_fwd', None) is None:
+        net = model.net
+
+        def fwd(params, x, seq_lens, temperature):
+            logits, olens = net.apply(params, x, seq_lens)
+            probs = jax.nn.softmax(logits.astype(jnp.float32) / temperature, axis=1)
+            # per-frame best label/conf computed on device; full probs kept
+            # for logits return
+            probs = probs.squeeze(2)
+            labels = jnp.argmax(probs, axis=1)
+            confs = jnp.max(probs, axis=1)
+            return probs, labels, confs, olens
+
+        model._rec_fwd = jax.jit(fwd)
+
+
+def _extract_line(im, segmentation, line_idx: int, legacy: bool):
+    line = segmentation.lines[line_idx]
+    seg = dataclasses.replace(segmentation, lines=[line])
+    try:
+        sub_im, _ = next(extract_polygons(im, seg, legacy=legacy))
+        return sub_im, line_idx
+    except ValueError as e:
+        logger.warning(f'Line extraction failed for line {line_idx}: {e}')
+        return None, line_idx
+
+
+def recognition_pred(model: 'VGSLModel', im: 'Image.Image',
+                     segmentation: 'Segmentation'):
+    """
+    Generator yielding one OCR record per line of `segmentation`, in order.
+    """
+    config = model._inf_config
+    n_lines = len(segmentation.lines)
+    results: list = [None] * n_lines
+    queue: list = []
+    next_emit = 0
+
+    if segmentation.type == 'baselines':
+        valid_norm = False
+        empty_cls = BaselineOCRRecord
+    else:
+        valid_norm = True
+        empty_cls = BBoxOCRRecord
+
+    batch, channels, height, width = model.input
+    transforms = ImageInputTransforms(batch, height, width, channels,
+                                      (config.padding, 0), valid_norm,
+                                      dtype=np.float32)
+
+    legacy = False
+    if model.use_legacy_polygons and segmentation.type == 'baselines':
+        if config.no_legacy_polygons:
+            logger.warning('Enforcing the new polygon extractor for a model trained '
+                           'with the legacy method; accuracy may be affected.')
+        else:
+            logger.info('Using legacy polygon extractor (model trained with old method).')
+            legacy = True
+
+    def _flush():
+        for rec, idx in _recognize_batch(model, queue, segmentation):
+            results[idx] = rec
+        queue.clear()
+
+    if config.num_line_workers and config.num_line_workers > 0 and n_lines > 1:
+        pool = ThreadPoolExecutor(max_workers=config.num_line_workers)
+        extraction = pool.map(lambda i: _extract_line(im, segmentation, i, legacy), range(n_lines))
+    else:
+        pool = None
+        extraction = (_extract_line(im, segmentation, i, legacy) for i in range(n_lines))
+
+    try:
+        for line_im, line_idx in extraction:
+            if line_im is None or 0 in line_im.size:
+                results[line_idx] = empty_cls('', [], [], segmentation.lines[line_idx])
+            else:
+                try:
+                    ts_im = transforms(line_im)
+                except Exception:
+                    results[line_idx] = empty_cls('', [], [], segmentation.lines[line_idx])
+                else:
+                    if ts_im.max() == ts_im.min():
+                        results[line_idx] = empty_cls('', [], [], segmentation.lines[line_idx])
+                    else:
+                        queue.append((ts_im, line_im, line_idx))
+                        if len(queue) == config.batch_size:
+                            _flush()
+            while next_emit < n_lines and results[next_emit] is not None:
+                yield results[next_emit]
+                next_emit += 1
+        if queue:
+            _flush()
+        while next_emit < n_lines and results[next_emit] is not None:
+            yield results[next_emit]
+            next_emit += 1
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False)
+
+
+def _recognize_batch(model: 'VGSLModel', lines: list, segmentation: 'Segmentation'):
+    """
+    Pads queued lines to a common bucketed width, runs the jitted forward,
+    decodes, and yields (record, line_index) pairs.
+    """
+    config = model._inf_config
+    widths = [ts.shape[2] for ts, *_ in lines]
+    max_w = width_bucket(max(widths))
+    c, h = lines[0][0].shape[0], lines[0][0].shape[1]
+    batch = np.zeros((len(lines), c, h, max_w), np.float32)
+    for i, (ts, *_ ) in enumerate(lines):
+        batch[i, :, :, :ts.shape[2]] = ts
+    seq_lens = np.array(widths, np.int32)
+
+    probs, labels, confs, olens = model._rec_fwd(
+        model._inf_params,
+        jax.device_put(jnp.asarray(batch.astype(model._m_dtype)), model._device),
+        jax.device_put(jnp.asarray(seq_lens), model._device),
+        jnp.float32(config.temperature))
+    labels = np.asarray(labels)
+    confs = np.asarray(confs)
+    olens = np.asarray(olens)
+    model.outputs = np.asarray(probs)
+
+    from kraken_tpu.ops.ctc import _group_runs, greedy_decoder
+    use_fast_path = config.decoder is greedy_decoder
+
+    for idx, (ts_im, line_im, line_idx) in enumerate(lines):
+        olen = int(olens[idx])
+        if use_fast_path:
+            locs = _group_runs(labels[idx, :olen], confs[idx, :olen])
+        else:
+            locs = config.decoder(model.outputs[idx:idx + 1], [olen])[0]
+        pred = model.codec.decode(locs)
+        net_scale = ts_im.shape[2] / olen
+        in_scale = line_im.width / (ts_im.shape[2] - 2 * config.padding)
+
+        def scale_val(val, min_val, max_val):
+            return int(round(min(max(((val * net_scale) - config.padding) * in_scale, min_val),
+                                 max_val - 1)))
+
+        pred_str = ''.join(x[0] for x in pred)
+        pos = []
+        conf = []
+        if segmentation.type == 'baselines':
+            for _, start, end, c_ in pred:
+                pos.append([scale_val(start, 0, line_im.width),
+                            scale_val(end, 0, line_im.width)])
+                conf.append(c_)
+            rec = BaselineOCRRecord(pred_str, pos, conf,
+                                    segmentation.lines[line_idx],
+                                    logits=model.outputs[idx, ..., :olen].copy() if config.return_logits else None,
+                                    image=line_im if config.return_line_image else None)
+        else:
+            line_obj = segmentation.lines[line_idx]
+            for _, start, end, c_ in pred:
+                if segmentation.text_direction.startswith('horizontal'):
+                    x, ymin, _, ymax = line_obj.bbox
+                    xmin = x + scale_val(start, 0, line_im.width)
+                    xmax = x + scale_val(end, 0, line_im.width)
+                    pos.append([[xmin, ymin], [xmin, ymax], [xmax, ymax], [xmax, ymin]])
+                else:
+                    xmin, y, xmax, _ = line_obj.bbox
+                    ymin = y + scale_val(start, 0, line_im.height)
+                    ymax = y + scale_val(end, 0, line_im.height)
+                    pos.append([[xmin, ymin], [xmax, ymin], [xmax, ymax], [xmin, ymax]])
+                conf.append(c_)
+            rec = BBoxOCRRecord(pred_str, pos, conf,
+                                segmentation.lines[line_idx],
+                                logits=model.outputs[idx, ..., :olen].copy() if config.return_logits else None,
+                                image=line_im if config.return_line_image else None)
+        if config.bidi_reordering:
+            yield rec.logical_order(base_dir=config.bidi_reordering
+                                    if config.bidi_reordering in ('L', 'R') else None), line_idx
+        else:
+            yield rec.display_order(None), line_idx

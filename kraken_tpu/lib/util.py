@@ -1,0 +1,112 @@
+"""
+kraken_tpu.lib.util
+~~~~~~~~~~~~~~~~~~~
+
+PIL/numpy helpers (reference: kraken/lib/util.py).
+"""
+import unicodedata
+from os import PathLike
+from pathlib import Path
+from typing import Union
+
+import numpy as np
+from PIL import Image
+
+__all__ = ['pil2array', 'array2pil', 'is_bitonal', 'open_image', 'get_im_str',
+           'make_printable', 'parse_gt_path']
+
+
+def open_image(fname: Union[str, PathLike], mode=None) -> Image.Image:
+    """Opens an image file applying EXIF orientation."""
+    from PIL import ImageOps
+    im = Image.open(fname)
+    im = ImageOps.exif_transpose(im)
+    if mode:
+        im = im.convert(mode)
+    return im
+
+
+def get_im_str(im: Image.Image) -> str:
+    return f'{im.filename if hasattr(im, "filename") else im}'
+
+
+def pil2array(im: Image.Image, alpha: int = 0) -> np.ndarray:
+    """Converts a PIL image to a numpy array, mapping mode '1' to uint8."""
+    if im.mode == '1':
+        return np.array(im.convert('L'))
+    return np.array(im)
+
+
+def array2pil(arr: np.ndarray) -> Image.Image:
+    """Converts a numpy array back to a PIL image."""
+    if arr.dtype == np.dtype('B'):
+        if arr.ndim == 2:
+            return Image.frombytes('L', (arr.shape[1], arr.shape[0]), arr.tobytes())
+        if arr.ndim == 3:
+            return Image.frombytes('RGB', (arr.shape[1], arr.shape[0]), arr.tobytes())
+        raise Exception('bad image rank')
+    if arr.dtype == np.dtype('float32'):
+        return Image.frombytes('F', (arr.shape[1], arr.shape[0]), arr.tobytes())
+    raise Exception(f'unknown image type: {arr.dtype}')
+
+
+def is_bitonal(im: Union[Image.Image, np.ndarray]) -> bool:
+    """True if an image (or array) contains only two intensity values."""
+    if isinstance(im, Image.Image):
+        return im.getcolors(2) is not None and len(im.getcolors(2)) == 2
+    return len(np.unique(im)) == 2
+
+
+def make_printable(char: str) -> str:
+    """
+    Returns a printable representation of a code point: control and combining
+    characters are replaced by their Unicode names.
+    """
+    if not char:
+        return ''
+    if len(char) > 1:
+        return ''.join(make_printable(c) for c in char)
+    if unicodedata.category(char)[0] in ('C', 'Z') and char != ' ':
+        try:
+            return unicodedata.name(char)
+        except ValueError:
+            return f'U+{ord(char):04X}'
+    return char
+
+
+def parse_gt_path(path: Union[str, PathLike],
+                  suffix: str = '.gt.txt',
+                  split=None,
+                  skip_empty_lines: bool = True,
+                  base_dir=None,
+                  text_direction: str = 'horizontal-lr'):
+    """
+    Parses an image + `.gt.txt` transcription pair into a BBoxLine covering
+    the whole image (reference: lib/util.py:120).
+    """
+    from kraken_tpu.containers import BBoxLine
+
+    path = Path(path)
+    if split is None:
+        base = path
+        while base.suffixes:
+            base = base.with_suffix('')
+        gt_path = Path(str(base) + suffix)
+    else:
+        gt_path = Path(split(path) + suffix)
+    try:
+        with Image.open(path) as im:
+            w, h = im.size
+    except Exception as e:
+        raise ValueError(f'Could not open image {path}: {e}') from e
+    if not gt_path.is_file():
+        raise ValueError(f'No transcription file {gt_path} for image {path}')
+    text = gt_path.read_text(encoding='utf-8').strip('\n\r')
+    if not text and skip_empty_lines:
+        raise ValueError(f'No text for ground truth line {gt_path}')
+    return BBoxLine(id=f'_{path.name}',
+                    bbox=(0, 0, w, h),
+                    text=text,
+                    base_dir=base_dir,
+                    imagename=path,
+                    text_direction=text_direction)

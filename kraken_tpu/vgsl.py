@@ -467,6 +467,39 @@ class VGSLModel:
             self._jit_cache['fwd'] = fwd
         return self._jit_cache['fwd']
 
+    # ----------------------------------------------------------- inference
+    def prepare_for_inference(self, config) -> None:
+        """
+        Configures the model for inference with the given config (precision
+        cast, device placement, jitted forward; reference:
+        lib/vgsl/model.py:491-525).
+        """
+        from kraken_tpu.configs import RecognitionInferenceConfig, SegmentationInferenceConfig
+        if isinstance(config, RecognitionInferenceConfig) and 'recognition' not in self.model_type:
+            raise ValueError(f'{self} is a {self.model_type} model. Got incompatible {type(config).__name__}.')
+        if isinstance(config, SegmentationInferenceConfig) and 'segmentation' not in self.model_type:
+            raise ValueError(f'{self} is a {self.model_type} model. Got incompatible {type(config).__name__}.')
+        if 'recognition' in self.model_type:
+            from kraken_tpu.inference.recognition import prepare_recognition
+            prepare_recognition(self, config)
+        elif 'segmentation' in self.model_type:
+            from kraken_tpu.inference.segmentation import prepare_segmentation
+            prepare_segmentation(self, config)
+
+    def predict(self, *args, **kwargs):
+        """
+        Runs inference: recognition models take (im, segmentation) and yield
+        OCR records; segmentation models take (im) and return a
+        Segmentation.
+        """
+        if 'recognition' in self.model_type:
+            from kraken_tpu.inference.recognition import recognition_pred
+            return recognition_pred(self, *args, **kwargs)
+        if 'segmentation' in self.model_type:
+            from kraken_tpu.inference.segmentation import segmentation_pred
+            return segmentation_pred(self, *args, **kwargs)
+        raise ValueError(f'Model type {self.model_type} has no prediction mode')
+
     # --------------------------------------------------------- state dicts
     def state_dict(self) -> dict[str, np.ndarray]:
         """Flattened parameters with torch-compatible `nn.`-prefixed keys."""

@@ -1,0 +1,147 @@
+"""
+End-to-end recognition tests against the reference's golden predictions
+(/root/reference/tests/test_rpred.py): the overfit model on 000236.png must
+reproduce the exact strings through both the legacy rpred API and the
+batched inference engine.
+"""
+import warnings
+
+import pytest
+from PIL import Image
+
+from kraken_tpu.configs import RecognitionInferenceConfig
+from kraken_tpu.containers import BaselineLine, BBoxLine, Segmentation
+from kraken_tpu.exceptions import KrakenInputException
+from kraken_tpu.lib.models import load_any
+from kraken_tpu.models import load_models
+from kraken_tpu.rpred import mm_rpred, rpred
+
+BBOX_GOLD = 'ܡ ܘܡ ܗ ܡܕܐ ܐ ܐܐ ܡ ܗܗܐܐܐܕ'
+BL_GOLD = '.ܗ ܣܗܐ  ܕ ܣ   ܗ ܕܗܗ ܟܕܗܣ    ܠ  ܐ .ܣܕܐܣ. ܗ '
+BL_GOLD_NOBIDI = 'ܕܗ .ܣܐܗܗ.ܐ ܗܣ ܕ   ܗܣ ܗ.ܗܝܣܗ ܣ ܗܢ ܪܗܗܕ ܐ   ܗܠ'
+
+
+@pytest.fixture(scope='module', autouse=True)
+def quiet():
+    warnings.filterwarnings('ignore', category=DeprecationWarning)
+    warnings.filterwarnings('ignore', category=UserWarning)
+
+
+@pytest.fixture(scope='module')
+def overfit_line(resources):
+    return Image.open(resources / '000236.png')
+
+
+@pytest.fixture(scope='module')
+def model(resources):
+    return load_any(resources / 'overfit.mlmodel')
+
+
+@pytest.fixture
+def box_seg(resources):
+    return Segmentation(type='bbox', imagename=resources / 'bw.png',
+                        text_direction='horizontal-lr', script_detection=False,
+                        lines=[BBoxLine(id='foo', bbox=[0, 0, 2544, 156])])
+
+
+@pytest.fixture
+def bl_seg(resources):
+    return Segmentation(type='baselines', imagename=resources / 'bw.png',
+                        text_direction='horizontal-lr', script_detection=False,
+                        lines=[BaselineLine(id='foo',
+                                            baseline=[[0, 10], [2543, 10]],
+                                            boundary=[[0, 0], [2543, 0], [2543, 155], [0, 155]])])
+
+
+def test_simple_bbox_rpred(model, overfit_line, box_seg):
+    record = next(rpred(model, overfit_line, box_seg, True))
+    assert record.prediction == BBOX_GOLD
+
+
+def test_simple_bl_rpred(model, overfit_line, bl_seg):
+    record = next(rpred(model, overfit_line, bl_seg, True))
+    assert record.prediction == BL_GOLD
+
+
+def test_bl_rpred_nobidi(model, overfit_line, bl_seg):
+    record = next(rpred(model, overfit_line, bl_seg, bidi_reordering=False))
+    assert record.prediction == BL_GOLD_NOBIDI
+
+
+def test_rpred_bbox_outbounds(model, resources):
+    seg = Segmentation(type='bbox', imagename=resources / 'bw.png',
+                       text_direction='horizontal-lr', script_detection=False,
+                       lines=[BBoxLine(id='foo', bbox=[-1, -1, 10000, 10000])])
+    im = Image.open(resources / 'bw.png')
+    rec = next(rpred(model, im, seg, True))
+    assert len(rec) == 0
+
+
+def test_rpred_bl_outbounds(model, resources):
+    seg = Segmentation(type='baselines', imagename=resources / 'bw.png',
+                       text_direction='horizontal-lr', script_detection=False,
+                       lines=[BaselineLine(id='bar', tags={'type': 'default'},
+                                           baseline=[[0, 0], [10000, 0]],
+                                           boundary=[[-1, -1], [-1, 10000], [10000, 10000], [10000, -1]])])
+    im = Image.open(resources / 'bw.png')
+    rec = next(rpred(model, im, seg, True))
+    assert len(rec) == 0
+
+
+def test_mm_rpred_missing_tags(model, overfit_line, box_seg):
+    with pytest.raises(ValueError):
+        mm_rpred({('type', 'default'): model}, overfit_line, box_seg, True)
+
+
+def test_mm_rpred_ignore_tags(model, overfit_line, resources):
+    seg = Segmentation(type='bbox', imagename=resources / 'bw.png',
+                       text_direction='horizontal-lr', script_detection=True,
+                       lines=[BBoxLine(id='foo', bbox=[0, 0, 2544, 156],
+                                       tags={'type': [{'type': 'foobar'}]}),
+                              BBoxLine(id='bar', bbox=[0, 0, 2544, 156],
+                                       tags={'type': [{'type': 'default'}]})])
+    pred = mm_rpred({'default': model}, overfit_line, seg, True, tags_ignore=['foobar'])
+    assert next(pred).prediction == ''
+    assert next(pred).prediction == BBOX_GOLD
+
+
+def test_batched_engine_bbox(resources, overfit_line, box_seg):
+    # the reference goldens were produced with pad=True (1px)
+    vmodel = load_models(resources / 'overfit.mlmodel')[0]
+    vmodel.prepare_for_inference(RecognitionInferenceConfig(batch_size=4, num_line_workers=0, padding=1))
+    records = list(vmodel.predict(overfit_line, box_seg))
+    assert len(records) == 1
+    assert records[0].prediction == BBOX_GOLD
+
+
+def test_batched_engine_bl(resources, overfit_line, bl_seg):
+    vmodel = load_models(resources / 'overfit.mlmodel')[0]
+    vmodel.prepare_for_inference(RecognitionInferenceConfig(batch_size=4, num_line_workers=2, padding=1))
+    records = list(vmodel.predict(overfit_line, bl_seg))
+    assert records[0].prediction == BL_GOLD
+
+
+def test_batched_engine_multiline(resources, overfit_line, bl_seg):
+    """Multiple identical lines through one padded batch give identical output."""
+    vmodel = load_models(resources / 'overfit.mlmodel')[0]
+    vmodel.prepare_for_inference(RecognitionInferenceConfig(batch_size=3, num_line_workers=0, padding=1))
+    import dataclasses
+    line = bl_seg.lines[0]
+    seg = dataclasses.replace(bl_seg, lines=[dataclasses.replace(line, id=f'l{i}') for i in range(3)])
+    records = list(vmodel.predict(overfit_line, seg))
+    assert len(records) == 3
+    assert all(r.prediction == BL_GOLD for r in records)
+
+
+def test_record_cut_geometry(model, overfit_line, bl_seg):
+    record = next(rpred(model, overfit_line, bl_seg, True))
+    assert len(record.cuts) == len(record.prediction) == len(record.confidences)
+    # polygon cuts are lists of 2D points within the line bounds
+    for cut in record.cuts:
+        for x, y in cut:
+            assert -1 <= x <= 2544
+            assert -1 <= y <= 156
+    # slicing aggregates a polygon section
+    pred, cut, conf = record[0:5]
+    assert pred == record.prediction[0:5]
+    assert 0 <= conf <= 1
