@@ -1,0 +1,106 @@
+"""
+Benchmark: recognition throughput (lines/sec/chip) of the flagship
+CNN+BiLSTM VGSL network on the current JAX device, compared against an
+architecturally identical torch CPU forward pass (the reference engine's
+substrate and default deployment mode — kraken publishes no benchmark
+numbers of its own, see BASELINE.md).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import time
+
+import numpy as np
+
+BATCH = 32
+WIDTH = 1024
+HEIGHT = 120
+CLASSES = 250
+N_ITER = 8
+
+
+def bench_jax():
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import entry
+
+    fwd, (params, _, _) = entry()
+    # cast to bf16 on TPU for MXU-native matmuls
+    on_tpu = jax.default_backend() == 'tpu'
+    if on_tpu:
+        params = jax.tree.map(lambda a: a.astype(jnp.bfloat16)
+                              if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    x = jnp.asarray(np.random.RandomState(0).rand(BATCH, 1, HEIGHT, WIDTH), dtype)
+    lens = jnp.full((BATCH,), WIDTH, jnp.int32)
+    jfwd = jax.jit(fwd)
+    # warmup/compile; force a full device->host sync via materialization
+    out = jfwd(params, x, lens)
+    _ = np.asarray(out[0])
+    start = time.perf_counter()
+    for _ in range(N_ITER):
+        out = jfwd(params, x, lens)
+        _ = np.asarray(out[0])[0, 0]
+    elapsed = time.perf_counter() - start
+    return BATCH * N_ITER / elapsed
+
+
+def bench_torch_cpu():
+    """Reference-equivalent torch CPU forward on the same shapes."""
+    import torch
+    torch.set_num_threads(max(1, (torch.get_num_threads())))
+
+    class RefNet(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.c1 = torch.nn.Conv2d(1, 32, (3, 13), padding=(1, 6))
+            self.p1 = torch.nn.MaxPool2d(2, 2)
+            self.c2 = torch.nn.Conv2d(32, 32, (3, 13), padding=(1, 6))
+            self.p2 = torch.nn.MaxPool2d(2, 2)
+            self.c3 = torch.nn.Conv2d(32, 64, (3, 9), padding=(1, 4))
+            self.p3 = torch.nn.MaxPool2d(2, 2)
+            self.c4 = torch.nn.Conv2d(64, 64, (3, 9), padding=(1, 4))
+            h = HEIGHT // 8
+            self.l1 = torch.nn.LSTM(64 * h, 200, bidirectional=True, batch_first=True)
+            self.l2 = torch.nn.LSTM(400, 200, bidirectional=True, batch_first=True)
+            self.l3 = torch.nn.LSTM(400, 200, bidirectional=True, batch_first=True)
+            self.o = torch.nn.Linear(400, CLASSES)
+
+        def forward(self, x):
+            x = torch.relu(self.c1(x))
+            x = self.p1(x)
+            x = torch.relu(self.c2(x))
+            x = self.p2(x)
+            x = torch.relu(self.c3(x))
+            x = self.p3(x)
+            x = torch.relu(self.c4(x))
+            n, c, h, w = x.shape
+            x = x.permute(0, 3, 1, 2).reshape(n, w, c * h)
+            x, _ = self.l1(x)
+            x, _ = self.l2(x)
+            x, _ = self.l3(x)
+            return self.o(x)
+
+    net = RefNet().eval()
+    x = torch.rand(BATCH, 1, HEIGHT, WIDTH)
+    with torch.inference_mode():
+        net(x[:2, :, :, :128])  # warmup
+        start = time.perf_counter()
+        net(x)
+        elapsed = time.perf_counter() - start
+    return BATCH / elapsed
+
+
+def main():
+    jax_lps = bench_jax()
+    torch_lps = bench_torch_cpu()
+    print(json.dumps({
+        'metric': 'recognition lines/sec/chip (CNN+3xBiLSTM-200, 120x1024 lines, batch 32)',
+        'value': round(jax_lps, 2),
+        'unit': 'lines/sec',
+        'vs_baseline': round(jax_lps / torch_lps, 2),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,97 @@
+"""
+kraken_tpu.parallel.mesh
+~~~~~~~~~~~~~~~~~~~~~~~~
+
+Multi-chip execution: device meshes, shardings, and SPMD train/infer steps.
+
+Design (see SURVEY.md §2.5): kraken-class models are small CNN+BiLSTM /
+U-Net networks (tens of MB), so the profitable parallelism is **data
+parallelism over the line/page batch dimension** — parameters replicated,
+batches sharded over the `data` mesh axis, gradients reduced by XLA
+all-reduce over ICI. Tensor/pipeline parallelism would add collectives with
+no FLOPs to amortize them and is deliberately out of scope; the mesh is
+therefore 1-D but all entry points accept arbitrary device lists so larger
+meshes compose if model families grow.
+
+The reference has no distributed backend of its own (it delegates to
+Lightning's implicit DDP); this module is the TPU-native replacement.
+"""
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+import optax
+
+__all__ = ['make_mesh', 'batch_sharding', 'shard_batch', 'replicate',
+           'make_train_step']
+
+
+def make_mesh(devices: Optional[Sequence] = None, axis: str = 'data') -> Mesh:
+    """
+    Builds a 1-D device mesh over `devices` (default: all available).
+    """
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def batch_sharding(mesh: Mesh, axis: str = 'data') -> NamedSharding:
+    """Sharding placing the leading (batch) dim across the mesh axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    """Fully replicated sharding."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh, axis: str = 'data') -> dict:
+    """
+    Places every array in `batch` with its leading dim sharded over the mesh.
+    Batch sizes must be divisible by the mesh size.
+    """
+    sharding = batch_sharding(mesh, axis)
+    return {k: jax.device_put(jnp.asarray(v), sharding) for k, v in batch.items()}
+
+
+def make_train_step(net, tx: optax.GradientTransformation, loss: str = 'ctc',
+                    mesh: Optional[Mesh] = None):
+    """
+    Builds a jitted SPMD training step for a VGSL layer tree.
+
+    With a mesh, parameters/optimizer state are replicated and batches are
+    expected sharded on the leading dim; XLA inserts the gradient
+    all-reduce over ICI automatically.
+
+    Returns:
+        step(params, opt_state, batch, rng) -> (params, opt_state, loss)
+        where batch has keys image/seq_lens and either target/target_lens
+        (ctc) or target heatmaps (bce+dice).
+    """
+    from kraken_tpu.train.losses import ctc_loss, segmentation_loss
+
+    def loss_fn(params, batch, rng):
+        if loss == 'ctc':
+            logits, olens = net.apply(params, batch['image'], batch['seq_lens'],
+                                      train=True, rng=rng)
+            total = ctc_loss(logits, olens, batch['target'], batch['target_lens'])
+            return total / batch['image'].shape[0]
+        logits, _ = net.apply(params, batch['image'], None, train=True, rng=rng)
+        return segmentation_loss(logits, batch['target'])
+
+    def step(params, opt_state, batch, rng):
+        value, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, value
+
+    if mesh is None:
+        return jax.jit(step)
+    repl = replicate(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(step,
+                   in_shardings=(repl, repl, data, repl),
+                   out_shardings=(repl, repl, repl))
