@@ -1,0 +1,174 @@
+"""
+Serialization tests: ALTO/PageXML output validates against the official XSD
+schemas, IDs are unique, and baselines round-trip through the XML parser —
+the same validation strategy as the reference test suite, driven by the
+reference's golden record pickles.
+"""
+import copy
+import io
+import pickle
+import tempfile
+from collections import Counter
+
+import pytest
+from lxml import etree
+
+from kraken_tpu import serialization, xml
+from kraken_tpu import containers
+
+
+class _RefUnpickler(pickle.Unpickler):
+    """Maps reference kraken container classes onto kraken_tpu containers."""
+
+    def find_class(self, module, name):
+        if module == 'kraken.containers':
+            return getattr(containers, name)
+        if module.startswith('kraken.'):
+            raise pickle.UnpicklingError(f'Unexpected reference class {module}.{name}')
+        return super().find_class(module, name)
+
+
+def load_ref_pickle(path):
+    with open(path, 'rb') as fp:
+        return _RefUnpickler(fp).load()
+
+
+@pytest.fixture(scope='module')
+def box_seg(resources):
+    return load_ref_pickle(resources / 'box_rec.pkl')
+
+
+@pytest.fixture(scope='module')
+def bl_seg(resources):
+    return load_ref_pickle(resources / 'bl_rec.pkl')
+
+
+def _validate_alto(text, resources):
+    doc = etree.fromstring(text.encode('utf-8'))
+    ids = [x.get('ID') for x in doc.findall('.//*[@ID]')]
+    assert not ids or Counter(ids).most_common(1)[0][1] == 1, 'Duplicate IDs in ALTO output'
+    with open(resources / 'alto-4-3.xsd') as fp:
+        schema = etree.XMLSchema(etree.parse(fp))
+    schema.assertValid(doc)
+
+
+def _validate_page(text, resources):
+    doc = etree.fromstring(text.encode('utf-8'))
+    ids = [x.get('id') for x in doc.findall('.//*[@id]')]
+    assert not ids or Counter(ids).most_common(1)[0][1] == 1, 'Duplicate IDs in PageXML output'
+    with open(resources / 'pagecontent.xsd') as fp:
+        schema = etree.XMLSchema(etree.parse(fp))
+    schema.assertValid(doc)
+
+
+def _segmentation(seg, with_regions=True):
+    lines = seg.lines if with_regions else copy.deepcopy(seg.lines)
+    if not with_regions:
+        for line in lines:
+            line.regions = []
+    return containers.Segmentation(type=seg.type,
+                                   imagename='foo.png',
+                                   text_direction='horizontal-lr',
+                                   lines=lines,
+                                   script_detection=True,
+                                   regions=seg.regions if with_regions else {})
+
+
+def test_box_alto(box_seg, resources):
+    out = serialization.serialize(_segmentation(box_seg), image_size=(2544, 156),
+                                  template='alto')
+    _validate_alto(out, resources)
+
+
+def test_box_page(box_seg, resources):
+    out = serialization.serialize(_segmentation(box_seg), image_size=(2544, 156),
+                                  template='page')
+    _validate_page(out, resources)
+
+
+def test_box_hocr(box_seg):
+    out = serialization.serialize(_segmentation(box_seg), image_size=(2544, 156),
+                                  template='hocr')
+    doc = etree.fromstring(out.encode('utf-8'))
+    ids = [x.get('id') for x in doc.findall('.//*[@id]')]
+    assert Counter(ids).most_common(1)[0][1] == 1
+
+
+def test_box_abbyy(box_seg):
+    out = serialization.serialize(_segmentation(box_seg), image_size=(2544, 156),
+                                  template='abbyyxml')
+    etree.fromstring(out.encode('utf-8'))
+
+
+def test_bl_alto_with_regions(bl_seg, resources):
+    out = serialization.serialize(_segmentation(bl_seg), image_size=(2544, 156),
+                                  template='alto')
+    _validate_alto(out, resources)
+
+
+def test_bl_page_with_regions(bl_seg, resources):
+    out = serialization.serialize(_segmentation(bl_seg), image_size=(2544, 156),
+                                  template='page')
+    _validate_page(out, resources)
+
+
+def test_bl_region_only_serialization(bl_seg, resources):
+    seg = containers.Segmentation(type='baselines', imagename='foo.png',
+                                  text_direction='horizontal-lr',
+                                  script_detection=False, lines=[],
+                                  regions=bl_seg.regions)
+    out = serialization.serialize(seg, image_size=(2544, 156), template='alto')
+    _validate_alto(out, resources)
+    out = serialization.serialize(seg, image_size=(2544, 156), template='page')
+    _validate_page(out, resources)
+
+
+def test_bl_roundtrip_baselines(bl_seg):
+    """Baselines survive serialization and re-parsing in order."""
+    seg = _segmentation(bl_seg, with_regions=False)
+    out = serialization.serialize(seg, image_size=(2544, 156), template='alto')
+    with tempfile.NamedTemporaryFile(suffix='.xml') as fp:
+        fp.write(out.encode('utf-8'))
+        fp.flush()
+        parsed = xml.XMLPage(fp.name).to_container().lines
+    for orig, new in zip(seg.lines, parsed):
+        assert [list(p) for p in orig.baseline] == [list(p) for p in new.baseline]
+
+
+def test_bl_roundtrip_page(bl_seg):
+    seg = _segmentation(bl_seg, with_regions=False)
+    out = serialization.serialize(seg, image_size=(2544, 156), template='page')
+    with tempfile.NamedTemporaryFile(suffix='.xml') as fp:
+        fp.write(out.encode('utf-8'))
+        fp.flush()
+        parsed = xml.XMLPage(fp.name).to_container().lines
+    for orig, new in zip(seg.lines, parsed):
+        assert [list(p) for p in orig.baseline] == [list(p) for p in new.baseline]
+
+
+def test_no_subline_segmentation(bl_seg, resources):
+    out = serialization.serialize(_segmentation(bl_seg), image_size=(2544, 156),
+                                  template='alto', sub_line_segmentation=False)
+    _validate_alto(out, resources)
+    doc = etree.fromstring(out.encode('utf-8'))
+    assert not doc.findall('.//{*}Glyph')
+
+
+def test_processing_steps(bl_seg, resources):
+    steps = [containers.ProcessingStep(id='0', category='processing',
+                                       description='text recognition',
+                                       settings={'model': 'foo.safetensors', 'pad': 16})]
+    out = serialization.serialize(_segmentation(bl_seg), image_size=(2544, 156),
+                                  template='alto', processing_steps=steps)
+    _validate_alto(out, resources)
+    assert 'text recognition' in out
+
+
+def test_render_report():
+    report = serialization.render_report(
+        'model.safetensors', 1000, 50, 0.95, 0.96, 0.9,
+        Counter({('a', 'b'): 10}), Counter({'Latin': 1000}),
+        5, Counter({'Latin': 10}), Counter({'Latin': 35}))
+    assert '95.00%' in report
+    assert 'Latin' in report
+    assert 'model.safetensors' in report
