@@ -1,0 +1,212 @@
+"""
+kraken_tpu.inference.segmentation
+~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~~
+
+BLLA neural page segmentation inference.
+
+Pipeline (functional equivalent of the reference mixin
+kraken/lib/vgsl/spred.py):
+
+  host: resize page to network height → tensor
+  device: jitted U-Net forward → bilinear upsample to input size → sigmoid
+  host: baseline/region vectorization → seam-carve polygonization →
+        region association → reading order
+
+The forward, upsampling, and sigmoid are fused into one XLA program so only
+the final heatmap stack crosses back to the host.
+"""
+import logging
+import uuid
+from typing import TYPE_CHECKING, Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kraken_tpu.containers import BaselineLine, Region, Segmentation
+from kraken_tpu.dataset import ImageInputTransforms
+from kraken_tpu.lib.geometry import is_in_region, scale_polygonal_lines, scale_regions
+from kraken_tpu.lib.polygonization import calculate_polygonal_environment, gradient_feature_map
+from kraken_tpu.lib.util import is_bitonal
+from kraken_tpu.lib.vectorization import vectorize_lines, vectorize_regions
+
+if TYPE_CHECKING:
+    from PIL import Image
+    from kraken_tpu.vgsl import VGSLModel
+
+logger = logging.getLogger(__name__)
+
+__all__ = ['prepare_segmentation', 'segmentation_pred', 'vec_regions', 'vec_lines']
+
+
+def prepare_segmentation(model: 'VGSLModel', config) -> None:
+    """Sets up device placement and the jitted forward+upsample+sigmoid."""
+    from kraken_tpu.inference.recognition import _PRECISION_DTYPES, _resolve_device
+    model._inf_config = config
+    dtype = _PRECISION_DTYPES.get(getattr(config, 'precision', '32-true'), jnp.float32)
+    model._m_dtype = dtype
+    device = _resolve_device(config)
+    model._device = device
+    cast = lambda x: jax.device_put(x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x, device)
+    model._inf_params = jax.tree.map(cast, model.params)
+    if getattr(model, '_seg_fwd', None) is None:
+        net = model.net
+
+        def fwd(params, x, out_h, out_w):
+            logits, _ = net.apply(params, x, None)
+            logits = jax.image.resize(logits.astype(jnp.float32),
+                                      (logits.shape[0], logits.shape[1], out_h, out_w),
+                                      method='bilinear')
+            return jax.nn.sigmoid(logits)
+
+        model._seg_fwd = jax.jit(fwd, static_argnums=(2, 3))
+
+
+def vec_regions(heatmap: np.ndarray, cls_map: dict, scale, **kwargs) -> dict[str, list[Region]]:
+    """Vectorizes all region classes of the heatmap stack into Regions."""
+    regions = {}
+    for region_type, idx in cls_map['regions'].items():
+        logger.debug(f'Vectorizing regions of type {region_type}')
+        polygons = vectorize_regions(heatmap[idx])
+        regions[region_type] = [Region(id=f'_{uuid.uuid4()}', boundary=x,
+                                       tags={'type': [{'type': region_type}]})
+                                for x in scale_regions(polygons, scale)]
+    return regions
+
+
+def vec_lines(heatmap: np.ndarray,
+              cls_map: dict[str, dict[str, int]],
+              scale,
+              text_direction: str = 'horizontal-lr',
+              regions: list = None,
+              scal_im: np.ndarray = None,
+              suppl_obj: list = None,
+              topline: bool = False,
+              raise_on_error: bool = False,
+              **kwargs) -> list[dict[str, Any]]:
+    """
+    Vectorizes and polygonizes all baseline classes of the heatmap stack.
+
+    Returns:
+        list of dicts with tags/baseline/boundary per line.
+    """
+    st_sep = cls_map['aux']['_start_separator']
+    end_sep = cls_map['aux']['_end_separator']
+    baselines = []
+    for bl_type, idx in cls_map['baselines'].items():
+        logger.debug(f'Vectorizing lines of type {bl_type}')
+        baselines.extend((bl_type, bl) for bl in
+                         vectorize_lines(heatmap[(st_sep, end_sep, idx), :, :],
+                                         text_direction=text_direction[:-3]))
+    im_feats = gradient_feature_map(scal_im)
+    regions = regions or []
+    lines = []
+    for idx, (bl_type, bl) in enumerate(baselines):
+        other = [b for _, b in baselines[:idx] + baselines[idx + 1:]]
+        for reg in regions:
+            if is_in_region(bl, reg):
+                other.append(reg)
+        pol = calculate_polygonal_environment(baselines=[bl], im_feats=im_feats,
+                                              suppl_obj=other, topline=topline,
+                                              raise_on_error=raise_on_error)
+        if pol[0] is not None:
+            lines.append((bl_type, bl, pol[0]))
+    scaled = scale_polygonal_lines([x[1:] for x in lines], scale)
+    return [{'tags': {'type': [{'type': bl_type}]}, 'baseline': bl, 'boundary': pl}
+            for (bl_type, _, _), (bl, pl) in zip(lines, scaled)]
+
+
+def _compute_segmentation_map(model: 'VGSLModel', im: 'Image.Image') -> dict[str, Any]:
+    """Runs the network and returns upsampled sigmoid heatmaps + metadata."""
+    config = model._inf_config
+    batch, channels, height, width = model.input
+    padding = config.input_padding
+    if isinstance(padding, int):
+        padding = (padding,) * 4
+    elif len(padding) == 2:
+        padding = (padding[0], padding[0], padding[1], padding[1])
+
+    transforms = ImageInputTransforms(batch, height, width, channels, padding,
+                                      valid_norm=False, dtype=np.float32)
+    # scaled grayscale image (pre-tensor stage of the transform pipeline)
+    scal = im.convert(transforms.mode if transforms.mode != '1' else 'L')
+    if transforms.scale != (0, 0):
+        from kraken_tpu.dataset.transforms import _fixed_resize
+        if transforms.scale[0] > 0 and transforms.scale[1] > 0:
+            from PIL import Image as PILImage
+            scal = scal.resize((transforms.scale[1], transforms.scale[0]),
+                               PILImage.Resampling.LANCZOS)
+        else:
+            scal = _fixed_resize(scal, transforms.scale)
+    scal_im = np.array(scal.convert('L'))
+
+    tensor_im = transforms(im)
+    x = jax.device_put(jnp.asarray(tensor_im[None].astype(model._m_dtype)), model._device)
+    padded_h = scal_im.shape[0] + padding[2] + padding[3]
+    padded_w = scal_im.shape[1] + padding[0] + padding[1]
+    heat = model._seg_fwd(model._inf_params, x, padded_h, padded_w)
+    heat = np.asarray(heat)[0]
+    # strip padding
+    heat = heat[:, padding[2]:heat.shape[1] - padding[3] or None,
+                padding[0]:heat.shape[2] - padding[1] or None]
+    scale = np.divide(im.size, heat.shape[:0:-1])
+    return {'heatmap': heat,
+            'cls_map': model.user_metadata['class_mapping'],
+            'bounding_regions': model.user_metadata.get('bounding_regions', None),
+            'scale': scale,
+            'scal_im': scal_im}
+
+
+def segmentation_pred(model: 'VGSLModel', im: 'Image.Image') -> Segmentation:
+    """
+    Runs full-page baseline segmentation: heatmaps → regions → lines →
+    region association → reading order.
+    """
+    config = model._inf_config
+    if model.input[1] == 1 and model.one_channel_mode == '1' and not is_bitonal(im):
+        logger.warning(f'Running binary model on non-binary input image (mode {im.mode}). '
+                       'This will result in severely degraded performance')
+    rets = _compute_segmentation_map(model, im)
+    regions = vec_regions(**rets)
+
+    line_regs = []
+    suppl_obj = []
+    for cls, regs in regions.items():
+        line_regs.extend(regs)
+        if rets['bounding_regions'] is not None and cls in rets['bounding_regions']:
+            suppl_obj.extend(regs)
+    # back to network scale for polygonization
+    suppl_obj = scale_regions([x.boundary for x in suppl_obj], tuple(1 / rets['scale']))
+    line_regs = scale_regions([x.boundary for x in line_regs], tuple(1 / rets['scale']))
+
+    lines = vec_lines(**rets,
+                      regions=line_regs,
+                      text_direction=config.text_direction,
+                      suppl_obj=suppl_obj,
+                      topline=bool(model.user_metadata.get('topline', False)),
+                      raise_on_error=config.raise_on_error)
+
+    script_detection = len(rets['cls_map']['baselines']) > 1
+
+    blls = []
+    flat_regions = [reg for regs in regions.values() for reg in regs]
+    for line in lines:
+        containing = [reg.id for reg in flat_regions
+                      if is_in_region(line['baseline'], reg.boundary)]
+        blls.append(BaselineLine(id=f'_{uuid.uuid4()}',
+                                 baseline=line['baseline'],
+                                 boundary=line['boundary'],
+                                 tags=line['tags'],
+                                 regions=containing))
+    if blls:
+        ro = config.baseline_ro_fn(lines=blls, regions=flat_regions,
+                                   text_direction=config.text_direction[-2:])
+        blls = [blls[idx] for idx in ro]
+
+    return Segmentation(text_direction=config.text_direction,
+                        imagename=getattr(im, 'filename', None),
+                        type='baselines',
+                        lines=blls,
+                        regions=regions,
+                        script_detection=script_detection,
+                        line_orders=[])

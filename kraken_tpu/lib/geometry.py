@@ -58,7 +58,8 @@ def douglas_peucker(pts: np.ndarray, tolerance: float) -> np.ndarray:
         if seg_len < _EPS:
             d = np.linalg.norm(pts[lo + 1:hi] - pts[lo], axis=1)
         else:
-            d = np.abs(np.cross(seg, pts[lo + 1:hi] - pts[lo])) / seg_len
+            rel = pts[lo + 1:hi] - pts[lo]
+            d = np.abs(seg[0] * rel[:, 1] - seg[1] * rel[:, 0]) / seg_len
         imax = int(np.argmax(d))
         if d[imax] > tolerance:
             keep[lo + 1 + imax] = True
@@ -329,7 +330,8 @@ def _straighten_baseline(polygon: np.ndarray, baseline: np.ndarray):
     idx = np.arange(n_poly)
     local_x = local_x[closest, idx]
     diff = diff[closest, idx]
-    local_y = np.cross(diff_bl_normed[closest], diff)
+    normed = diff_bl_normed[closest]
+    local_y = normed[:, 0] * diff[:, 1] - normed[:, 1] * diff[:, 0]
     dst = np.array([cum_lens[closest] + local_x, local_y]).T + baseline[:1]
     return dst, cum_lens, diff_bl_normed
 

@@ -1,0 +1,423 @@
+"""
+kraken_tpu.lib.polygonization
+~~~~~~~~~~~~~~~~~~~~~~~~~~~~~
+
+Baseline → bounding-polygon computation: for every baseline a region of
+interest is found by casting perpendicular rays against adjacent lines and
+hard boundaries, then a minimum-energy seam is carved through the gradient
+feature map above and below the (offset) baseline and both seams are fused
+into the bounding polygon.
+
+Functional equivalent of the reference's calculate_polygonal_environment
+stack (kraken/lib/segmentation.py:560-843) built without shapely/skimage:
+polygon boolean operations run as rasterized mask ops (everything is in
+pixel space), line offsets as direct normal-vector shifts, and rotations via
+scipy affine transforms.
+"""
+import logging
+from typing import Optional, Sequence
+
+import cv2
+import numpy as np
+from scipy.ndimage import affine_transform, distance_transform_cdt, gaussian_filter
+
+from kraken_tpu.lib.geometry import douglas_peucker, polyline_dists
+
+logger = logging.getLogger(__name__)
+
+__all__ = ['calculate_polygonal_environment']
+
+_MASK_VAL = 99999.0
+
+
+def sobel_magnitude(im: np.ndarray) -> np.ndarray:
+    """
+    Gradient magnitude with 3x3 Sobel kernels normalized like
+    skimage.filters.sobel (kernel weights /4, magnitude /sqrt(2), input
+    scaled to [0, 1]).
+    """
+    img = im.astype(np.float32)
+    if img.max() > 1:
+        img = img / 255.0
+    gx = cv2.Sobel(img, cv2.CV_32F, 1, 0, ksize=3) / 4.0
+    gy = cv2.Sobel(img, cv2.CV_32F, 0, 1, ksize=3) / 4.0
+    return np.sqrt(gx ** 2 + gy ** 2) / np.sqrt(2)
+
+
+def gradient_feature_map(im: np.ndarray) -> np.ndarray:
+    """Default seam-carve energy map: gaussian_filter(sobel(im), 0.5)."""
+    return gaussian_filter(sobel_magnitude(im), 0.5)
+
+
+def _interpolate_polyline(line: np.ndarray, step: float = 10.0) -> np.ndarray:
+    """Resamples a polyline at fixed arc-length steps, keeping endpoints."""
+    dists = polyline_dists(line)
+    total = dists[-1]
+    targets = np.arange(step, total, step)
+    pts = [line[0]]
+    for t in targets:
+        seg = int(np.searchsorted(dists, t))
+        seg = min(max(seg, 1), len(line) - 1)
+        denom = dists[seg] - dists[seg - 1]
+        frac = (t - dists[seg - 1]) / denom if denom > 0 else 0
+        pts.append(line[seg - 1] + frac * (line[seg] - line[seg - 1]))
+    pts.append(line[-1])
+    return np.array(pts)
+
+
+def _offset_polyline(line: np.ndarray, offset: float, side: str) -> np.ndarray:
+    """
+    Shifts a polyline along its per-vertex normals. side='left' offsets
+    against the direction of travel's left (matching shapely's
+    parallel_offset convention in image coordinates).
+    """
+    if offset == 0:
+        return line.copy()
+    diffs = np.diff(line, axis=0)
+    norms = np.linalg.norm(diffs, axis=1, keepdims=True)
+    norms[norms == 0] = 1
+    tangents = diffs / norms
+    # per-vertex tangent: average of adjacent segment tangents
+    vt = np.vstack([tangents[:1], (tangents[:-1] + tangents[1:]) / 2, tangents[-1:]])
+    vt /= np.maximum(np.linalg.norm(vt, axis=1, keepdims=True), 1e-9)
+    # shapely parallel_offset convention: the 'right' side of direction
+    # (dx, dy) is (dy, -dx) — upward in image coordinates for a left-to-right
+    # line (y axis points down)
+    normal = np.stack([vt[:, 1], -vt[:, 0]], axis=1)
+    if side == 'left':
+        normal = -normal
+    return line + offset * normal
+
+
+def _ray_to_bounds(point: np.ndarray, direction: np.ndarray, bounds: np.ndarray) -> np.ndarray:
+    """
+    Intersection of a ray with the image AABB anchored at (0, 0)
+    (reference: _ray_intersect_boundaries, segmentation.py:540-558).
+    """
+    frac = np.where(direction == 0.0, np.inf, np.divide(1.0, np.where(direction == 0, 1, direction)))
+    t1 = (-point[0]) * frac[0]
+    t2 = (bounds[0] - point[0]) * frac[0]
+    t3 = (-point[1]) * frac[1]
+    t4 = (bounds[1] - point[1]) * frac[1]
+    tmin = max(min(t1, t2), min(t3, t4))
+    tmax = min(max(t1, t2), max(t3, t4))
+    t = min(x for x in (tmin, tmax) if x >= 0)
+    return point + direction * t
+
+
+def _segments_intersections(p: np.ndarray, q: np.ndarray,
+                            starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """
+    Intersections of segment p→q with a batch of segments (starts→ends).
+    Returns the intersection points (possibly empty).
+    """
+    r = q - p
+    s = ends - starts
+    denom = r[0] * s[:, 1] - r[1] * s[:, 0]
+    ok = np.abs(denom) > 1e-12
+    diff = starts - p
+    with np.errstate(divide='ignore', invalid='ignore'):
+        t = (diff[:, 0] * s[:, 1] - diff[:, 1] * s[:, 0]) / denom
+        u = (diff[:, 0] * r[1] - diff[:, 1] * r[0]) / denom
+    valid = ok & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+    return p + t[valid, None] * r
+
+
+def _calc_roi(line: np.ndarray, bounds: np.ndarray,
+              neighbors: list[np.ndarray], p_dir: np.ndarray):
+    """
+    Computes the upper/lower envelope of a baseline's region of interest:
+    perpendicular rays from interpolated baseline points, clipped at the
+    nearest adjacent line (or hard boundary) on each side.
+    """
+    ip_line = _interpolate_polyline(line)
+    # perpendiculars to the average direction vector
+    up_dir = np.array([p_dir[1], -p_dir[0]])
+    down_dir = -up_dir
+    # reference orientation: 'up' rays use (p_dir * (-1, 1))[::-1]
+    up_dir = (p_dir * (-1, 1))[::-1]
+    down_dir = (p_dir * (1, -1))[::-1]
+
+    seg_starts = []
+    seg_ends = []
+    for n in neighbors:
+        n = np.asarray(n, float)
+        if len(n) >= 2:
+            seg_starts.append(n[:-1])
+            seg_ends.append(n[1:])
+    if seg_starts:
+        seg_starts = np.concatenate(seg_starts)
+        seg_ends = np.concatenate(seg_ends)
+    else:
+        seg_starts = np.zeros((0, 2))
+        seg_ends = np.zeros((0, 2))
+
+    env_up = []
+    env_bottom = []
+    for point in ip_line:
+        for direction, env in ((up_dir, env_up), (down_dir, env_bottom)):
+            bound_pt = _ray_to_bounds(point, direction, bounds + 1)
+            limit = bound_pt
+            if len(seg_starts):
+                hits = _segments_intersections(point, bound_pt, seg_starts, seg_ends)
+                if len(hits):
+                    d = np.linalg.norm(hits - point, axis=1)
+                    nearest = hits[np.argmin(d)]
+                    # 1px pull-back towards the baseline (reference buffers
+                    # adjacent lines by 1)
+                    vec = nearest - point
+                    vlen = np.linalg.norm(vec)
+                    if vlen > 1:
+                        nearest = point + vec * ((vlen - 1) / vlen)
+                    limit = nearest
+            env.append(limit)
+    return (np.array(env_up).astype('int').clip(0),
+            np.array(env_bottom).astype('int').clip(0))
+
+
+def _rasterize_polygon(polygon: np.ndarray, shape: tuple[int, int]) -> np.ndarray:
+    mask = np.zeros(shape, np.uint8)
+    cv2.fillPoly(mask, [np.round(polygon).astype(np.int32)], 1)
+    return mask
+
+
+def _rotation_transform(shape: tuple[int, int], angle: float, scale: float):
+    """
+    Forward/backward affine maps for rotating an image patch to the
+    rectified (baseline-level) frame, expanding the canvas (same transform
+    geometry as geometry._rotate_image, returned as matrices for coordinate
+    mapping).
+    """
+    rows, cols = shape
+    c, s = np.cos(angle), np.sin(angle)
+    fwd = np.array([[c / scale, s / scale], [-s, c]])  # input -> output (scale x)
+    # build from the reference's AffineTransform(rotation, scale=(1/scale, 1))
+    fwd = np.array([[c, -s], [s, c]]) @ np.diag([1 / scale, 1])
+    inv = np.linalg.inv(fwd)
+    corners = np.array([[0, 0], [0, rows - 1], [cols - 1, rows - 1], [cols - 1, 0]], float)
+    mapped = corners @ inv.T
+    mins = mapped.min(axis=0)
+    maxs = mapped.max(axis=0)
+    out_shape = (int(np.around(maxs[1] - mins[1] + 1)), int(np.around(maxs[0] - mins[0] + 1)))
+
+    def to_rot(pts):
+        return np.atleast_2d(pts) @ inv.T - mins
+
+    def from_rot(pts):
+        return (np.atleast_2d(pts) + mins) @ fwd.T
+
+    return to_rot, from_rot, out_shape, fwd, mins
+
+
+def _rotate_patch(patch: np.ndarray, angle: float, scale: float, cval: float):
+    to_rot, from_rot, out_shape, fwd, mins = _rotation_transform(patch.shape, angle, scale)
+    # output -> input matrix for scipy (row/col order)
+    m = np.zeros((2, 2))
+    # fwd maps (x, y) input->output; scipy works on (row=y, col=x)
+    m[0, 0] = fwd[1, 1]
+    m[0, 1] = fwd[1, 0]
+    m[1, 0] = fwd[0, 1]
+    m[1, 1] = fwd[0, 0]
+    offset = np.array([mins[1], mins[0]]) @ np.array([[fwd[1, 1], fwd[1, 0]], [fwd[0, 1], fwd[0, 0]]]).T
+    rotated = affine_transform(patch, m, offset=(fwd[1, 1] * mins[1] + fwd[1, 0] * mins[0],
+                                                 fwd[0, 1] * mins[1] + fwd[0, 0] * mins[0]),
+                               output_shape=out_shape, order=1, cval=cval, mode='constant')
+    return rotated, to_rot, from_rot
+
+
+def _carve_seam(rotated: np.ndarray) -> np.ndarray:
+    """
+    Vertical-position seam through a rotated (roughly level) energy patch:
+    standard 8-connected dynamic program left→right, returning one (col, row)
+    per column.
+    """
+    patch = np.pad(rotated, ((1, 1), (0, 0)), mode='constant', constant_values=np.inf)
+    r, c = patch.shape
+    cost = patch.copy()
+    backtrack = np.zeros((r - 2, c), np.int32)
+    rows = np.arange(1, r - 1)
+    for j in range(1, c):
+        prev = np.stack([cost[0:r - 2, j - 1], cost[1:r - 1, j - 1], cost[2:r, j - 1]])
+        arg = np.argmin(prev, axis=0)
+        backtrack[:, j] = rows + arg - 1
+        cost[1:r - 1, j] += prev[arg, np.arange(r - 2)]
+    seam = np.zeros(c, np.int32)
+    seam[-1] = np.argmin(cost[1:r - 1, -1]) + 1
+    for j in range(c - 2, -1, -1):
+        seam[j] = backtrack[seam[j + 1] - 1, j + 1]
+    return seam - 1  # remove pad offset
+
+
+def _calc_seam(baseline: np.ndarray, polygon: np.ndarray, angle: float,
+               im_feats: np.ndarray, bias: int = 150) -> np.ndarray:
+    """
+    Carves the minimum-energy seam between a baseline and its ROI boundary:
+    the energy patch is masked outside the ROI polygon, biased by distance
+    from the baseline, rotated level, carved, smoothed, and mapped back.
+    """
+    polygon = np.asarray(polygon)
+    c_min, c_max = int(polygon[:, 0].min()), int(polygon[:, 0].max())
+    r_min, r_max = int(polygon[:, 1].min()), int(polygon[:, 1].max())
+    patch = im_feats[r_min:r_max + 2, c_min:c_max + 2].astype(np.float32).copy()
+    h, w = patch.shape
+    # distance-from-baseline bias
+    mask = np.ones_like(patch, np.uint8)
+    bl = np.round(np.asarray(baseline) - (c_min, r_min)).astype(np.int32)
+    cv2.polylines(mask, [bl.reshape(-1, 1, 2)], False, 0, 1)
+    dist_bias = distance_transform_cdt(mask)
+    # mask outside ROI polygon (eroded slightly to survive rotation aliasing)
+    roi_mask = _rasterize_polygon(polygon - (c_min, r_min), patch.shape)
+    roi_mask = cv2.erode(roi_mask, np.ones((3, 3), np.uint8), iterations=2,
+                         borderType=cv2.BORDER_CONSTANT, borderValue=1)
+    outside = roi_mask == 0
+    patch[outside] = _MASK_VAL
+    valid_mean = patch[~outside].mean() if (~outside).any() else 1.0
+    patch += dist_bias * (valid_mean / bias)
+
+    extrema = np.asarray(baseline)[(0, -1), :] - (c_min, r_min)
+    scale = min(1.0, 600 / max(c_max - c_min, 1))
+    rotated, to_rot, from_rot = _rotate_patch(patch, angle, scale, _MASK_VAL)
+    x_range = np.sort(np.around(to_rot(extrema.astype(float))[:, 0]).astype(int))
+    x0 = max(0, x_range[0])
+    x1 = min(rotated.shape[1] - 1, x_range[1])
+    if x1 <= x0:
+        raise ValueError('Degenerate rotated patch for seam carving')
+    seam_rows = _carve_seam(rotated[:, x0:x1 + 1])
+    seam = np.stack([np.arange(x0, x1 + 1), seam_rows], axis=1).astype(float)
+    mean, std = seam[:, 1].mean(), seam[:, 1].std()
+    seam[:, 1] = np.clip(seam[:, 1], mean - std, mean + std)
+    seam = from_rot(seam).astype(int)
+    # filter points outside the patch or in the masked region
+    keep = (seam[:, 0] >= 0) & (seam[:, 1] >= 0) & \
+           (seam[:, 0] < outside.shape[1]) & (seam[:, 1] < outside.shape[0])
+    seam = seam[keep]
+    seam = seam[~outside[seam[:, 1], seam[:, 0]]]
+    if len(seam) < 2:
+        raise ValueError('Seam carving produced no valid points')
+    return seam + (c_min, r_min)
+
+
+def _fuse_polygon(env_up: np.ndarray, env_bottom: np.ndarray,
+                  baseline: np.ndarray, offset_baseline: np.ndarray,
+                  end_points, topline: Optional[bool], offset: int,
+                  im_feats: np.ndarray) -> np.ndarray:
+    """
+    Builds the final bounding polygon from the two carved seams, clipped to
+    the ROI (rasterized boolean intersection instead of shapely ops).
+    """
+    upper_polygon = np.concatenate((baseline, env_up[::-1]))
+    bottom_polygon = np.concatenate((baseline, env_bottom[::-1]))
+    upper_offset_polygon = np.concatenate((offset_baseline, env_up[::-1]))
+    bottom_offset_polygon = np.concatenate((offset_baseline, env_bottom[::-1]))
+
+    diffs = np.diff(baseline, axis=0).astype(float)
+    lengths = np.linalg.norm(diffs, axis=1)
+    p_dir = (diffs * (lengths / lengths.sum())[:, None]).sum(0)
+    p_dir /= np.linalg.norm(p_dir)
+    angle = np.arctan2(p_dir[1], p_dir[0])
+
+    if topline:
+        upper_seam = _calc_seam(baseline, upper_polygon, angle, im_feats)
+        bottom_seam = _calc_seam(offset_baseline, bottom_offset_polygon, angle, im_feats)
+    else:
+        upper_seam = _calc_seam(offset_baseline, upper_offset_polygon, angle, im_feats)
+        bottom_seam = _calc_seam(baseline, bottom_polygon, angle, im_feats)
+    upper_seam = douglas_peucker(upper_seam.astype(float), 5).astype(int)
+    bottom_seam = douglas_peucker(bottom_seam.astype(float), 5).astype(int)
+    if offset:
+        upper_seam = np.round(_offset_polyline(upper_seam.astype(float), offset // 2, 'right')).astype(int)[::1]
+        bottom_seam = np.round(_offset_polyline(bottom_seam.astype(float), offset // 2, 'left')).astype(int)
+
+    polygon = np.concatenate(([end_points[0]], upper_seam, [end_points[-1]], bottom_seam[::-1]))
+    # clip to ROI: rasterize candidate polygon and ROI union, intersect, trace
+    all_pts = np.concatenate([polygon, upper_polygon, bottom_polygon])
+    c0, r0 = np.floor(all_pts.min(0)).astype(int) - 1
+    c1, r1 = np.ceil(all_pts.max(0)).astype(int) + 2
+    shape = (r1 - r0, c1 - c0)
+    roi = _rasterize_polygon(upper_polygon - (c0, r0), shape) | \
+        _rasterize_polygon(bottom_polygon - (c0, r0), shape)
+    cand = _rasterize_polygon(polygon - (c0, r0), shape)
+    inter = (roi & cand).astype(np.uint8)
+    contours, _ = cv2.findContours(inter, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
+    if not contours:
+        raise ValueError('Empty ROI/seam polygon intersection')
+    boundary = max(contours, key=cv2.contourArea).squeeze(1)
+    if boundary.ndim != 2 or len(boundary) < 3:
+        raise ValueError('Degenerate bounding polygon')
+    return (boundary + (c0, r0)).astype(int)
+
+
+def calculate_polygonal_environment(im=None,
+                                    baselines: Sequence = None,
+                                    suppl_obj: Sequence = None,
+                                    im_feats: np.ndarray = None,
+                                    scale: tuple[int, int] = None,
+                                    topline: Optional[bool] = False,
+                                    raise_on_error: bool = False) -> list:
+    """
+    Computes a bounding polygon for every baseline.
+
+    Args:
+        im: grayscale PIL input image (ignored when im_feats given).
+        baselines: list of [(x, y), ...] baselines.
+        suppl_obj: additional polylines treated as hard boundaries.
+        im_feats: precomputed seam-carve energy map.
+        scale: optional (h, w) processing scale (0 = proportional).
+        topline: baseline position: False = bottom, True = top,
+                 None = centerline (no offset).
+        raise_on_error: raise instead of emitting None for failed lines.
+
+    Returns:
+        One polygon (list of (x, y)) or None per baseline.
+    """
+    if scale is not None and (scale[0] > 0 or scale[1] > 0):
+        w, h = im.size
+        oh, ow = scale
+        if oh == 0:
+            oh = int(h * ow / w)
+        elif ow == 0:
+            ow = int(w * oh / h)
+        im = im.resize((ow, oh))
+        scale_f = np.array((ow / w, oh / h))
+        baselines = [(np.array(bl) * scale_f).astype('int').tolist() for bl in baselines]
+        if suppl_obj is not None:
+            suppl_obj = [(np.array(o) * scale_f).astype('int').tolist() for o in suppl_obj]
+    else:
+        scale_f = None
+
+    if im_feats is None:
+        bounds = np.array(im.size, dtype=float) - 1
+        im_feats = gradient_feature_map(np.asarray(im.convert('L')))
+    else:
+        bounds = np.array(im_feats.shape[::-1], dtype=float) - 1
+
+    suppl_obj = list(suppl_obj) if suppl_obj is not None else []
+    polygons = []
+    for idx, line in enumerate(baselines):
+        try:
+            line_arr = np.array(line, float)
+            end_points = (line_arr[0].astype(int), line_arr[-1].astype(int))
+            offset = 8 if topline is not None else 0
+            offset_line = _offset_polyline(line_arr, offset, 'left' if topline else 'right')
+            diffs = np.diff(line_arr, axis=0)
+            lengths = np.linalg.norm(diffs, axis=1)
+            p_dir = (diffs * (lengths / lengths.sum())[:, None]).sum(0)
+            p_dir /= np.linalg.norm(p_dir)
+            neighbors = [np.asarray(b, float) for b in baselines[:idx] + baselines[idx + 1:]] + \
+                        [np.asarray(o, float) for o in suppl_obj]
+            env_up, env_bottom = _calc_roi(line_arr, bounds, neighbors, p_dir)
+            polygon = _fuse_polygon(env_up, env_bottom,
+                                    line_arr.astype(int),
+                                    offset_line.astype(int),
+                                    end_points, topline, offset, im_feats)
+            polygons.append(polygon.tolist())
+        except Exception as e:
+            if raise_on_error:
+                raise
+            logger.warning(f'Polygonizer failed on line {idx}: {e}')
+            polygons.append(None)
+
+    if scale_f is not None:
+        polygons = [(np.array(p) / scale_f).astype('uint').tolist() if p is not None else None
+                    for p in polygons]
+    return polygons

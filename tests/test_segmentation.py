@@ -1,0 +1,132 @@
+"""
+BLLA segmentation pipeline tests: synthetic-heatmap vectorization and
+polygonization behavior, plus an end-to-end smoke test of the neural
+segmentation path with a random-weight U-Net.
+"""
+import numpy as np
+import pytest
+from PIL import Image
+from scipy.ndimage import gaussian_filter
+
+from kraken_tpu.lib.polygonization import calculate_polygonal_environment
+from kraken_tpu.lib.vectorization import (sato_ridge, skeletonize,
+                                          vectorize_lines, vectorize_regions)
+
+
+@pytest.fixture(scope='module')
+def synthetic_maps():
+    H, W = 200, 400
+    bl_map = np.zeros((H, W), np.float32)
+    bl_map[50, 30:370] = 1.0
+    bl_map[120, 40:350] = 1.0
+    bl_map = np.clip(gaussian_filter(bl_map, 2) * 6, 0, 1)
+    st_map = np.zeros_like(bl_map)
+    st_map[40:60, 25:45] = 1.0
+    st_map[110:130, 35:55] = 1.0
+    end_map = np.zeros_like(bl_map)
+    end_map[40:60, 355:375] = 1.0
+    end_map[110:130, 340:360] = 1.0
+    return np.stack([st_map, end_map, bl_map])
+
+
+def test_sato_ridge_response(synthetic_maps):
+    r = sato_ridge(synthetic_maps[2])
+    # strong response on the baseline rows, none in empty space
+    assert r[50, 200] > 0.17
+    assert r[85, 200] < 0.05
+
+
+def test_skeletonize_thin(synthetic_maps):
+    mask = sato_ridge(synthetic_maps[2]) > 0.17
+    skel = skeletonize(mask)
+    assert skel.sum() < mask.sum() / 3
+    # each column crossing the baseline has at most ~1 skeleton pixel
+    assert skel[:, 200].sum() <= 2
+
+
+def test_vectorize_lines(synthetic_maps):
+    lines = vectorize_lines(synthetic_maps)
+    assert len(lines) == 2
+    ys = sorted(line[0][1] for line in lines)
+    assert abs(ys[0] - 50) < 5
+    assert abs(ys[1] - 120) < 5
+    for line in lines:
+        # oriented left-to-right by the separator maps
+        assert line[0][0] < line[-1][0]
+        # spans most of the drawn width
+        assert line[-1][0] - line[0][0] > 250
+
+
+def test_vectorize_lines_orientation_flip(synthetic_maps):
+    # swapping start/end maps reverses the line direction
+    flipped = synthetic_maps[(1, 0, 2), :, :]
+    lines = vectorize_lines(flipped)
+    assert len(lines) == 2
+    for line in lines:
+        assert line[0][0] > line[-1][0]
+
+
+def test_vectorize_regions():
+    region_map = np.zeros((200, 400), np.float32)
+    region_map[30:140, 20:380] = 1.0
+    regs = vectorize_regions(region_map)
+    assert len(regs) == 1
+    arr = np.array(regs[0])
+    assert arr[:, 0].min() >= 18 and arr[:, 0].max() <= 382
+    assert arr[:, 1].min() >= 28 and arr[:, 1].max() <= 142
+
+
+def test_polygonal_environment():
+    H, W = 200, 400
+    img = np.full((H, W), 255, np.uint8)
+    img[38:52, 30:370] = 60
+    img[108:122, 40:350] = 60
+    im = Image.fromarray(img)
+    baselines = [[[30, 52], [370, 52]], [[40, 122], [350, 122]]]
+    pols = calculate_polygonal_environment(im, baselines)
+    assert all(p is not None for p in pols)
+    arr = np.array(pols[0])
+    # polygon covers the text band above the baseline
+    assert arr[:, 1].min() <= 40
+    assert arr[:, 1].max() >= 50
+    # and does not bleed into the second line
+    assert arr[:, 1].max() < 100
+
+
+def test_polygonal_environment_topline():
+    H, W = 200, 400
+    img = np.full((H, W), 255, np.uint8)
+    img[38:52, 30:370] = 60
+    im = Image.fromarray(img)
+    pols = calculate_polygonal_environment(im, [[[30, 38], [370, 38]]], topline=True)
+    arr = np.array(pols[0])
+    assert arr[:, 1].max() >= 50  # extends downward over the text
+
+
+def test_polygonal_environment_failure_returns_none():
+    im = Image.fromarray(np.full((50, 50), 255, np.uint8))
+    # degenerate single-point baseline
+    pols = calculate_polygonal_environment(im, [[[10, 10], [10, 10]]])
+    assert pols == [None]
+
+
+def test_segmentation_end_to_end_smoke():
+    """Random-weight seg model: full predict path runs and returns a
+    Segmentation (content is meaningless but must be structurally valid)."""
+    import jax
+    from kraken_tpu.vgsl import VGSLModel
+    from kraken_tpu.configs import SegmentationInferenceConfig
+
+    model = VGSLModel(vgsl='[1,128,0,3 Cr3,3,8,2,2 Gn2 Cr3,3,16,2,2 Gn2 O2l4]',
+                      rng=jax.random.PRNGKey(0))
+    model.model_type = 'segmentation'
+    model.user_metadata['class_mapping'] = {'aux': {'_start_separator': 0,
+                                                    '_end_separator': 1},
+                                            'baselines': {'default': 2},
+                                            'regions': {'text': 3}}
+    model.prepare_for_inference(SegmentationInferenceConfig())
+    im = Image.fromarray(np.random.RandomState(0).randint(0, 255, (256, 320, 3), np.uint8))
+    seg = model.predict(im)
+    assert seg.type == 'baselines'
+    assert isinstance(seg.lines, list)
+    assert isinstance(seg.regions, dict)
