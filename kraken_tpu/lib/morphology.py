@@ -1,0 +1,139 @@
+"""
+kraken_tpu.lib.morphology
+~~~~~~~~~~~~~~~~~~~~~~~~~
+
+Rectangular morphology and label-propagation primitives used by the legacy
+bbox page segmenter (ocropy lineage; reference: kraken/lib/morph.py +
+kraken/lib/sl.py). Built directly on scipy.ndimage.
+"""
+import numpy as np
+from scipy.ndimage import (distance_transform_edt, find_objects as _find_objects,
+                           label as _label, maximum_filter, minimum_filter,
+                           uniform_filter)
+
+__all__ = ['label', 'find_objects', 'dilate_rect', 'erode_rect',
+           'binary_dilate_rect', 'binary_erode_rect', 'binary_open_rect',
+           'spread_labels', 'propagate_labels', 'select_regions',
+           'slice_area', 'slice_height', 'slice_width']
+
+
+def label(image: np.ndarray, **kw):
+    """scipy label with integer-dtype coercion fallback."""
+    try:
+        return _label(image, **kw)
+    except Exception:
+        for t in ('int32', 'uint32', 'int64', 'uint64', 'int16', 'uint16'):
+            try:
+                return _label(np.array(image, dtype=t), **kw)
+            except Exception:
+                continue
+        return _label(image, **kw)
+
+
+def find_objects(image: np.ndarray, **kw):
+    """scipy find_objects with integer-dtype coercion fallback."""
+    try:
+        return _find_objects(image, **kw)
+    except Exception:
+        for t in ('int32', 'uint32', 'int64', 'uint64', 'int16', 'uint16'):
+            try:
+                return _find_objects(np.array(image, dtype=t), **kw)
+            except Exception:
+                continue
+        return _find_objects(image, **kw)
+
+
+def slice_area(s) -> int:
+    """Pixel area of a 2D slice tuple."""
+    return int(np.prod([max(x.stop - x.start, 0) for x in s[:2]]))
+
+
+def slice_height(s) -> int:
+    return s[0].stop - s[0].start
+
+
+def slice_width(s) -> int:
+    return s[1].stop - s[1].start
+
+
+def dilate_rect(image, size, origin=0):
+    """Grayscale dilation with a rectangular structuring element."""
+    return maximum_filter(image, size, origin=origin)
+
+
+def erode_rect(image, size, origin=0):
+    """Grayscale erosion with a rectangular structuring element."""
+    return minimum_filter(image, size, origin=origin)
+
+
+def binary_dilate_rect(image, size, origin=0):
+    """Binary dilation via a box filter."""
+    out = np.zeros(image.shape, 'f')
+    uniform_filter(image, size, output=out, origin=origin, mode='constant', cval=0)
+    return np.array(out > 0, 'i')
+
+
+def binary_erode_rect(image, size, origin=0):
+    """Binary erosion via a box filter."""
+    out = np.zeros(image.shape, 'f')
+    uniform_filter(image, size, output=out, origin=origin, mode='constant', cval=1)
+    return np.array(out == 1, 'i')
+
+
+def binary_open_rect(image, size, origin=0):
+    """Binary opening (erosion then dilation)."""
+    return binary_dilate_rect(binary_erode_rect(image, size, origin=origin),
+                              size, origin=origin)
+
+
+def spread_labels(labels: np.ndarray, maxdist=9999999) -> np.ndarray:
+    """Assigns every background pixel the label of its nearest labeled pixel
+    (up to maxdist)."""
+    distances, features = distance_transform_edt(labels == 0,
+                                                 return_distances=True,
+                                                 return_indices=True)
+    indexes = features[0] * labels.shape[1] + features[1]
+    spread = labels.ravel()[indexes.ravel()].reshape(*labels.shape)
+    spread *= (distances < maxdist)
+    return spread
+
+
+def propagate_labels(image: np.ndarray, labels: np.ndarray, conflict=0) -> np.ndarray:
+    """
+    Propagates `labels` onto the connected components of `image`; components
+    overlapping multiple labels get the `conflict` value.
+    """
+    rlabels, _ = label(image)
+    # correspondences between component ids and overlapping labels
+    combo = rlabels.astype(np.int64) * 100000 + labels.astype(np.int64)
+    pairs = np.unique(combo)
+    comp = pairs // 100000
+    lab = pairs % 100000
+    outputs = np.zeros(int(rlabels.max()) + 1, 'i')
+    collision = -(1 << 30)
+    for o, i in zip(comp, lab):
+        if outputs[o] != 0:
+            outputs[o] = collision
+        else:
+            outputs[o] = i
+    outputs[outputs == collision] = conflict
+    outputs[0] = 0
+    return outputs[rlabels]
+
+
+def select_regions(binary: np.ndarray, score_fn, min=0, nbest=100000) -> np.ndarray:
+    """
+    Keeps at most `nbest` connected components whose `score_fn(slice)` is
+    above `min`.
+    """
+    labels, _ = label(binary)
+    objects = find_objects(labels)
+    scores = [score_fn(o) for o in objects]
+    best = np.argsort(scores)
+    keep = np.zeros(len(objects) + 1, 'i')
+    if nbest > 0:
+        for i in best[-nbest:]:
+            if scores[i] <= min:
+                continue
+            keep[i + 1] = 1
+    return keep[labels]

@@ -1,0 +1,61 @@
+"""
+Legacy bbox page segmenter tests (reference: tests/test_pageseg.py) plus
+nlbin binarization tests (reference: tests/test_binarization.py).
+"""
+import pytest
+from PIL import Image
+
+from kraken_tpu.binarization import nlbin
+from kraken_tpu.exceptions import KrakenInputException
+from kraken_tpu.pageseg import segment
+
+
+def test_segment_color_rejected(resources):
+    with pytest.raises(KrakenInputException):
+        with Image.open(resources / 'input.jpg') as im:
+            segment(im)
+
+
+def test_segment_bw(resources):
+    with Image.open(resources / 'bw.png') as im:
+        seg = segment(im)
+        assert seg.type == 'bbox'
+        assert seg.imagename == im.filename
+        assert abs(len(seg.lines) - 30) <= 5
+        for line in seg.lines:
+            x0, y0, x1, y1 = line.bbox
+            assert 0 < x0 and 0 < y0
+            assert x1 < im.size[0] and y1 < im.size[1]
+
+
+def test_segment_black_colseps(resources):
+    with Image.open(resources / 'bw.png') as im:
+        seg = segment(im, black_colseps=True)
+        assert seg.type == 'bbox'
+        assert len(seg.lines) > 10
+
+
+def test_segment_vertical(resources):
+    with Image.open(resources / 'bw.png') as im:
+        seg = segment(im, text_direction='vertical-lr')
+        assert seg.type == 'bbox'
+
+
+def test_nlbin_color(resources):
+    with Image.open(resources / 'input.jpg') as im:
+        out = nlbin(im)
+        assert out.mode in ('1', 'L')
+        colors = out.getcolors(2)
+        assert colors is not None and len(colors) <= 2
+
+
+def test_nlbin_bitonal_passthrough(resources):
+    with Image.open(resources / 'bw.png') as im:
+        out = nlbin(im)
+        assert out is im
+
+
+def test_nlbin_empty():
+    im = Image.new('L', (100, 100), 128)
+    with pytest.raises(KrakenInputException):
+        nlbin(im)
