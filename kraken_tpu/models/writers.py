@@ -24,9 +24,12 @@ __all__ = ['write_models', 'write_safetensors']
 
 
 def _model_metadata(model) -> dict:
+    model_name = 'TorchVGSLModel'
+    if type(model).__name__ == 'ROMLP':
+        model_name = 'ROMLP'
     meta = {'_kraken_min_version': getattr(model, '_kraken_min_version', '5.0.0'),
             '_tasks': model.model_type if getattr(model, 'model_type', None) else None,
-            '_model': 'TorchVGSLModel'}
+            '_model': model_name}
     user_meta = dict(getattr(model, 'user_metadata', {}))
     codec = getattr(model, 'codec', None)
     if codec is not None:

