@@ -151,6 +151,7 @@ def recognition_pred(model: 'VGSLModel', im: 'Image.Image',
         queue.clear()
 
     if config.num_line_workers and config.num_line_workers > 0 and n_lines > 1:
+        im.load()  # force decode before sharing across extraction threads
         pool = ThreadPoolExecutor(max_workers=config.num_line_workers)
         extraction = pool.map(lambda i: _extract_line(im, segmentation, i, legacy), range(n_lines))
     else:

@@ -1,0 +1,89 @@
+"""
+ketos pretrain subcommand (reference: kraken/ketos/pretrain.py): unsupervised
+contrastive pretraining of recognition backbones.
+"""
+import logging
+
+import click
+
+from kraken_tpu.ketos.util import _load_yaml_config, expand_manifests
+
+logger = logging.getLogger('kraken')
+
+
+@click.command('pretrain')
+@click.pass_context
+@click.option('--config', callback=_load_yaml_config, is_eager=True,
+              expose_value=False, type=click.Path(exists=True))
+@click.option('-o', '--output', type=click.Path(), default='model')
+@click.option('-s', '--spec', default=None, help='VGSL spec of the network')
+@click.option('-i', '--load', type=click.Path(exists=True), default=None)
+@click.option('-B', '--batch-size', type=int, default=4)
+@click.option('-F', '--freq', default=1.0, type=float)
+@click.option('-q', '--quit', default='fixed', type=click.Choice(['early', 'fixed']))
+@click.option('-N', '--epochs', default=-1, type=int)
+@click.option('--lag', default=10, type=int)
+@click.option('-r', '--lrate', default=1e-4, type=float)
+@click.option('--warmup', default=0, type=int)
+@click.option('-p', '--partition', default=0.9, type=float)
+@click.option('--mask-probability', 'mask_prob', default=0.5, type=float)
+@click.option('--mask-width', default=4, type=int)
+@click.option('--num-negatives', default=100, type=int)
+@click.option('--logit-temp', default=0.1, type=float)
+@click.option('-t', '--training-files', multiple=True, callback=expand_manifests,
+              type=click.Path(exists=True))
+@click.option('-e', '--evaluation-files', multiple=True, callback=expand_manifests,
+              type=click.Path(exists=True))
+@click.option('-f', '--format-type', default='binary',
+              type=click.Choice(['path', 'xml', 'alto', 'page', 'binary']))
+@click.option('--augment/--no-augment', default=False)
+@click.argument('ground_truth', nargs=-1, type=click.Path(exists=True, dir_okay=False))
+def pretrain(ctx, output, spec, load, batch_size, freq, quit, epochs, lag, lrate,
+             warmup, partition, mask_prob, mask_width, num_negatives, logit_temp,
+             training_files, evaluation_files, format_type, augment, ground_truth):
+    """
+    Unsupervised pretraining of recognition models.
+    """
+    from kraken_tpu.configs import PretrainingConfig, RecognitionTrainingDataConfig
+    from kraken_tpu.pretrain.model import RecognitionPretrainModel
+    from kraken_tpu.train import KrakenTrainer, RecognitionDataModule
+    from kraken_tpu.ketos import message
+
+    training_data = list(ground_truth) + list(training_files or [])
+    if not training_data:
+        raise click.UsageError('No training data provided.')
+    kwargs = dict(checkpoint_path=output, freq=freq, quit=quit, epochs=epochs,
+                  lag=lag, lrate=lrate, warmup=warmup,
+                  mask_prob=mask_prob, mask_width=mask_width,
+                  num_negatives=num_negatives, logit_temp=logit_temp,
+                  device=ctx.meta['device'], precision=ctx.meta['precision'])
+    if spec:
+        kwargs['spec'] = spec
+    config = PretrainingConfig(**kwargs)
+    data_config = RecognitionTrainingDataConfig(
+        training_data=training_data,
+        evaluation_data=list(evaluation_files) or None,
+        partition=partition,
+        format_type=format_type,
+        augment=augment,
+        batch_size=batch_size,
+        num_workers=ctx.meta['workers'])
+
+    class _PretrainDataModule(RecognitionDataModule):
+        def setup(self, stage=None):
+            super().setup(stage)
+            # pretraining needs no transcriptions: dummy codec domain
+            from kraken_tpu.codec import Codec
+            from kraken_tpu.dataset import ImageInputTransforms
+            for subset in (self.train_set, self.val_set):
+                if subset is None:
+                    continue
+                ds = subset.dataset
+                ds.encode(Codec(' ')) if ds.alphabet else ds.no_encode()
+
+    dm = _PretrainDataModule(data_config)
+    module = (RecognitionPretrainModel.load_from_weights(config, load) if load
+              else RecognitionPretrainModel(config))
+    trainer = KrakenTrainer(config)
+    trainer.fit(module, dm)
+    message(f'Pretraining complete. Checkpoints under {output}_*.safetensors')

@@ -1,0 +1,195 @@
+"""
+ketos segtrain/segtest subcommands (reference: kraken/ketos/segmentation.py).
+"""
+import logging
+from pathlib import Path
+
+import click
+
+from kraken_tpu.ketos.util import _load_yaml_config, expand_manifests
+
+logger = logging.getLogger('kraken')
+
+
+def _print_class_stats(dataset):
+    from kraken_tpu.ketos import message
+    message('Training line types:')
+    for k, v in dataset.class_mapping['baselines'].items():
+        message(f'  {k}\t{v}\t{dataset.class_stats["baselines"].get(k, 0)}')
+    message('Training region types:')
+    for k, v in dataset.class_mapping['regions'].items():
+        message(f'  {k}\t{v}\t{dataset.class_stats["regions"].get(k, 0)}')
+
+
+@click.command('segtrain')
+@click.pass_context
+@click.option('--config', callback=_load_yaml_config, is_eager=True,
+              expose_value=False, type=click.Path(exists=True))
+@click.option('-o', '--output', type=click.Path(), default='model')
+@click.option('-s', '--spec', default=None, help='VGSL spec of the network')
+@click.option('-i', '--load', type=click.Path(exists=True), default=None)
+@click.option('-B', '--batch-size', type=int, default=1)
+@click.option('-F', '--freq', default=1.0, type=float)
+@click.option('-q', '--quit', default='fixed', type=click.Choice(['early', 'fixed']))
+@click.option('-N', '--epochs', default=-1, type=int)
+@click.option('--min-epochs', default=0, type=int)
+@click.option('--lag', default=10, type=int)
+@click.option('--min-delta', default=0.0, type=float)
+@click.option('--optimizer', default='Adam',
+              type=click.Choice(['Adam', 'AdamW', 'SGD', 'RMSprop', 'Lamb']))
+@click.option('-r', '--lrate', default=2e-4, type=float)
+@click.option('-m', '--momentum', default=0.9, type=float)
+@click.option('-w', '--weight-decay', default=1e-5, type=float)
+@click.option('--warmup', default=0, type=int)
+@click.option('--schedule', default='constant',
+              type=click.Choice(['constant', '1cycle', 'exponential', 'cosine', 'step',
+                                 'reduceonplateau']))
+@click.option('-p', '--partition', default=0.9, type=float)
+@click.option('-t', '--training-files', multiple=True, callback=expand_manifests,
+              type=click.Path(exists=True))
+@click.option('-e', '--evaluation-files', multiple=True, callback=expand_manifests,
+              type=click.Path(exists=True))
+@click.option('-f', '--format-type', default='xml',
+              type=click.Choice(['xml', 'alto', 'page']))
+@click.option('--augment/--no-augment', default=False)
+@click.option('--resize', default='fail', type=click.Choice(['fail', 'union', 'new',
+                                                             'add', 'both']))
+@click.option('-tl', '--topline', 'topline', flag_value=True,
+              help='Baseline location: top')
+@click.option('-cl', '--centerline', 'topline', flag_value=None)
+@click.option('-bl', '--baseline', 'topline', flag_value=False, default=False)
+@click.option('-vr', '--valid-regions', multiple=True,
+              help='Whitelist of region types')
+@click.option('-vb', '--valid-baselines', multiple=True,
+              help='Whitelist of baseline types')
+@click.option('-mr', '--merge-regions', multiple=True,
+              help='Region merge mapping src:dest')
+@click.option('-mb', '--merge-baselines', multiple=True,
+              help='Baseline merge mapping src:dest')
+@click.argument('ground_truth', nargs=-1, type=click.Path(exists=True, dir_okay=False))
+def segtrain(ctx, output, spec, load, batch_size, freq, quit, epochs, min_epochs,
+             lag, min_delta, optimizer, lrate, momentum, weight_decay, warmup,
+             schedule, partition, training_files, evaluation_files, format_type,
+             augment, resize, topline, valid_regions, valid_baselines,
+             merge_regions, merge_baselines, ground_truth):
+    """
+    Trains a baseline/region segmentation model.
+    """
+    from collections import defaultdict
+    from kraken_tpu.configs import (SegmentationTrainingConfig,
+                                    SegmentationTrainingDataConfig)
+    from kraken_tpu.configs.base import _Counter
+    from kraken_tpu.train import (KrakenTrainer, SegmentationDataModule,
+                                  SegmentationModel, convert_checkpoint)
+    from kraken_tpu.ketos import message
+
+    resize = {'add': 'union', 'both': 'new'}.get(resize, resize)
+    training_data = list(ground_truth) + list(training_files or [])
+    if not training_data:
+        raise click.UsageError('No training data provided.')
+
+    kwargs = dict(checkpoint_path=output, freq=freq, quit=quit, epochs=epochs,
+                  min_epochs=min_epochs, lag=lag, min_delta=min_delta,
+                  optimizer=optimizer, lrate=lrate, momentum=momentum,
+                  weight_decay=weight_decay, warmup=warmup, schedule=schedule,
+                  resize=resize, topline=topline,
+                  device=ctx.meta['device'], precision=ctx.meta['precision'])
+    if spec:
+        kwargs['spec'] = spec
+    config = SegmentationTrainingConfig(**kwargs)
+
+    counter = _Counter(start=1)
+    line_map = defaultdict(counter)
+    region_map = defaultdict(counter)
+    merge_b = dict(m.split(':') for m in merge_baselines) if merge_baselines else {}
+    merge_r = dict(m.split(':') for m in merge_regions) if merge_regions else {}
+
+    class _FilteredMap(dict):
+        def __init__(self, base, valid, merge):
+            super().__init__()
+            self._base = base
+            self._valid = set(valid) if valid else None
+            self._merge = merge
+
+        def __missing__(self, key):
+            key = self._merge.get(key, key)
+            if self._valid is not None and key not in self._valid:
+                raise KeyError(key)
+            if key not in self:
+                self[key] = self._base[key]
+            return self[key]
+
+        def __contains__(self, key):
+            try:
+                self[key]
+                return True
+            except KeyError:
+                return False
+
+    data_config = SegmentationTrainingDataConfig(
+        training_data=training_data,
+        evaluation_data=list(evaluation_files) or None,
+        partition=partition,
+        format_type=format_type,
+        augment=augment,
+        topline=topline,
+        line_class_mapping=_FilteredMap(line_map, valid_baselines, merge_b),
+        region_class_mapping=_FilteredMap(region_map, valid_regions, merge_r),
+        batch_size=batch_size,
+        num_workers=ctx.meta['workers'])
+
+    dm = SegmentationDataModule(data_config)
+    module = (SegmentationModel.load_from_weights(config, load) if load
+              else SegmentationModel(config))
+    trainer = KrakenTrainer(config)
+    trainer.fit(module, dm)
+    train_ds = dm.train_set.dataset if hasattr(dm.train_set, 'dataset') else dm.train_set
+    _print_class_stats(train_ds)
+    best = trainer._ckpt_path('best')
+    if best.exists():
+        out = Path(f'{output}_best.safetensors')
+        convert_checkpoint(best, out)
+        message(f'Best model written to {out}')
+
+
+@click.command('segtest')
+@click.pass_context
+@click.option('-m', '--model', multiple=True, type=click.Path(exists=True))
+@click.option('-e', '--evaluation-files', multiple=True, callback=expand_manifests,
+              type=click.Path(exists=True))
+@click.option('-f', '--format-type', default='xml',
+              type=click.Choice(['xml', 'alto', 'page']))
+@click.argument('test_data', nargs=-1, type=click.Path(exists=True, dir_okay=False))
+def segtest(ctx, model, evaluation_files, format_type, test_data):
+    """
+    Evaluates segmentation model(s) on a test set.
+    """
+    from kraken_tpu.configs import (SegmentationTrainingConfig,
+                                    SegmentationTrainingDataConfig)
+    from kraken_tpu.train import SegmentationDataModule, SegmentationModel
+    from kraken_tpu.ketos import message
+
+    if not model:
+        raise click.UsageError('No model(s) given (-m).')
+    files = list(test_data) + list(evaluation_files or [])
+    if not files:
+        raise click.UsageError('No test data provided.')
+    for m in model:
+        config = SegmentationTrainingConfig(device=ctx.meta['device'],
+                                            precision=ctx.meta['precision'])
+        module = SegmentationModel.load_from_weights(config, m)
+        cm = module.net.user_metadata.get('class_mapping', {})
+        data_config = SegmentationTrainingDataConfig(
+            test_data=files, format_type=format_type,
+            line_class_mapping=cm.get('baselines', {}),
+            region_class_mapping=cm.get('regions', {}),
+            batch_size=1, num_workers=ctx.meta['workers'])
+        dm = SegmentationDataModule(data_config)
+        dm.setup('test')
+        # reuse the validation metrics over the test loader
+        dm.val_set = dm.test_set
+        module.setup('test', dm)
+        results = module.validate(module.net.params, dm)
+        message(f'=== {m} ===')
+        for k, v in results.items():
+            message(f'{k}: {v:.4f}')

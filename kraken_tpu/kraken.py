@@ -1,0 +1,552 @@
+"""
+kraken_tpu.kraken
+~~~~~~~~~~~~~~~~~
+
+Command line drivers for inference: a chainable `binarize segment ocr`
+pipeline over input/output file pairs or glob batches, with
+ALTO/PageXML/hOCR/abbyyXML serialization and model repository subcommands
+(reference: kraken/kraken.py).
+"""
+import dataclasses
+import logging
+import os
+import shlex
+import uuid
+import warnings
+from functools import partial
+from pathlib import Path
+from typing import Any, Callable, IO, cast
+
+import click
+
+from kraken_tpu.lib import log
+
+warnings.simplefilter('ignore', UserWarning)
+logging.captureWarnings(True)
+logger = logging.getLogger('kraken')
+
+APP_NAME = 'kraken'
+SEGMENTATION_DEFAULT_MODEL = Path(__file__).parent / 'blla.mlmodel'
+
+
+def message(msg: str, **styles) -> None:
+    if logger.getEffectiveLevel() >= 30:
+        click.secho(msg, **styles)
+
+
+def get_input_parser(type_str: str) -> Callable[[str], dict[str, Any]]:
+    from kraken_tpu.xml import XMLPage
+    if type_str in ('alto', 'page', 'xml'):
+        return partial(XMLPage, filetype=type_str)
+    raise ValueError(f'Unknown input parser {type_str}')
+
+
+# ------------------------------------------------------------ stage drivers
+def binarizer(threshold, zoom, escale, border, perc, range, low, high,
+              input, output) -> None:
+    from PIL import Image
+    from kraken_tpu.binarization import nlbin
+
+    ctx = click.get_current_context()
+    if ctx.meta['first_process']:
+        if ctx.meta['input_format_type'] != 'image':
+            input = get_input_parser(ctx.meta['input_format_type'])(input).imagename
+        ctx.meta['first_process'] = False
+    else:
+        raise click.UsageError('Binarization has to be the initial process.')
+    try:
+        im = Image.open(input)
+        res = nlbin(im, threshold, zoom, escale, border, perc, range, low, high)
+        form = None
+        ext = os.path.splitext(output)[1]
+        if ext in ('.jpg', '.jpeg', '.JPG', '.JPEG', ''):
+            form = 'png'
+            if ext:
+                logger.warning('jpeg does not support 1bpp images. Forcing to png.')
+        res.save(f'{output}', format=form)
+        ctx.meta['base_image'] = output
+    except Exception:
+        if ctx.meta['raise_failed']:
+            raise
+        message('✗', fg='red')
+        ctx.exit(1)
+    message('✓', fg='green')
+
+
+def segmenter(legacy, model, config, input, output) -> None:
+    import json
+    from PIL import Image
+
+    ctx = click.get_current_context()
+    if ctx.meta['first_process']:
+        if ctx.meta['input_format_type'] != 'image':
+            input = get_input_parser(ctx.meta['input_format_type'])(input).imagename
+        ctx.meta['first_process'] = False
+    if 'base_image' not in ctx.meta:
+        ctx.meta['base_image'] = input
+    try:
+        im = Image.open(input)
+    except IOError as e:
+        raise click.BadParameter(str(e))
+    message(f'Segmenting\t{input}\t', nl=False)
+    try:
+        if legacy:
+            from kraken_tpu.pageseg import segment as legacy_segment
+            res = legacy_segment(im,
+                                 text_direction=config.text_direction,
+                                 scale=config.legacy_scale,
+                                 maxcolseps=config.legacy_maxcolseps,
+                                 black_colseps=config.legacy_black_colseps,
+                                 no_hlines=config.legacy_no_hlines,
+                                 pad=config.bbox_line_padding,
+                                 reading_order_fn=config.bbox_ro_fn)
+        else:
+            res = model.predict(im=im, config=config)
+    except Exception:
+        if ctx.meta['raise_failed']:
+            raise
+        message('✗', fg='red')
+        ctx.exit(1)
+    with click.open_file(output, 'w', encoding='utf-8') as fp:
+        fp = cast('IO[Any]', fp)
+        json.dump(dataclasses.asdict(res), fp, default=str)
+    message('✓', fg='green')
+
+
+def recognizer(model, no_segmentation, config, linetype, input, output) -> None:
+    import json
+    from PIL import Image
+    from kraken_tpu.containers import BBoxLine, Segmentation
+
+    ctx = click.get_current_context()
+    bounds = None
+    if 'base_image' not in ctx.meta:
+        ctx.meta['base_image'] = input
+    if ctx.meta['first_process']:
+        if ctx.meta['input_format_type'] != 'image' and not no_segmentation:
+            doc = get_input_parser(ctx.meta['input_format_type'])(
+                input, linetype=linetype or 'baselines')
+            ctx.meta['base_image'] = doc.imagename
+            bounds = doc.to_container()
+    try:
+        im = Image.open(ctx.meta['base_image'])
+    except IOError as e:
+        raise click.BadParameter(str(e))
+    if not bounds and ctx.meta['base_image'] != input:
+        with click.open_file(input, 'r') as fp:
+            try:
+                fp = cast('IO[Any]', fp)
+                bounds = Segmentation(**json.load(fp))
+            except ValueError as e:
+                raise click.UsageError(f'{input} invalid segmentation: {e}')
+    elif not bounds:
+        if no_segmentation:
+            bounds = Segmentation(type='bbox',
+                                  text_direction='horizontal-lr',
+                                  imagename=ctx.meta['base_image'],
+                                  script_detection=False,
+                                  regions={},
+                                  lines=[BBoxLine(id=f'_{uuid.uuid4()}',
+                                                  bbox=(0, 0, *im.size))])
+        else:
+            raise click.UsageError('No OCR script segmentation given. '
+                                   'Add one with the input or run `segment` first.')
+    elif no_segmentation:
+        logger.warning('no_segmentation mode enabled but segmentation defined. '
+                       'Ignoring --no-segmentation option.')
+    message(f'Processing\t{input}\t', nl=False)
+    try:
+        records = list(model.predict(im=im, segmentation=bounds, config=config))
+    except Exception:
+        if ctx.meta['raise_failed']:
+            raise
+        message('✗', fg='red')
+        ctx.exit(1)
+    results = dataclasses.replace(bounds, lines=records, imagename=ctx.meta['base_image'])
+
+    from kraken_tpu import serialization
+    ctx.meta['steps'].append({'category': 'processing',
+                              'description': 'Text line recognition',
+                              'settings': {'text_direction': config.text_direction,
+                                           'models': str(getattr(model, 'net', model)),
+                                           'pad': config.padding,
+                                           'bidi_reordering': config.bidi_reordering}})
+    if ctx.meta['output_mode'] != 'native':
+        with click.open_file(output, 'w', encoding='utf-8') as fp:
+            fp = cast('IO[Any]', fp)
+            from kraken_tpu.containers import ProcessingStep
+            steps = [ProcessingStep(id=f'_{i}', **step)
+                     for i, step in enumerate(ctx.meta['steps'])]
+            fp.write(serialization.serialize(
+                results,
+                image_size=im.size,
+                writing_mode=ctx.meta['text_direction'],
+                scripts=None,
+                template=ctx.meta['output_mode'] if ctx.meta['output_mode'] != 'hocr' else 'hocr',
+                template_source='custom' if ctx.meta['output_template'] else 'native',
+                processing_steps=steps,
+                sub_line_segmentation=ctx.meta['subline_segmentation']))
+    else:
+        with click.open_file(output, 'w', encoding='utf-8') as fp:
+            fp = cast('IO[Any]', fp)
+            for record in records:
+                fp.write(record.prediction + '\n')
+    message('✓', fg='green')
+
+
+# ------------------------------------------------------------------- group
+@click.group(chain=True, context_settings=dict(show_default=True,
+                                               help_option_names=['--help']))
+@click.version_option(version='0.1.0', prog_name='kraken')
+@click.option('-i', '--input', type=(click.Path(exists=True, dir_okay=False, path_type=Path),
+                                     click.Path(writable=True, dir_okay=False, path_type=Path)),
+              multiple=True, help='Input-output file pairs.')
+@click.option('-I', '--batch-input', multiple=True,
+              help='Glob expression to add multiple files at once.')
+@click.option('-o', '--suffix', default='',
+              help='Suffix for output files from batch and PDF inputs.')
+@click.option('-v', '--verbose', default=0, count=True)
+@click.option('-f', '--format-type', type=click.Choice(['image', 'alto', 'page', 'pdf', 'xml']),
+              default='image', help='Sets the default input type.')
+@click.option('-p', '--pdf-format', default='{src}_{idx:06d}',
+              help='Format for output of PDF files.')
+@click.option('-h', '--hocr', 'serializer', flag_value='hocr',
+              help='Serializer switch (hOCR/ALTO/abbyyXML/PageXML/native).')
+@click.option('-a', '--alto', 'serializer', flag_value='alto')
+@click.option('-y', '--abbyy', 'serializer', flag_value='abbyyxml')
+@click.option('-x', '--pagexml', 'serializer', flag_value='pagexml')
+@click.option('-n', '--native', 'serializer', flag_value='native', default=True)
+@click.option('-t', '--template', type=click.Path(exists=True, dir_okay=False),
+              help='Custom serialization template.')
+@click.option('-d', '--device', default='auto',
+              help='Select device to use (cpu, tpu, tpu:0, ...)')
+@click.option('--precision', type=click.Choice(['64', '32', 'bf16', '16']), default='32',
+              help='Numerical precision for inference.')
+@click.option('-r', '--raise-on-error/--no-raise-on-error', default=False,
+              help='Raise processing exceptions instead of skipping files.')
+@click.option('--threads', 'num_threads', type=click.IntRange(1), default=1,
+              help='Maximum size of host thread pools.')
+@click.option('--subline-segmentation/--no-subline-segmentation', default=True,
+              help='Enable/disable subline segmentation in serialized output.')
+def cli(input, batch_input, suffix, verbose, format_type, pdf_format,
+        serializer, template, device, precision, raise_on_error, num_threads,
+        subline_segmentation):
+    """
+    Base command for recognition functionality.
+
+    Subcommands are chainable sequences of processing steps applied to every
+    input file in order: binarize segment ocr.
+    """
+    ctx = click.get_current_context()
+    ctx.meta['device'] = device
+    ctx.meta['precision'] = {'64': '64-true', '32': '32-true',
+                             'bf16': 'bf16-true', '16': '16-true'}[precision]
+    ctx.meta['input_format_type'] = format_type if format_type != 'pdf' else 'image'
+    ctx.meta['raise_failed'] = raise_on_error
+    ctx.meta['output_mode'] = serializer if not template else template
+    ctx.meta['output_template'] = template
+    ctx.meta['verbose'] = verbose
+    ctx.meta['steps'] = []
+    ctx.meta['num_threads'] = num_threads
+    ctx.meta['subline_segmentation'] = subline_segmentation
+    log.set_logger(logger, level=30 - min(10 * verbose, 20))
+
+
+@cli.result_callback()
+def process_pipeline(subcommands, input, batch_input, suffix, verbose,
+                     format_type, pdf_format, **args):
+    """
+    Executes the pipeline for every input file.
+    """
+    import glob
+    import tempfile
+
+    ctx = click.get_current_context()
+    input = list(input)
+    # expand batch inputs
+    if batch_input and suffix:
+        for batch_expr in batch_input:
+            for in_file in glob.glob(str(Path(batch_expr).expanduser()), recursive=True):
+                input.append((Path(in_file), Path(in_file).with_suffix(suffix)))
+
+    # PDF page extraction
+    if format_type == 'pdf':
+        if not suffix:
+            raise click.UsageError('PDF inputs require a suffix (-o).')
+        new_input = []
+        for (fpath, _) in input:
+            doc = _pdf_pages(fpath)
+            for idx, page in enumerate(doc):
+                dest = Path(pdf_format.format(src=fpath.with_suffix(''),
+                                              idx=idx)).with_suffix(suffix)
+                tmp = tempfile.NamedTemporaryFile(suffix='.png', delete=False)
+                page.save(tmp.name)
+                ctx.meta['tmp_files'] = ctx.meta.get('tmp_files', []) + [tmp.name]
+                new_input.append((Path(tmp.name), dest))
+        input = new_input
+
+    for io_pair in input:
+        ctx.meta['first_process'] = True
+        ctx.meta.pop('base_image', None)
+        try:
+            tmps = [tempfile.mkstemp()[1] for _ in subcommands[1:]]
+            for tmp in tmps:
+                os.unlink(tmp)
+            fc = [str(io_pair[0])] + tmps + [str(io_pair[1])]
+            for task, input_pth, output_pth in zip(subcommands, fc, fc[1:]):
+                task(input=input_pth, output=output_pth)
+        except Exception as e:
+            logger.error(f'Failed processing {io_pair[0]}: {e}')
+            if ctx.meta['raise_failed']:
+                raise
+        finally:
+            for tmp in tmps:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+    for tmp in ctx.meta.get('tmp_files', []):
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def _pdf_pages(path):
+    """Rasterizes PDF pages; requires an optional PDF backend."""
+    try:
+        import pyvips
+        doc = []
+        n = pyvips.Image.new_from_file(str(path), n=-1).get('n-pages')
+        for i in range(n):
+            page = pyvips.Image.new_from_file(str(path), page=i, dpi=300)
+            doc.append(page)
+        return doc
+    except ImportError:
+        pass
+    try:
+        import fitz  # PyMuPDF
+        from PIL import Image
+        import io as _io
+        doc = fitz.open(str(path))
+        pages = []
+        for page in doc:
+            pix = page.get_pixmap(dpi=300)
+            pages.append(Image.open(_io.BytesIO(pix.tobytes('png'))))
+        return pages
+    except ImportError:
+        raise click.UsageError('PDF support requires pyvips or PyMuPDF, neither is installed.')
+
+
+# -------------------------------------------------------------- subcommands
+@cli.command('binarize')
+@click.pass_context
+@click.option('--threshold', default=0.5, type=click.FLOAT)
+@click.option('--zoom', default=0.5, type=click.FLOAT)
+@click.option('--escale', default=1.0, type=click.FLOAT)
+@click.option('--border', default=0.1, type=click.FLOAT)
+@click.option('--perc', default=80, type=click.IntRange(1, 100))
+@click.option('--range', default=20, type=click.INT)
+@click.option('--low', default=5, type=click.IntRange(1, 100))
+@click.option('--high', default=90, type=click.IntRange(1, 100))
+def binarize(ctx, threshold, zoom, escale, border, perc, range, low, high):
+    """
+    Binarizes page images.
+    """
+    ctx.meta['steps'].append({'category': 'preprocessing',
+                              'description': 'Image binarization',
+                              'settings': {'threshold': threshold, 'zoom': zoom,
+                                           'escale': escale, 'border': border,
+                                           'perc': perc, 'range': range,
+                                           'low': low, 'high': high}})
+    return partial(binarizer, threshold, zoom, escale, border, perc, range, low, high)
+
+
+@cli.command('segment')
+@click.pass_context
+@click.option('-i', '--model', type=str, help='Baseline/region detection model(s) to use',
+              multiple=True)
+@click.option('-x/-bl', '--boxes/--baseline', default=True,
+              help='Switch between legacy box segmenter and neural baseline segmenter')
+@click.option('-d', '--text-direction', default='horizontal-lr',
+              type=click.Choice(['horizontal-lr', 'horizontal-rl', 'vertical-lr', 'vertical-rl']),
+              help='Sets principal text direction')
+@click.option('--scale', 'legacy_scale', type=float, default=None)
+@click.option('-m', '--maxcolseps', 'legacy_maxcolseps', type=int, default=2)
+@click.option('-b/-w', '--black-colseps/--white-colseps', 'legacy_black_colseps', default=False)
+@click.option('-r/-l', '--remove-hlines/--hlines', 'legacy_no_hlines', default=True)
+@click.option('-p', '--pad', 'bbox_line_padding', type=int, default=0,
+              help='Left and right padding around lines (bbox segmenter only).')
+@click.option('--input-pad', 'input_padding', type=int, default=0,
+              help='Padding to add around the input image.')
+def segment(ctx, model, boxes, text_direction, legacy_scale, legacy_maxcolseps,
+            legacy_black_colseps, legacy_no_hlines, bbox_line_padding, input_padding):
+    """
+    Segments page images into text lines.
+    """
+    from kraken_tpu.configs import SegmentationInferenceConfig
+
+    config = SegmentationInferenceConfig(text_direction=text_direction,
+                                         legacy_scale=legacy_scale,
+                                         legacy_maxcolseps=legacy_maxcolseps,
+                                         legacy_black_colseps=legacy_black_colseps,
+                                         legacy_no_hlines=legacy_no_hlines,
+                                         bbox_line_padding=bbox_line_padding,
+                                         input_padding=input_padding,
+                                         device=ctx.meta['device'],
+                                         precision=ctx.meta['precision'],
+                                         raise_on_error=ctx.meta['raise_failed'])
+    task_model = None
+    if not boxes:
+        from kraken_tpu.tasks import SegmentationTaskModel
+        paths = list(model) or [SEGMENTATION_DEFAULT_MODEL]
+        models = []
+        from kraken_tpu.models import load_models
+        for p in paths:
+            message(f'Loading ANN {p}\t', nl=False)
+            try:
+                models.extend(load_models(p))
+            except Exception:
+                if ctx.meta['raise_failed']:
+                    raise
+                message('✗', fg='red')
+                ctx.exit(1)
+            message('✓', fg='green')
+        task_model = SegmentationTaskModel(models)
+        ctx.meta['steps'].append({'category': 'processing',
+                                  'description': 'Baseline and region segmentation',
+                                  'settings': {'model': [str(p) for p in paths],
+                                               'text_direction': text_direction}})
+    else:
+        ctx.meta['steps'].append({'category': 'processing',
+                                  'description': 'bounding box segmentation',
+                                  'settings': {'text_direction': text_direction,
+                                               'scale': legacy_scale,
+                                               'maxcolseps': legacy_maxcolseps,
+                                               'black_colseps': legacy_black_colseps}})
+    ctx.meta['text_direction'] = ('horizontal-tb' if text_direction.startswith('horizontal')
+                                  else 'vertical-lr')
+    return partial(segmenter, boxes, task_model, config)
+
+
+@cli.command('ocr')
+@click.pass_context
+@click.option('-m', '--model', default='', show_default=True,
+              help='Path to recognition model weights.')
+@click.option('-B', '--batch-size', default=1, type=int,
+              help='Number of lines per forward pass batch.')
+@click.option('-p', '--pad', default=16, type=int,
+              help='Left and right padding around lines')
+@click.option('-t', '--temperature', default=1.0, type=float,
+              help='Softmax temperature')
+@click.option('--num-line-workers', default=2, type=int,
+              help='Number of line extraction workers. 0 for in-process extraction.')
+@click.option('-n', '--reorder/--no-reorder', default=True,
+              help='Reorder code points to logical order in output.')
+@click.option('--base-dir', default='auto', type=click.Choice(['L', 'R', 'auto']),
+              help='Set base text direction for BiDi reordering.')
+@click.option('-s', '--no-segmentation', default=False, is_flag=True,
+              help='Treat each input image as a whole line.')
+@click.option('-d', '--text-direction', default='horizontal-tb',
+              type=click.Choice(['horizontal-tb', 'vertical-lr', 'vertical-rl']),
+              help='Principal text direction in serialization output')
+@click.option('--no-legacy-polygons', is_flag=True, default=False,
+              help='Force disable the legacy polygon extractor')
+@click.option('--linetype', default=None, type=click.Choice(['baselines', 'bbox']),
+              help='Forces the line type used when parsing XML input.')
+def ocr(ctx, model, batch_size, pad, temperature, num_line_workers, reorder,
+        base_dir, no_segmentation, text_direction, no_legacy_polygons, linetype):
+    """
+    Recognizes text in line images.
+    """
+    from kraken_tpu.configs import RecognitionInferenceConfig
+    from kraken_tpu.tasks import RecognitionTaskModel
+
+    if not model:
+        raise click.UsageError('No model given for recognition (-m).')
+    message(f'Loading ANN {model}\t', nl=False)
+    try:
+        task_model = RecognitionTaskModel.load_model(model)
+    except Exception:
+        if ctx.meta['raise_failed']:
+            raise
+        message('✗', fg='red')
+        ctx.exit(1)
+    message('✓', fg='green')
+
+    bidi = (base_dir if base_dir != 'auto' else True) if reorder else False
+    config = RecognitionInferenceConfig(batch_size=batch_size,
+                                        padding=pad,
+                                        temperature=temperature,
+                                        num_line_workers=num_line_workers,
+                                        bidi_reordering=bidi,
+                                        text_direction=text_direction,
+                                        no_legacy_polygons=no_legacy_polygons,
+                                        linetype=linetype,
+                                        device=ctx.meta['device'],
+                                        precision=ctx.meta['precision'],
+                                        raise_on_error=ctx.meta['raise_failed'])
+
+    class _ConfiguredModel:
+        def __init__(self, task, cfg):
+            self._task = task
+            self.net = task.net
+
+        def predict(self, im, segmentation, config):
+            return self._task.predict(im, segmentation, config)
+
+    wrapped = _ConfiguredModel(task_model, config)
+
+    def _run(input, output, _model=wrapped, _config=config):
+        return recognizer(_model, no_segmentation, _config, linetype, input, output)
+    return _run
+
+
+# ---------------------------------------------------------- repo commands
+@cli.command('show')
+@click.pass_context
+@click.option('-V', '--metadata-version', default='highest',
+              help='Version of metadata to fetch if multiple exist in repository.')
+@click.argument('model_id')
+def show(ctx, metadata_version, model_id):
+    """
+    Retrieves model metadata from the repository.
+    """
+    from kraken_tpu import repo
+    desc = repo.get_description(model_id,
+                                version=metadata_version if metadata_version != 'highest' else None)
+    for k, v in desc.items():
+        message(f'{k}: {v}')
+
+
+@cli.command('list')
+@click.option('--all', 'model_type', flag_value='all', default=True)
+@click.option('--recognition', 'model_type', flag_value='recognition')
+@click.option('--segmentation', 'model_type', flag_value='segmentation')
+@click.option('--reading-order', 'model_type', flag_value='reading_order')
+@click.option('-l', '--language', default=None, multiple=True)
+@click.option('-s', '--script', default=None, multiple=True)
+@click.option('-k', '--keyword', default=None, multiple=True)
+@click.pass_context
+def list_models(ctx, model_type, language, script, keyword):
+    """
+    Lists models in the repository.
+    """
+    from kraken_tpu import repo
+    for model_id, meta in repo.get_listing(model_type=model_type,
+                                           language=language,
+                                           script=script,
+                                           keyword=keyword).items():
+        message(f'{model_id}: {meta.get("summary", "")}')
+
+
+@cli.command('get')
+@click.pass_context
+@click.argument('model_id')
+def get(ctx, model_id):
+    """
+    Retrieves a model from the repository.
+    """
+    from kraken_tpu import repo
+    path = repo.get_model(model_id)
+    message(f'Model dir: {path}')
+
+
+if __name__ == '__main__':
+    cli()

@@ -163,6 +163,9 @@ class RecognitionModel:
     # ------------------------------------------------------------- setup
     def setup(self, stage, datamodule):
         if stage == 'test':
+            if self.net is None:
+                raise ValueError('Testing requires a loaded model.')
+            self._build_fns()
             return
         cfg = self.config
         train_set = datamodule.train_set.dataset
@@ -244,6 +247,9 @@ class RecognitionModel:
         self.net.use_legacy_polygons = datamodule.use_legacy_polygons or \
             getattr(datamodule.config, 'legacy_polygons', False)
 
+        self._build_fns()
+
+    def _build_fns(self):
         net = self.net.net
 
         def loss_fn(params, batch, rng):

@@ -124,6 +124,16 @@ class SegmentationModel:
 
     def setup(self, stage, datamodule):
         if stage == 'test':
+            if self.net is None:
+                raise ValueError('Testing requires a loaded model.')
+            self._build_fns()
+            batch, channels, height, width = self.net.input
+            transforms = ImageInputTransforms(batch, height, width, channels, 0,
+                                              valid_norm=False)
+            for ds in (datamodule.test_set, datamodule.val_set):
+                if ds is not None:
+                    target = ds.dataset if hasattr(ds, 'dataset') else ds
+                    target.transforms = transforms
             return
         cfg = self.config
         train_set = datamodule.train_set.dataset if hasattr(datamodule.train_set, 'dataset') else datamodule.train_set
@@ -159,6 +169,9 @@ class SegmentationModel:
             target = ds.dataset if hasattr(ds, 'dataset') else ds
             target.transforms = transforms
 
+        self._build_fns()
+
+    def _build_fns(self):
         net = self.net.net
 
         def loss_fn(params, batch, rng):
