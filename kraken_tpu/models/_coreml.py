@@ -96,9 +96,9 @@ _LAYER_TYPES = {
     140: 'innerProduct',
     150: 'embedding',
     175: 'softmax',
-    180: 'flatten',
-    190: 'slice',
-    210: 'permute',
+    300: 'reshape',
+    305: 'flatten',
+    310: 'permute',
     400: 'simpleRecurrent',
     410: 'gru',
     420: 'uniDirectionalLSTM',

@@ -191,22 +191,55 @@ class SegmentationModel:
             return jax.nn.sigmoid(logits.astype(jnp.float32))
         self._fwd = fwd
 
-    def validate(self, params, datamodule) -> dict:
+    def validate(self, params, datamodule, bl_tol: float = 25.0) -> dict:
+        from kraken_tpu.lib.segmentation_metrics import (aggregate_detection_metrics,
+                                                         compute_detection_metrics,
+                                                         interpolate_polyline)
+        from kraken_tpu.lib.vectorization import vectorize_lines
+
         acc = MultilabelAccuracy()
         iou = MultilabelJaccard()
+        cls_map = self.net.user_metadata.get('class_mapping', {})
+        start_idx = cls_map.get('aux', {}).get('_start_separator', 0)
+        end_idx = cls_map.get('aux', {}).get('_end_separator', 1)
+        bl_idxs = sorted(set(cls_map.get('baselines', {}).values()))
+        bl_metrics = []
         for batch in datamodule.val_dataloader():
             probs = np.asarray(self._fwd(params, jnp.asarray(batch['image'])))
-            # targets match network output resolution up to stride effects
             t = batch['target']
+            target_h, target_w = t.shape[2], t.shape[3]
             if probs.shape[2:] != t.shape[2:]:
-                probs_r = jax.image.resize(jnp.asarray(probs),
-                                           t.shape, method='bilinear')
-                probs = np.asarray(probs_r)
-            acc.update(probs, t)
-            iou.update(probs, t)
-        return {'val_accuracy': acc.compute(),
-                'val_mean_iu': iou.compute(),
-                'val_metric': iou.compute()}
+                probs_r = jax.image.resize(jnp.asarray(probs), t.shape, method='bilinear')
+                probs_full = np.asarray(probs_r)
+            else:
+                probs_full = probs
+            acc.update(probs_full, t)
+            iou.update(probs_full, t)
+            # baseline-detection P/R/F1 by running the full vectorizer on the
+            # predicted heatmaps (reference: train/blla.py:321-348)
+            if bl_idxs and batch['image'].shape[0] == 1 and batch.get('baselines'):
+                gt_baselines = batch['baselines'][0]
+                pred_np = probs_full[0]
+                pred_polylines = []
+                gt_polylines = []
+                for cls_idx in bl_idxs:
+                    stack = np.stack([pred_np[start_idx], pred_np[end_idx],
+                                      pred_np[cls_idx]])
+                    for pl in vectorize_lines(stack):
+                        pred_polylines.append(interpolate_polyline(np.asarray(pl, float)))
+                    for bl in gt_baselines.get(cls_idx, []):
+                        gt_polylines.append(interpolate_polyline(np.asarray(bl, float)))
+                bl_metrics.append(compute_detection_metrics(pred_polylines,
+                                                            gt_polylines, bl_tol))
+        result = {'val_accuracy': acc.compute(),
+                  'val_mean_iu': iou.compute(),
+                  'val_metric': iou.compute()}
+        if bl_metrics:
+            agg = aggregate_detection_metrics(bl_metrics)
+            result.update({'val_bl_precision': agg['precision'],
+                           'val_bl_recall': agg['recall'],
+                           'val_bl_f1': agg['f1']})
+        return result
 
     def test(self, params, datamodule) -> dict:
         return self.validate(params, datamodule)
