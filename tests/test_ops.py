@@ -1,0 +1,94 @@
+"""
+Device op tests: jitted nlbin agreement with the host implementation,
+Pallas LSTM kernel parity with the scan reference (interpret mode on CPU),
+and CTC decoder behaviors.
+"""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+from PIL import Image
+
+from kraken_tpu.ops.ctc import beam_decoder, blank_threshold_decoder, greedy_decoder
+
+
+def test_nlbin_device_agreement(resources):
+    from kraken_tpu.binarization import nlbin
+    from kraken_tpu.ops.binarize import nlbin_device
+    im = Image.open(resources / 'input.jpg').convert('L')
+    host = np.asarray(nlbin(im)) > 128
+    dev = nlbin_device(np.asarray(im))
+    assert (host == dev).mean() > 0.99
+
+
+def test_nlbin_batch():
+    from kraken_tpu.ops.binarize import nlbin_batch
+    rng = np.random.RandomState(0)
+    pages = np.clip(rng.rand(2, 64, 96) * 0.3 + 0.6, 0, 1)
+    pages[:, 20:30, 10:80] = 0.1  # text band
+    out = np.asarray(nlbin_batch(pages))
+    assert out.shape == (2, 64, 96)
+    assert out.dtype == bool
+    # text darker than background -> text pixels False, paper True
+    assert out[:, 25, 40].sum() == 0
+    assert out[:, 5, 40].sum() == 2
+
+
+def test_lstm_pallas_parity_interpret():
+    from kraken_tpu.nn.layers import _lstm_scan
+    from kraken_tpu.ops.lstm import lstm_pallas
+    B, T, H, C = 4, 16, 8, 12
+    rng = np.random.RandomState(0)
+    w_ih = rng.randn(4 * H, C).astype(np.float32) * 0.1
+    w_hh = rng.randn(4 * H, H).astype(np.float32) * 0.1
+    b = rng.randn(4 * H).astype(np.float32) * 0.1
+    x = rng.randn(B, T, C).astype(np.float32)
+    lens = np.array([16, 10, 3, 16])
+    gates = jnp.asarray(x) @ jnp.asarray(w_ih).T + jnp.asarray(b)
+    mask = (np.arange(T)[None, :] < lens[:, None]).astype(np.float32)
+    for reverse in (False, True):
+        ref = _lstm_scan(jnp.asarray(x), jnp.asarray(lens), jnp.asarray(w_ih),
+                         jnp.asarray(w_hh), jnp.asarray(b), reverse)
+        pal = lstm_pallas(gates, jnp.asarray(w_hh), jnp.asarray(mask),
+                          reverse=reverse, interpret=True)
+        np.testing.assert_allclose(np.asarray(pal), np.asarray(ref),
+                                   atol=1e-5, err_msg=f'reverse={reverse}')
+
+
+def test_greedy_decoder_runs():
+    # 5 frames, 3 classes: blank, a, b
+    probs = np.array([[0.1, 0.1, 0.9, 0.9, 0.8],
+                      [0.8, 0.7, 0.05, 0.05, 0.1],
+                      [0.1, 0.2, 0.05, 0.05, 0.1]], np.float32)
+    runs = greedy_decoder(probs)
+    assert runs == [[(1, 0, 1, pytest.approx(0.8))]]
+
+
+def test_greedy_decoder_batch_lens():
+    probs = np.zeros((2, 3, 6), np.float32)
+    probs[:, 0] = 0.9
+    probs[0, 1, 1:3] = 1.0
+    probs[1, 2, 4:] = 1.0  # beyond len for row 1
+    out = greedy_decoder(probs, [6, 4])
+    assert out[0][0][0] == 1
+    assert out[1] == []
+
+
+def test_beam_decoder_matches_greedy_on_peaked():
+    rng = np.random.RandomState(0)
+    # peaked distribution: beam and greedy must agree
+    labels = [0, 1, 1, 0, 2, 2, 0]
+    probs = np.full((4, len(labels)), 0.01, np.float32)
+    for t, lab in enumerate(labels):
+        probs[lab, t] = 0.97
+    g = greedy_decoder(probs)[0]
+    b = beam_decoder(probs, beam_size=4)[0]
+    assert [x[0] for x in g] == [x[0] for x in b]
+
+
+def test_blank_threshold_decoder():
+    probs = np.array([[0.9, 0.1, 0.1, 0.9],
+                      [0.05, 0.8, 0.8, 0.05],
+                      [0.05, 0.1, 0.1, 0.05]], np.float32)
+    runs = blank_threshold_decoder(probs)
+    assert len(runs[0]) == 1
+    assert runs[0][0][0] == 1
