@@ -1,0 +1,105 @@
+"""
+kraken_tpu.native
+~~~~~~~~~~~~~~~~~
+
+Native (C++) host-side accelerators for the irregular hot loops of the
+segmentation pipeline, bound via ctypes. The shared library is compiled on
+first use with the system compiler and cached next to the sources; all entry
+points degrade gracefully to the pure-numpy implementations when no compiler
+is available.
+"""
+import ctypes
+import logging
+import os
+import subprocess
+import tempfile
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+__all__ = ['skeletonize_native', 'endpoints_native', 'available']
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _build_lib() -> Optional[Path]:
+    src = Path(__file__).parent / 'skeletonize.cpp'
+    out = Path(__file__).parent / '_native.so'
+    if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
+        return out
+    for compiler in ('g++', 'c++', 'clang++'):
+        try:
+            with tempfile.NamedTemporaryFile(suffix='.so', delete=False) as tmp:
+                tmp_path = tmp.name
+            result = subprocess.run([compiler, '-O3', '-march=native', '-shared',
+                                     '-fPIC', '-o', tmp_path, str(src)],
+                                    capture_output=True, timeout=120)
+            if result.returncode == 0:
+                os.replace(tmp_path, out)
+                return out
+            logger.debug(f'{compiler} failed: {result.stderr.decode()[:500]}')
+        except (OSError, subprocess.TimeoutExpired):
+            continue
+    return None
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    try:
+        path = _build_lib()
+        if path is None:
+            logger.info('No C++ compiler available; using numpy fallbacks.')
+            return None
+        lib = ctypes.CDLL(str(path))
+        lib.zhang_suen_thin.argtypes = [ctypes.POINTER(ctypes.c_uint8),
+                                        ctypes.c_int, ctypes.c_int]
+        lib.zhang_suen_thin.restype = ctypes.c_int
+        lib.skeleton_endpoints.argtypes = [ctypes.POINTER(ctypes.c_uint8),
+                                           ctypes.c_int, ctypes.c_int,
+                                           ctypes.POINTER(ctypes.c_int32),
+                                           ctypes.c_int]
+        lib.skeleton_endpoints.restype = ctypes.c_int
+        _LIB = lib
+    except Exception as e:
+        logger.warning(f'Failed to build/load native helpers: {e}')
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def skeletonize_native(mask: np.ndarray) -> Optional[np.ndarray]:
+    """
+    Zhang-Suen thinning via the native library. Returns None when the
+    library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    padded = np.pad(mask.astype(np.uint8), 1)
+    buf = np.ascontiguousarray(padded)
+    lib.zhang_suen_thin(buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                        buf.shape[0], buf.shape[1])
+    return buf[1:-1, 1:-1].astype(bool)
+
+
+def endpoints_native(skel: np.ndarray, max_pts: int = 100000) -> Optional[np.ndarray]:
+    """Skeleton endpoints as an (N, 2) array of (row, col), or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    padded = np.ascontiguousarray(np.pad(skel.astype(np.uint8), 1))
+    out = np.zeros((max_pts, 2), np.int32)
+    n = lib.skeleton_endpoints(padded.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                               padded.shape[0], padded.shape[1],
+                               out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                               max_pts)
+    return out[:n] - 1

@@ -1,0 +1,102 @@
+// kraken_tpu native helpers: morphological thinning and endpoint detection.
+//
+// Zhang-Suen thinning over a uint8 binary image, operating in place on a
+// caller-allocated buffer. Exposed through a plain C ABI consumed via
+// ctypes (see kraken_tpu/native/__init__.py). These are the host-side hot
+// loops of baseline vectorization that neither XLA nor numpy express well
+// (data-dependent iteration until fixpoint).
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// Zhang-Suen thinning. img: row-major H*W uint8 (0/1), modified in place.
+// Returns the number of iterations executed.
+int zhang_suen_thin(uint8_t *img, int h, int w) {
+    std::vector<int> candidates;
+    std::vector<int> to_clear;
+    candidates.reserve(static_cast<size_t>(h) * w / 8);
+    to_clear.reserve(1024);
+
+    // collect initial foreground pixels (skip the outer border; callers pad)
+    for (int y = 1; y < h - 1; ++y) {
+        const uint8_t *row = img + static_cast<size_t>(y) * w;
+        for (int x = 1; x < w - 1; ++x) {
+            if (row[x]) candidates.push_back(y * w + x);
+        }
+    }
+
+    int iterations = 0;
+    bool changed = true;
+    while (changed) {
+        changed = false;
+        for (int step = 0; step < 2; ++step) {
+            to_clear.clear();
+            for (int idx : candidates) {
+                if (!img[idx]) continue;
+                const uint8_t p2 = img[idx - w];
+                const uint8_t p3 = img[idx - w + 1];
+                const uint8_t p4 = img[idx + 1];
+                const uint8_t p5 = img[idx + w + 1];
+                const uint8_t p6 = img[idx + w];
+                const uint8_t p7 = img[idx + w - 1];
+                const uint8_t p8 = img[idx - 1];
+                const uint8_t p9 = img[idx - w - 1];
+                const int b = p2 + p3 + p4 + p5 + p6 + p7 + p8 + p9;
+                if (b < 2 || b > 6) continue;
+                const int a = (p2 == 0 && p3 == 1) + (p3 == 0 && p4 == 1) +
+                              (p4 == 0 && p5 == 1) + (p5 == 0 && p6 == 1) +
+                              (p6 == 0 && p7 == 1) + (p7 == 0 && p8 == 1) +
+                              (p8 == 0 && p9 == 1) + (p9 == 0 && p2 == 1);
+                if (a != 1) continue;
+                if (step == 0) {
+                    if (p2 * p4 * p6 != 0 || p4 * p6 * p8 != 0) continue;
+                } else {
+                    if (p2 * p4 * p8 != 0 || p2 * p6 * p8 != 0) continue;
+                }
+                to_clear.push_back(idx);
+            }
+            if (!to_clear.empty()) {
+                changed = true;
+                for (int idx : to_clear) img[idx] = 0;
+            }
+        }
+        ++iterations;
+        if (changed) {
+            // compact the candidate list to surviving foreground pixels
+            size_t out = 0;
+            for (int idx : candidates) {
+                if (img[idx]) candidates[out++] = idx;
+            }
+            candidates.resize(out);
+        }
+    }
+    return iterations;
+}
+
+// Endpoint detection: pixels with exactly one 8-neighbor on the skeleton.
+// Writes (y, x) pairs into out (capacity max_pts), returns the count.
+int skeleton_endpoints(const uint8_t *img, int h, int w,
+                       int32_t *out, int max_pts) {
+    int n = 0;
+    for (int y = 1; y < h - 1 && n < max_pts; ++y) {
+        const uint8_t *row = img + static_cast<size_t>(y) * w;
+        for (int x = 1; x < w - 1; ++x) {
+            if (!row[x]) continue;
+            const int nb = img[(y - 1) * w + x - 1] + img[(y - 1) * w + x] +
+                           img[(y - 1) * w + x + 1] + img[y * w + x - 1] +
+                           img[y * w + x + 1] + img[(y + 1) * w + x - 1] +
+                           img[(y + 1) * w + x] + img[(y + 1) * w + x + 1];
+            if (nb == 1) {
+                if (n >= max_pts) break;
+                out[2 * n] = y;
+                out[2 * n + 1] = x;
+                ++n;
+            }
+        }
+    }
+    return n;
+}
+
+}  // extern "C"

@@ -92,3 +92,40 @@ def test_blank_threshold_decoder():
     runs = blank_threshold_decoder(probs)
     assert len(runs[0]) == 1
     assert runs[0][0][0] == 1
+
+
+def test_native_skeletonize_parity():
+    from kraken_tpu import native
+    from kraken_tpu.lib.vectorization import _skeletonize_numpy
+    if not native.available():
+        pytest.skip('no C++ compiler available')
+    rng = np.random.RandomState(0)
+    mask = np.zeros((80, 120), bool)
+    mask[20:30, 10:110] = True
+    mask[50:53, 5:115] = True
+    sk_np = _skeletonize_numpy(mask)
+    sk_c = native.skeletonize_native(mask)
+    assert np.array_equal(sk_np, sk_c)
+
+
+def test_native_endpoints_parity():
+    from scipy.ndimage import convolve
+    from kraken_tpu import native
+    if not native.available():
+        pytest.skip('no C++ compiler available')
+    skel = np.zeros((40, 60), bool)
+    skel[20, 5:55] = True
+    ep = native.endpoints_native(skel)
+    assert sorted(map(tuple, ep)) == [(20, 5), (20, 54)]
+
+
+def test_sato_device_parity():
+    from kraken_tpu.lib.vectorization import sato_ridge
+    from kraken_tpu.ops.ridge import sato_ridge_device
+    from scipy.ndimage import gaussian_filter
+    bl = np.zeros((64, 96), np.float32)
+    bl[30, 10:86] = 1.0
+    bl = np.clip(gaussian_filter(bl, 2) * 6, 0, 1)
+    host = sato_ridge(bl)
+    dev = sato_ridge_device(bl)
+    np.testing.assert_allclose(dev, host, atol=1e-5)
