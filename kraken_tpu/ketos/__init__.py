@@ -75,7 +75,7 @@ def cli(verbose, seed, device, precision, workers, threads):
     log.set_logger(logger, level=30 - min(10 * verbose, 20))
 
 
-from kraken_tpu.ketos import recognition, segmentation, ro, dataset, weights, pretrain  # noqa: E402
+from kraken_tpu.ketos import recognition, segmentation, ro, dataset, weights, pretrain, repo  # noqa: E402
 
 cli.add_command(recognition.train)
 cli.add_command(recognition.test)
@@ -86,6 +86,7 @@ cli.add_command(ro.roadd)
 cli.add_command(dataset.compile)
 cli.add_command(weights.convert)
 cli.add_command(pretrain.pretrain)
+cli.add_command(repo.publish)
 
 
 if __name__ == '__main__':

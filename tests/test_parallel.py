@@ -1,0 +1,81 @@
+"""
+Multi-chip (virtual 8-device CPU mesh) tests: data-parallel train steps and
+the driver's dryrun entry point.
+"""
+import numpy as np
+import pytest
+
+
+def test_mesh_devices():
+    import jax
+    assert len(jax.devices()) == 8, 'conftest must force 8 virtual CPU devices'
+
+
+def test_data_parallel_train_step():
+    import jax
+    import jax.numpy as jnp
+    from kraken_tpu.configs import RecognitionTrainingConfig
+    from kraken_tpu.parallel import make_mesh, make_train_step, replicate, shard_batch
+    from kraken_tpu.train.optim import build_optimizer
+    from kraken_tpu.vgsl import VGSLModel
+
+    mesh = make_mesh(jax.devices())
+    model = VGSLModel(vgsl='[1,16,0,1 Cr3,3,4,2,2 S1(1x0)1,3 Lbx8 O1c6]',
+                      rng=jax.random.PRNGKey(0))
+    tx = build_optimizer(RecognitionTrainingConfig(lrate=1e-3))
+    step = make_train_step(model.net, tx, loss='ctc', mesh=mesh)
+    rng = np.random.RandomState(0)
+    batch = {'image': rng.rand(16, 1, 16, 64).astype(np.float32),
+             'seq_lens': np.full(16, 64, np.int32),
+             'target': rng.randint(1, 6, (16, 4)).astype(np.int32),
+             'target_lens': np.full(16, 4, np.int32)}
+    sharded = shard_batch(batch, mesh)
+    repl = replicate(mesh)
+    params = jax.device_put(model.params, repl)
+    opt_state = jax.device_put(tx.init(model.params), repl)
+    params, opt_state, loss = step(params, opt_state, sharded,
+                                   jax.device_put(jax.random.PRNGKey(1), repl))
+    assert np.isfinite(float(loss))
+    # replicated parameters stay consistent across devices
+    leaf = jax.tree.leaves(params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_dp_matches_single_device():
+    """The sharded step computes the same update as an unsharded one."""
+    import jax
+    import jax.numpy as jnp
+    from kraken_tpu.configs import RecognitionTrainingConfig
+    from kraken_tpu.parallel import make_mesh, make_train_step, replicate, shard_batch
+    from kraken_tpu.train.optim import build_optimizer
+    from kraken_tpu.vgsl import VGSLModel
+
+    model = VGSLModel(vgsl='[1,16,0,1 Cr3,3,4,2,2 S1(1x0)1,3 O1c6]',
+                      rng=jax.random.PRNGKey(0))
+    tx = build_optimizer(RecognitionTrainingConfig(lrate=1e-3))
+    rng = np.random.RandomState(1)
+    batch = {'image': rng.rand(8, 1, 16, 64).astype(np.float32),
+             'seq_lens': np.full(8, 64, np.int32),
+             'target': rng.randint(1, 6, (8, 4)).astype(np.int32),
+             'target_lens': np.full(8, 4, np.int32)}
+    key = jax.random.PRNGKey(2)
+
+    single = make_train_step(model.net, tx, loss='ctc')
+    p1, _, l1 = single(model.params, tx.init(model.params),
+                       {k: jnp.asarray(v) for k, v in batch.items()}, key)
+
+    mesh = make_mesh(jax.devices())
+    repl = replicate(mesh)
+    sharded_step = make_train_step(model.net, tx, loss='ctc', mesh=mesh)
+    p2, _, l2 = sharded_step(jax.device_put(model.params, repl),
+                             jax.device_put(tx.init(model.params), repl),
+                             shard_batch(batch, mesh),
+                             jax.device_put(key, repl))
+    assert float(l1) == pytest.approx(float(l2), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_graft_dryrun():
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
