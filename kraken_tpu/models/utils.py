@@ -32,6 +32,19 @@ def register_model(name: str, factory=None):
 def _resolve(name: str):
     if name in _REGISTRY:
         return _REGISTRY[name]
+    # lazy built-ins (avoids import cycles during package initialization)
+    if name in ('TorchVGSLModel', 'VGSLModel'):
+        from kraken_tpu.vgsl import VGSLModel
+        _REGISTRY[name] = VGSLModel
+        return VGSLModel
+    if name == 'ROMLP':
+        from kraken_tpu.ro.layers import ROMLP
+        _REGISTRY[name] = ROMLP
+        return ROMLP
+    if name == 'Wav2Vec2Mask':
+        from kraken_tpu.pretrain.layers import Wav2Vec2Mask
+        _REGISTRY[name] = Wav2Vec2Mask
+        return Wav2Vec2Mask
     try:
         for ep in importlib.metadata.entry_points(group='kraken.models'):
             if ep.name == name:
@@ -47,15 +60,3 @@ def create_model(name: str, **kwargs):
     return cls(**kwargs)
 
 
-def _register_builtins():
-    from kraken_tpu.vgsl import VGSLModel
-    register_model('TorchVGSLModel', VGSLModel)
-    register_model('VGSLModel', VGSLModel)
-    try:
-        from kraken_tpu.ro.layers import ROMLP
-        register_model('ROMLP', ROMLP)
-    except ImportError:
-        pass
-
-
-_register_builtins()
