@@ -228,10 +228,14 @@ def _rotate_patch(patch: np.ndarray, angle: float, scale: float, cval: float):
 def _carve_seam(rotated: np.ndarray) -> np.ndarray:
     """
     Vertical-position seam through a rotated (roughly level) energy patch:
-    standard 8-connected dynamic program left→right, returning one (col, row)
-    per column.
+    standard 8-connected dynamic program left→right, returning one row per
+    column. Runs in the native C++ library when available.
     """
+    from kraken_tpu import native
     patch = np.pad(rotated, ((1, 1), (0, 0)), mode='constant', constant_values=np.inf)
+    rows = native.carve_seam_native(patch)
+    if rows is not None:
+        return rows - 1
     r, c = patch.shape
     cost = patch.copy()
     backtrack = np.zeros((r - 2, c), np.int32)
@@ -392,8 +396,8 @@ def calculate_polygonal_environment(im=None,
         bounds = np.array(im_feats.shape[::-1], dtype=float) - 1
 
     suppl_obj = list(suppl_obj) if suppl_obj is not None else []
-    polygons = []
-    for idx, line in enumerate(baselines):
+
+    def _polygonize_one(idx: int, line):
         try:
             line_arr = np.array(line, float)
             end_points = (line_arr[0].astype(int), line_arr[-1].astype(int))
@@ -410,12 +414,23 @@ def calculate_polygonal_environment(im=None,
                                     line_arr.astype(int),
                                     offset_line.astype(int),
                                     end_points, topline, offset, im_feats)
-            polygons.append(polygon.tolist())
+            return polygon.tolist()
         except Exception as e:
             if raise_on_error:
                 raise
             logger.warning(f'Polygonizer failed on line {idx}: {e}')
-            polygons.append(None)
+            return None
+
+    # lines are independent; scipy/cv2 release the GIL so a thread pool
+    # scales the per-line rotation + seam DP across cores
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+    n_workers = min(len(baselines), max(1, (os.cpu_count() or 2) - 1))
+    if n_workers > 1 and len(baselines) > 1 and not raise_on_error:
+        with ThreadPoolExecutor(max_workers=n_workers) as pool:
+            polygons = list(pool.map(_polygonize_one, range(len(baselines)), baselines))
+    else:
+        polygons = [_polygonize_one(i, line) for i, line in enumerate(baselines)]
 
     if scale_f is not None:
         polygons = [(np.array(p) / scale_f).astype('uint').tolist() if p is not None else None

@@ -66,6 +66,10 @@ def _load() -> Optional[ctypes.CDLL]:
                                            ctypes.POINTER(ctypes.c_int32),
                                            ctypes.c_int]
         lib.skeleton_endpoints.restype = ctypes.c_int
+        lib.carve_seam.argtypes = [ctypes.POINTER(ctypes.c_float),
+                                   ctypes.c_int, ctypes.c_int,
+                                   ctypes.POINTER(ctypes.c_int32)]
+        lib.carve_seam.restype = None
         _LIB = lib
     except Exception as e:
         logger.warning(f'Failed to build/load native helpers: {e}')
@@ -89,6 +93,23 @@ def skeletonize_native(mask: np.ndarray) -> Optional[np.ndarray]:
     lib.zhang_suen_thin(buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                         buf.shape[0], buf.shape[1])
     return buf[1:-1, 1:-1].astype(bool)
+
+
+def carve_seam_native(padded: np.ndarray) -> Optional[np.ndarray]:
+    """
+    Minimum-energy seam row per column over a float32 patch whose first and
+    last rows are +inf padding. Returns row indices (including the padding
+    offset) or None when the library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    buf = np.ascontiguousarray(padded, np.float32)
+    out = np.zeros(buf.shape[1], np.int32)
+    lib.carve_seam(buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                   buf.shape[0], buf.shape[1],
+                   out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out
 
 
 def endpoints_native(skel: np.ndarray, max_pts: int = 100000) -> Optional[np.ndarray]:

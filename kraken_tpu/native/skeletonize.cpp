@@ -100,3 +100,40 @@ int skeleton_endpoints(const uint8_t *img, int h, int w,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Minimum-energy horizontal seam DP: patch is (h, w) float32 row-major with
+// +inf padding rows already included by the caller. Writes one row index per
+// column into out_rows (length w). 8-connected left-to-right DP.
+void carve_seam(const float *patch, int h, int w, int32_t *out_rows) {
+    std::vector<float> cost(static_cast<size_t>(h));
+    std::vector<float> prev(static_cast<size_t>(h));
+    std::vector<int32_t> back(static_cast<size_t>(h) * w);
+    for (int y = 0; y < h; ++y) prev[y] = patch[static_cast<size_t>(y) * w];
+    for (int x = 1; x < w; ++x) {
+        for (int y = 1; y < h - 1; ++y) {
+            float best = prev[y];
+            int32_t arg = y;
+            if (prev[y - 1] < best) { best = prev[y - 1]; arg = y - 1; }
+            if (prev[y + 1] < best) { best = prev[y + 1]; arg = y + 1; }
+            cost[y] = patch[static_cast<size_t>(y) * w + x] + best;
+            back[static_cast<size_t>(y) * w + x] = arg;
+        }
+        cost[0] = prev[0];
+        cost[h - 1] = prev[h - 1];
+        std::swap(cost, prev);
+    }
+    // start at the cheapest row of the last column
+    int32_t y = 1;
+    float best = prev[1];
+    for (int i = 2; i < h - 1; ++i) {
+        if (prev[i] < best) { best = prev[i]; y = i; }
+    }
+    for (int x = w - 1; x >= 0; --x) {
+        out_rows[x] = y;
+        if (x > 0) y = back[static_cast<size_t>(y) * w + x];
+    }
+}
+
+}  // extern "C"
