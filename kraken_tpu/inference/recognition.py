@@ -145,10 +145,18 @@ def recognition_pred(model: 'VGSLModel', im: 'Image.Image',
             logger.info('Using legacy polygon extractor (model trained with old method).')
             legacy = True
 
-    def _flush():
-        for rec, idx in _recognize_batch(model, queue, segmentation):
-            results[idx] = rec
-        queue.clear()
+    # one-deep batch pipeline: the newest batch computes on device while the
+    # previous batch's (already materialized) outputs decode on the host
+    pending: list = []
+
+    def _flush(drain: bool = False):
+        if queue:
+            pending.append(_dispatch_batch(model, list(queue)))
+            queue.clear()
+        while pending and (drain or len(pending) > 1):
+            outputs, lines = pending.pop(0)
+            for rec, idx in _decode_batch_results(model, outputs, lines, segmentation):
+                results[idx] = rec
 
     if config.num_line_workers and config.num_line_workers > 0 and n_lines > 1:
         im.load()  # force decode before sharing across extraction threads
@@ -177,8 +185,7 @@ def recognition_pred(model: 'VGSLModel', im: 'Image.Image',
             while next_emit < n_lines and results[next_emit] is not None:
                 yield results[next_emit]
                 next_emit += 1
-        if queue:
-            _flush()
+        _flush(drain=True)
         while next_emit < n_lines and results[next_emit] is not None:
             yield results[next_emit]
             next_emit += 1
@@ -187,25 +194,35 @@ def recognition_pred(model: 'VGSLModel', im: 'Image.Image',
             pool.shutdown(wait=False)
 
 
-def _recognize_batch(model: 'VGSLModel', lines: list, segmentation: 'Segmentation'):
+def _dispatch_batch(model: 'VGSLModel', lines: list):
     """
-    Pads queued lines to a common bucketed width, runs the jitted forward,
-    decodes, and yields (record, line_index) pairs.
+    Pads queued lines to a common bucketed width and dispatches the jitted
+    forward asynchronously; returns (device outputs, line meta).
     """
     config = model._inf_config
     widths = [ts.shape[2] for ts, *_ in lines]
     max_w = width_bucket(max(widths))
     c, h = lines[0][0].shape[0], lines[0][0].shape[1]
     batch = np.zeros((len(lines), c, h, max_w), np.float32)
-    for i, (ts, *_ ) in enumerate(lines):
+    for i, (ts, *_) in enumerate(lines):
         batch[i, :, :, :ts.shape[2]] = ts
     seq_lens = np.array(widths, np.int32)
-
-    probs, labels, confs, olens = model._rec_fwd(
+    outputs = model._rec_fwd(
         model._inf_params,
         jax.device_put(jnp.asarray(batch.astype(model._m_dtype)), model._device),
         jax.device_put(jnp.asarray(seq_lens), model._device),
         jnp.float32(config.temperature))
+    return outputs, lines
+
+
+def _decode_batch_results(model: 'VGSLModel', outputs, lines: list,
+                          segmentation: 'Segmentation'):
+    """
+    Materializes a dispatched batch's outputs, decodes, and yields
+    (record, line_index) pairs.
+    """
+    config = model._inf_config
+    probs, labels, confs, olens = outputs
     labels = np.asarray(labels)
     confs = np.asarray(confs)
     olens = np.asarray(olens)

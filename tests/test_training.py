@@ -118,3 +118,24 @@ def test_ro_training_smoke(resources, tmp_path):
     trainer.fit(module, dm)
     metrics = module.validate(module.net.params, dm)
     assert 'val_spearman' in metrics
+
+
+def test_pretrain_smoke(resources, tmp_path):
+    from kraken_tpu.configs import PretrainingConfig, RecognitionTrainingDataConfig
+    from kraken_tpu.pretrain.model import RecognitionPretrainModel
+    from kraken_tpu.train import RecognitionDataModule
+
+    config = PretrainingConfig(
+        spec='[1,32,0,1 Cr3,3,4,2,2 S1(1x0)1,3 Lbx8 Do0.1,2]',
+        epochs=1, lrate=1e-4, mask_width=2, mask_prob=0.5, num_negatives=4,
+        checkpoint_path=str(tmp_path / 'pre'))
+    data_config = RecognitionTrainingDataConfig(
+        format_type='binary',
+        training_data=[str(resources / 'merge_tests' / 'base.arrow')],
+        batch_size=2)
+    dm = RecognitionDataModule(data_config)
+    module = RecognitionPretrainModel(config)
+    trainer = KrakenTrainer(config, fast_dev_run=True)
+    trainer.fit(module, dm)
+    metrics = module.validate(module.net.params, dm)
+    assert np.isfinite(metrics['val_ce'])
