@@ -236,7 +236,7 @@ def _decode_batch_results(model: 'VGSLModel', outputs, lines: list,
         if use_fast_path:
             locs = _group_runs(labels[idx, :olen], confs[idx, :olen])
         else:
-            locs = config.decoder(model.outputs[idx:idx + 1], [olen])[0]
+            locs = config.decoder(model.outputs[idx:idx + 1], seq_lens=[olen])[0]
         pred = model.codec.decode(locs)
         net_scale = ts_im.shape[2] / olen
         in_scale = line_im.width / (ts_im.shape[2] - 2 * config.padding)

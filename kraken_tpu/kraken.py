@@ -450,8 +450,13 @@ def segment(ctx, model, boxes, text_direction, legacy_scale, legacy_maxcolseps,
               help='Force disable the legacy polygon extractor')
 @click.option('--linetype', default=None, type=click.Choice(['baselines', 'bbox']),
               help='Forces the line type used when parsing XML input.')
+@click.option('--decoder', default='greedy', type=click.Choice(['greedy', 'beam']),
+              help='CTC decoding strategy.')
+@click.option('--beam-size', default=3, type=int,
+              help='Beam width for the beam decoder.')
 def ocr(ctx, model, batch_size, pad, temperature, num_line_workers, reorder,
-        base_dir, no_segmentation, text_direction, no_legacy_polygons, linetype):
+        base_dir, no_segmentation, text_direction, no_legacy_polygons, linetype,
+        decoder, beam_size):
     """
     Recognizes text in line images.
     """
@@ -471,7 +476,14 @@ def ocr(ctx, model, batch_size, pad, temperature, num_line_workers, reorder,
     message('✓', fg='green')
 
     bidi = (base_dir if base_dir != 'auto' else True) if reorder else False
-    config = RecognitionInferenceConfig(batch_size=batch_size,
+    decoder_kwargs = {}
+    if decoder == 'beam':
+        from functools import partial
+
+        from kraken_tpu.ops.ctc import beam_decoder
+        decoder_kwargs['decoder'] = partial(beam_decoder, beam_size=beam_size)
+    config = RecognitionInferenceConfig(**decoder_kwargs,
+                                        batch_size=batch_size,
                                         padding=pad,
                                         temperature=temperature,
                                         num_line_workers=num_line_workers,

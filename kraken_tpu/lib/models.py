@@ -74,7 +74,7 @@ class SeqRecognizer:
         """
         o, olens = self.forward(line, lens)
         dec_seqs = []
-        for seq in self.decoder(o, olens):
+        for seq in self.decoder(o, seq_lens=olens):
             dec_seqs.append(self.codec.decode(seq))
         return dec_seqs
 
@@ -85,7 +85,7 @@ class SeqRecognizer:
     def predict_labels(self, line, lens=None) -> list[list[tuple[int, int, int, float]]]:
         """Forward pass + decoding into raw label runs."""
         o, olens = self.forward(line, lens)
-        return self.decoder(o, olens)
+        return self.decoder(o, seq_lens=olens)
 
     def to(self, device):
         self.device = device

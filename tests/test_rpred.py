@@ -133,6 +133,25 @@ def test_batched_engine_multiline(resources, overfit_line, bl_seg):
     assert all(r.prediction == BL_GOLD for r in records)
 
 
+def test_batched_engine_beam_decoder(resources, overfit_line, bl_seg):
+    """
+    The injectable beam decoder produces near-greedy output on a peaked
+    overfit model (path-probability summing may legitimately revive a
+    character whose per-frame max is blank, so closeness, not equality).
+    """
+    from functools import partial
+
+    from kraken_tpu.ops.ctc import beam_decoder
+    from kraken_tpu.train.metrics import levenshtein
+    vmodel = load_models(resources / 'overfit.mlmodel')[0]
+    vmodel.prepare_for_inference(RecognitionInferenceConfig(
+        batch_size=4, num_line_workers=0, padding=1,
+        decoder=partial(beam_decoder, beam_size=3)))
+    records = list(vmodel.predict(overfit_line, bl_seg))
+    assert levenshtein(records[0].prediction, BL_GOLD) <= 2
+    assert len(records[0].cuts) == len(records[0].prediction)
+
+
 def test_record_cut_geometry(model, overfit_line, bl_seg):
     record = next(rpred(model, overfit_line, bl_seg, True))
     assert len(record.cuts) == len(record.prediction) == len(record.confidences)
