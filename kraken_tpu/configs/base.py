@@ -200,6 +200,9 @@ class TrainingConfig(Config):
         self.min_epochs = kwargs.pop('min_epochs', 0)
         self.lag = kwargs.pop('lag', 10)
         self.min_delta = kwargs.pop('min_delta', 0.0)
+        # rematerialize the forward on backward (jax.checkpoint): trades
+        # FLOPs for HBM so large page/line batches fit on one chip
+        self.remat = kwargs.pop('remat', False)
         super().__init__(**kwargs)
 
 

@@ -70,6 +70,8 @@ def _common_train_options(f):
         click.option('--legacy-polygons', is_flag=True, default=False),
         click.option('--accumulate-grad-batches', default=1, type=int),
         click.option('--gradient-clip-val', default=1.0, type=float),
+        click.option('--remat/--no-remat', default=False,
+                      help='Rematerialize the forward on backward to save device memory.'),
         click.option('--fixed-splits/--ignore-fixed-splits', 'binary_dataset_split',
                       default=False),
         click.option('--logger', 'loggers', default=None,
@@ -90,7 +92,7 @@ def train(ctx, ground_truth, batch_size, output, spec, load, freq, quit, epochs,
           warmup, schedule, gamma, step_size, rop_patience, cos_t_max, cos_min_lr,
           partition, normalization, normalize_whitespace, reorder, base_dir,
           training_files, evaluation_files, format_type, augment, resize, codec,
-          legacy_polygons, accumulate_grad_batches, gradient_clip_val,
+          legacy_polygons, accumulate_grad_batches, gradient_clip_val, remat,
           binary_dataset_split, loggers):
     """
     Trains a text recognition model.
@@ -119,7 +121,7 @@ def train(ctx, ground_truth, batch_size, output, spec, load, freq, quit, epochs,
                   rop_patience=rop_patience, cos_t_max=cos_t_max,
                   cos_min_lr=cos_min_lr, resize=resize,
                   accumulate_grad_batches=accumulate_grad_batches,
-                  gradient_clip_val=gradient_clip_val,
+                  gradient_clip_val=gradient_clip_val, remat=remat,
                   device=ctx.meta['device'], precision=ctx.meta['precision'])
     if spec:
         kwargs['spec'] = spec

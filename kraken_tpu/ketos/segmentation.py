@@ -66,12 +66,14 @@ def _print_class_stats(dataset):
               help='Region merge mapping src:dest')
 @click.option('-mb', '--merge-baselines', multiple=True,
               help='Baseline merge mapping src:dest')
+@click.option('--remat/--no-remat', default=False,
+              help='Rematerialize the forward on backward to save device memory.')
 @click.argument('ground_truth', nargs=-1, type=click.Path(exists=True, dir_okay=False))
 def segtrain(ctx, output, spec, load, batch_size, freq, quit, epochs, min_epochs,
              lag, min_delta, optimizer, lrate, momentum, weight_decay, warmup,
              schedule, partition, training_files, evaluation_files, format_type,
              augment, resize, topline, valid_regions, valid_baselines,
-             merge_regions, merge_baselines, ground_truth):
+             merge_regions, merge_baselines, remat, ground_truth):
     """
     Trains a baseline/region segmentation model.
     """
@@ -92,7 +94,7 @@ def segtrain(ctx, output, spec, load, batch_size, freq, quit, epochs, min_epochs
                   min_epochs=min_epochs, lag=lag, min_delta=min_delta,
                   optimizer=optimizer, lrate=lrate, momentum=momentum,
                   weight_decay=weight_decay, warmup=warmup, schedule=schedule,
-                  resize=resize, topline=topline,
+                  resize=resize, topline=topline, remat=remat,
                   device=ctx.meta['device'], precision=ctx.meta['precision'])
     if spec:
         kwargs['spec'] = spec

@@ -58,13 +58,17 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = 'data') -> dict:
 
 
 def make_train_step(net, tx: optax.GradientTransformation, loss: str = 'ctc',
-                    mesh: Optional[Mesh] = None):
+                    mesh: Optional[Mesh] = None, remat: bool = False):
     """
     Builds a jitted SPMD training step for a VGSL layer tree.
 
     With a mesh, parameters/optimizer state are replicated and batches are
     expected sharded on the leading dim; XLA inserts the gradient
     all-reduce over ICI automatically.
+
+    With `remat`, the network forward is rematerialized on the backward pass
+    (`jax.checkpoint`), trading FLOPs for HBM — lets full-page segmentation
+    batches or very wide line batches fit on a single chip.
 
     Returns:
         step(params, opt_state, batch, rng) -> (params, opt_state, loss)
@@ -73,13 +77,20 @@ def make_train_step(net, tx: optax.GradientTransformation, loss: str = 'ctc',
     """
     from kraken_tpu.train.losses import ctc_loss, segmentation_loss
 
+    apply = net.apply
+    if remat:
+        def apply(params, image, seq_lens, train=True, rng=None):
+            def fwd(p, im, sl, r):
+                return net.apply(p, im, sl, train=train, rng=r)
+            return jax.checkpoint(fwd)(params, image, seq_lens, rng)
+
     def loss_fn(params, batch, rng):
         if loss == 'ctc':
-            logits, olens = net.apply(params, batch['image'], batch['seq_lens'],
-                                      train=True, rng=rng)
+            logits, olens = apply(params, batch['image'], batch['seq_lens'],
+                                  train=True, rng=rng)
             total = ctc_loss(logits, olens, batch['target'], batch['target_lens'])
             return total / batch['image'].shape[0]
-        logits, _ = net.apply(params, batch['image'], None, train=True, rng=rng)
+        logits, _ = apply(params, batch['image'], None, train=True, rng=rng)
         return segmentation_loss(logits, batch['target'])
 
     def step(params, opt_state, batch, rng):

@@ -251,10 +251,16 @@ class RecognitionModel:
 
     def _build_fns(self):
         net = self.net.net
+        apply = net.apply
+        if getattr(self.config, 'remat', False):
+            def apply(params, image, seq_lens, train=True, rng=None):
+                def _fwd(p, im, sl, r):
+                    return net.apply(p, im, sl, train=train, rng=r)
+                return jax.checkpoint(_fwd)(params, image, seq_lens, rng)
 
         def loss_fn(params, batch, rng):
-            logits, olens = net.apply(params, batch['image'], batch['seq_lens'],
-                                      train=True, rng=rng)
+            logits, olens = apply(params, batch['image'], batch['seq_lens'],
+                                  train=True, rng=rng)
             total = ctc_loss(logits, olens, batch['target'], batch['target_lens'])
             return total / batch['image'].shape[0]
         self.loss_fn = loss_fn

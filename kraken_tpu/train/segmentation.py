@@ -173,9 +173,15 @@ class SegmentationModel:
 
     def _build_fns(self):
         net = self.net.net
+        apply = net.apply
+        if getattr(self.config, 'remat', False):
+            def apply(params, image, seq_lens, train=True, rng=None):
+                def _fwd(p, im, r):
+                    return net.apply(p, im, seq_lens, train=train, rng=r)
+                return jax.checkpoint(_fwd)(params, image, rng)
 
         def loss_fn(params, batch, rng):
-            logits, _ = net.apply(params, batch['image'], None, train=True, rng=rng)
+            logits, _ = apply(params, batch['image'], None, train=True, rng=rng)
             # the network output is at reduced stride; upsample to the
             # target resolution before the loss (reference: train/blla.py:292)
             target = batch['target']

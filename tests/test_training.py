@@ -120,6 +120,31 @@ def test_ro_training_smoke(resources, tmp_path):
     assert 'val_spearman' in metrics
 
 
+def test_recognition_training_remat(resources, tmp_path):
+    """jax.checkpoint-rematerialized training step produces a finite loss."""
+    import jax
+    config = RecognitionTrainingConfig(spec=TINY_REC_SPEC, epochs=1,
+                                       lrate=1e-3, remat=True,
+                                       checkpoint_path=str(tmp_path / 'model'))
+    data_config = RecognitionTrainingDataConfig(
+        format_type='binary',
+        training_data=[str(resources / 'merge_tests' / 'base.arrow')],
+        batch_size=1)
+    dm = RecognitionDataModule(data_config)
+    dm.setup('fit')
+    module = RecognitionModel(config)
+    module.setup('fit', dm)
+    batch = next(iter(dm.train_dataloader()))
+    import jax.numpy as jnp
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    loss = module.loss_fn(module.net.params, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+    # gradients flow through the rematerialized forward
+    grads = jax.grad(module.loss_fn)(module.net.params, batch, jax.random.PRNGKey(0))
+    flat = jax.tree.leaves(grads)
+    assert any(np.any(np.asarray(g) != 0) for g in flat)
+
+
 def test_pretrain_smoke(resources, tmp_path):
     from kraken_tpu.configs import PretrainingConfig, RecognitionTrainingDataConfig
     from kraken_tpu.pretrain.model import RecognitionPretrainModel
