@@ -1,0 +1,42 @@
+"""
+Smoke tests for the contrib maintenance/visualization scripts: each exposes
+a click CLI whose --help must render (catching import/syntax/option-wiring
+errors without running full pipelines).
+"""
+import importlib
+from pathlib import Path
+
+import pytest
+from click.testing import CliRunner
+
+CONTRIB = sorted(p.stem for p in
+                 (Path(__file__).parent.parent / 'kraken_tpu' / 'contrib').glob('*.py')
+                 if p.stem != '__init__')
+
+
+@pytest.mark.parametrize('name', CONTRIB)
+def test_contrib_help(name):
+    mod = importlib.import_module(f'kraken_tpu.contrib.{name}')
+    cli = getattr(mod, 'cli', None)
+    assert cli is not None, f'{name} has no click entry point `cli`'
+    result = CliRunner().invoke(cli, ['--help'])
+    assert result.exit_code == 0, result.output
+
+
+def test_print_word_spreader_share_space(tmp_path):
+    (tmp_path / 'in').mkdir()
+    (tmp_path / 'in' / 't.html').write_text(
+        '<html xmlns="http://www.w3.org/1999/xhtml"><body>'
+        '<div class="ocr_page" title="bbox 0 0 1000 1000">'
+        '<span class="ocr_line" title="bbox 10 10 900 50">'
+        '<span class="ocrx_word" title="bbox 10 10 100 50">foo</span>'
+        '<span class="ocrx_word" title="bbox 100 10 120 50"> </span>'
+        '<span class="ocrx_word" title="bbox 120 10 300 50">bar</span>'
+        '</span></div></body></html>')
+    from kraken_tpu.contrib.print_word_spreader import cli
+    result = CliRunner().invoke(cli, ['--input-dir', str(tmp_path / 'in'),
+                                      '--output-dir', str(tmp_path / 'out'), '-s'])
+    assert result.exit_code == 0, result.output
+    out = (tmp_path / 'out' / 't.html').read_text()
+    assert out.count('ocrx_word') == 2  # space span removed
+    assert 'bbox 10 10 108 50' in out   # previous word widened into the gap
