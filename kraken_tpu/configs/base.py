@@ -203,6 +203,10 @@ class TrainingConfig(Config):
         # rematerialize the forward on backward (jax.checkpoint): trades
         # FLOPs for HBM so large page/line batches fit on one chip
         self.remat = kwargs.pop('remat', False)
+        # experiment logger backend ('tensorboard'/'wandb'/None) and an
+        # optional jax-profiler trace directory for the first epoch
+        self.loggers = kwargs.pop('loggers', None)
+        self.profile_dir = kwargs.pop('profile_dir', None)
         super().__init__(**kwargs)
 
 

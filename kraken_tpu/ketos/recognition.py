@@ -77,6 +77,12 @@ def _common_train_options(f):
         click.option('--logger', 'loggers', default=None,
                       type=click.Choice(['tensorboard', 'wandb']),
                       help='Experiment logger backend.'),
+        click.option('--resume', default=None, type=click.Path(exists=True),
+                      help='Resume training from a checkpoint (weights, optimizer '
+                           'state, and epoch counter).'),
+        click.option('--profile-dir', default=None, type=click.Path(),
+                      help='Write a jax profiler trace of the first epoch to this '
+                           'directory (inspect with tensorboard).'),
     ]
     for opt in reversed(opts):
         f = opt(f)
@@ -93,7 +99,7 @@ def train(ctx, ground_truth, batch_size, output, spec, load, freq, quit, epochs,
           partition, normalization, normalize_whitespace, reorder, base_dir,
           training_files, evaluation_files, format_type, augment, resize, codec,
           legacy_polygons, accumulate_grad_batches, gradient_clip_val, remat,
-          binary_dataset_split, loggers):
+          binary_dataset_split, loggers, resume, profile_dir):
     """
     Trains a text recognition model.
     """
@@ -122,6 +128,7 @@ def train(ctx, ground_truth, batch_size, output, spec, load, freq, quit, epochs,
                   cos_min_lr=cos_min_lr, resize=resize,
                   accumulate_grad_batches=accumulate_grad_batches,
                   gradient_clip_val=gradient_clip_val, remat=remat,
+                  loggers=loggers, profile_dir=profile_dir,
                   device=ctx.meta['device'], precision=ctx.meta['precision'])
     if spec:
         kwargs['spec'] = spec
@@ -149,7 +156,7 @@ def train(ctx, ground_truth, batch_size, output, spec, load, freq, quit, epochs,
     module = (RecognitionModel.load_from_weights(config, load) if load
               else RecognitionModel(config))
     trainer = KrakenTrainer(config)
-    trainer.fit(module, dm)
+    trainer.fit(module, dm, resume=resume)
     best = trainer._ckpt_path('best')
     if best.exists():
         out = Path(f'{output}_best.safetensors')

@@ -68,12 +68,17 @@ def _print_class_stats(dataset):
               help='Baseline merge mapping src:dest')
 @click.option('--remat/--no-remat', default=False,
               help='Rematerialize the forward on backward to save device memory.')
+@click.option('--resume', default=None, type=click.Path(exists=True),
+              help='Resume training from a checkpoint.')
+@click.option('--logger', 'loggers', default=None,
+              type=click.Choice(['tensorboard', 'wandb']),
+              help='Experiment logger backend.')
 @click.argument('ground_truth', nargs=-1, type=click.Path(exists=True, dir_okay=False))
 def segtrain(ctx, output, spec, load, batch_size, freq, quit, epochs, min_epochs,
              lag, min_delta, optimizer, lrate, momentum, weight_decay, warmup,
              schedule, partition, training_files, evaluation_files, format_type,
              augment, resize, topline, valid_regions, valid_baselines,
-             merge_regions, merge_baselines, remat, ground_truth):
+             merge_regions, merge_baselines, remat, resume, loggers, ground_truth):
     """
     Trains a baseline/region segmentation model.
     """
@@ -94,7 +99,7 @@ def segtrain(ctx, output, spec, load, batch_size, freq, quit, epochs, min_epochs
                   min_epochs=min_epochs, lag=lag, min_delta=min_delta,
                   optimizer=optimizer, lrate=lrate, momentum=momentum,
                   weight_decay=weight_decay, warmup=warmup, schedule=schedule,
-                  resize=resize, topline=topline, remat=remat,
+                  resize=resize, topline=topline, remat=remat, loggers=loggers,
                   device=ctx.meta['device'], precision=ctx.meta['precision'])
     if spec:
         kwargs['spec'] = spec
@@ -144,7 +149,7 @@ def segtrain(ctx, output, spec, load, batch_size, freq, quit, epochs, min_epochs
     module = (SegmentationModel.load_from_weights(config, load) if load
               else SegmentationModel(config))
     trainer = KrakenTrainer(config)
-    trainer.fit(module, dm)
+    trainer.fit(module, dm, resume=resume)
     train_ds = dm.train_set.dataset if hasattr(dm.train_set, 'dataset') else dm.train_set
     _print_class_stats(train_ds)
     best = trainer._ckpt_path('best')

@@ -34,6 +34,46 @@ logger = logging.getLogger(__name__)
 __all__ = ['KrakenTrainer']
 
 
+class _ExperimentLogger:
+    """
+    Minimal scalar logger behind the reference's `--logger tensorboard|wandb`
+    option (reference: kraken/train/utils.py:124-141). tensorboard uses the
+    torch SummaryWriter (always available in this stack); wandb is gated on
+    the package being importable.
+    """
+
+    def __init__(self, backend: Optional[str], log_dir: str, config) -> None:
+        self._tb = None
+        self._wandb = None
+        if backend == 'tensorboard':
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(log_dir=log_dir)
+            except ImportError:
+                logger.warning('tensorboard not available; scalar logging disabled.')
+        elif backend == 'wandb':
+            try:
+                import wandb
+                self._wandb = wandb.init(dir=log_dir, config=vars(config))
+            except ImportError:
+                logger.warning('wandb not available; scalar logging disabled.')
+
+    def log_scalars(self, scalars: dict, step: int) -> None:
+        numeric = {k: float(v) for k, v in scalars.items()
+                   if isinstance(v, (int, float, np.floating))}
+        if self._tb is not None:
+            for k, v in numeric.items():
+                self._tb.add_scalar(k, v, step)
+        if self._wandb is not None:
+            self._wandb.log(numeric, step=step)
+
+    def close(self) -> None:
+        if self._tb is not None:
+            self._tb.close()
+        if self._wandb is not None:
+            self._wandb.finish()
+
+
 class KrakenTrainer:
     """
     Drives training of a task module according to a TrainingConfig.
@@ -53,7 +93,7 @@ class KrakenTrainer:
         self.metrics_history: list[dict] = []
 
     # ------------------------------------------------------------------ fit
-    def fit(self, module, datamodule) -> None:
+    def fit(self, module, datamodule, resume: Optional[str] = None) -> None:
         config = self.config
         module.trainer = self
         datamodule.setup('fit')
@@ -65,6 +105,25 @@ class KrakenTrainer:
         params = module.net.params
         opt_state = tx.init(params)
         self._lr_schedule = build_lr_schedule(config, steps_per_epoch)
+
+        if resume is not None:
+            # restore weights, optimizer state, and epoch/step counters from
+            # a checkpoint (reference: ketos/recognition.py --resume)
+            from kraken_tpu.train.checkpoint import load_checkpoint
+            ckpt_model, ckpt_opt_state, meta = load_checkpoint(resume, opt_state)
+            module.net.load_state_dict(ckpt_model.state_dict(), prefix='nn.')
+            params = module.net.params
+            if ckpt_opt_state is not None:
+                opt_state = ckpt_opt_state
+            config.completed_epochs = int(meta.get('epoch', -1)) + 1
+            self.global_step = int(meta.get('global_step', 0))
+            logger.info(f'Resumed from {resume} at epoch {config.completed_epochs}, '
+                        f'step {self.global_step}.')
+
+        exp_logger = _ExperimentLogger(getattr(config, 'loggers', None),
+                                       self.log_dir or str(Path(self.config.checkpoint_path).parent / 'runs'),
+                                       config)
+        profile_dir = getattr(config, 'profile_dir', None)
 
         loss_fn = module.loss_fn
 
@@ -81,11 +140,16 @@ class KrakenTrainer:
         rop_counter = 0
         rop_scale = 1.0
 
+        profiling = False
         try:
             for epoch in range(config.completed_epochs, epochs):
                 self.current_epoch = epoch
                 epoch_loss = 0.0
                 n_batches = 0
+                if profile_dir and epoch == config.completed_epochs:
+                    # trace the first epoch (compilation + steady-state steps)
+                    jax.profiler.start_trace(profile_dir)
+                    profiling = True
                 for batch in train_loader:
                     rng, step_rng = jax.random.split(rng)
                     jbatch = {k: jnp.asarray(v) for k, v in batch.items()
@@ -97,8 +161,15 @@ class KrakenTrainer:
                     if self.fast_dev_run:
                         break
                 module.net.params = params
+                if profiling:
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    logger.info(f'Wrote profiler trace for epoch {epoch} to {profile_dir}')
                 avg_loss = epoch_loss / max(n_batches, 1)
                 logger.info(f'epoch {epoch}: loss {avg_loss:.4f}')
+                exp_logger.log_scalars({'train_loss': avg_loss,
+                                        'lr': float(self._lr_schedule(self.global_step)) * rop_scale},
+                                       epoch)
 
                 # validation + checkpointing at `freq` epoch granularity
                 run_val = (config.freq >= 1 and (epoch + 1) % int(config.freq) == 0) or config.freq < 1
@@ -112,6 +183,7 @@ class KrakenTrainer:
                         (epoch, {k: float(v) if isinstance(v, (int, float, np.floating)) else v
                                  for k, v in val_metrics.items()}))
                     metric = val_metrics.get('val_metric', -avg_loss)
+                    exp_logger.log_scalars(val_metrics, epoch)
                     logger.info(f'epoch {epoch}: ' + ' '.join(f'{k}={v:.4f}' for k, v in val_metrics.items()
                                                               if isinstance(v, (int, float, np.floating))))
                     self._checkpoint(module, opt_state, epoch, metric)
@@ -152,6 +224,10 @@ class KrakenTrainer:
         except Exception:
             self._write(module, opt_state, 'checkpoint_abort')
             raise
+        finally:
+            if profiling:
+                jax.profiler.stop_trace()
+            exp_logger.close()
         module.net.params = params
         self._final_opt_state = opt_state
 

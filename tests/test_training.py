@@ -145,6 +145,50 @@ def test_recognition_training_remat(resources, tmp_path):
     assert any(np.any(np.asarray(g) != 0) for g in flat)
 
 
+def test_recognition_training_resume(resources, tmp_path):
+    """A checkpoint resumes with weights, optimizer state, and epoch counter."""
+    config = RecognitionTrainingConfig(spec=TINY_REC_SPEC, epochs=1,
+                                       lrate=1e-3,
+                                       checkpoint_path=str(tmp_path / 'model'))
+    data_config = RecognitionTrainingDataConfig(
+        format_type='binary',
+        training_data=[str(resources / 'merge_tests' / 'base.arrow')],
+        batch_size=1)
+    dm = RecognitionDataModule(data_config)
+    module = RecognitionModel(config)
+    trainer = KrakenTrainer(config, fast_dev_run=True)
+    trainer.fit(module, dm)
+    ckpt = trainer._ckpt_path('0')
+    assert ckpt.exists()
+
+    config2 = RecognitionTrainingConfig(spec=TINY_REC_SPEC, epochs=2,
+                                        lrate=1e-3,
+                                        checkpoint_path=str(tmp_path / 'model2'))
+    dm2 = RecognitionDataModule(data_config)
+    module2 = RecognitionModel(config2)
+    trainer2 = KrakenTrainer(config2, fast_dev_run=True)
+    trainer2.fit(module2, dm2, resume=str(ckpt))
+    # epoch counter advanced past the checkpointed epoch
+    assert config2.completed_epochs == 1
+    assert trainer2.current_epoch >= 1
+
+
+def test_training_tensorboard_logger(resources, tmp_path):
+    config = RecognitionTrainingConfig(spec=TINY_REC_SPEC, epochs=1,
+                                       lrate=1e-3, loggers='tensorboard',
+                                       checkpoint_path=str(tmp_path / 'model'))
+    data_config = RecognitionTrainingDataConfig(
+        format_type='binary',
+        training_data=[str(resources / 'merge_tests' / 'base.arrow')],
+        batch_size=1)
+    dm = RecognitionDataModule(data_config)
+    module = RecognitionModel(config)
+    trainer = KrakenTrainer(config, fast_dev_run=True,
+                            log_dir=str(tmp_path / 'runs'))
+    trainer.fit(module, dm)
+    assert list((tmp_path / 'runs').glob('events.out.tfevents.*'))
+
+
 def test_pretrain_smoke(resources, tmp_path):
     from kraken_tpu.configs import PretrainingConfig, RecognitionTrainingDataConfig
     from kraken_tpu.pretrain.model import RecognitionPretrainModel
