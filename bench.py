@@ -16,7 +16,7 @@ import time
 
 import numpy as np
 
-BATCH = 128
+BATCH = 512
 WIDTH = 1024
 HEIGHT = 120
 CLASSES = 250
@@ -110,7 +110,7 @@ def main():
     jax_lps = bench_jax()
     torch_lps = bench_torch_cpu()
     print(json.dumps({
-        'metric': 'recognition lines/sec/chip (CNN+3xBiLSTM-200, 120x1024 lines, batch 128, pipelined)',
+        'metric': f'recognition lines/sec/chip (CNN+3xBiLSTM-200, 120x1024 lines, batch {BATCH}, pipelined)',
         'value': round(jax_lps, 2),
         'unit': 'lines/sec',
         'vs_baseline': round(jax_lps / torch_lps, 2),
