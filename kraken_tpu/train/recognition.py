@@ -86,6 +86,12 @@ class RecognitionDataModule:
                     dataset.add(line=parse_gt_path(f))
             except (ValueError, KrakenInputException) as e:
                 logger.warning(f'Invalid input file {f}: {e}')
+        if cfg.format_type == 'binary' and (getattr(cfg, 'normalization', None)
+                                            or getattr(cfg, 'normalize_whitespace', True)
+                                            or getattr(cfg, 'reorder', True)):
+            # binary metadata alphabets are pre-transform; recompute through
+            # the text transform stack (reference: train/vgsl.py:174-176)
+            dataset.rebuild_alphabet()
         return dataset
 
     def setup(self, stage: Optional[str] = None):
