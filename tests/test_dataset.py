@@ -1,0 +1,128 @@
+"""
+Dataset/pipeline unit tests (reference: tests/test_arrow_dataset.py,
+test_dataset.py, test_lineest.py, test_binarization.py, test_train_utils.py):
+Arrow compilation round trips, ground-truth datasets, centerline dewarping,
+host binarization, and LR schedule construction.
+"""
+import numpy as np
+import pytest
+from PIL import Image
+
+
+def _line_transforms():
+    from kraken_tpu.dataset import ImageInputTransforms
+    return ImageInputTransforms(1, 48, 0, 1, 0, valid_norm=False)
+
+
+def test_arrow_roundtrip_xml(resources, tmp_path):
+    from kraken_tpu.dataset import ArrowIPCRecognitionDataset
+    from kraken_tpu.dataset.arrow import build_binary_dataset
+
+    out = tmp_path / 'ds.arrow'
+    build_binary_dataset([str(resources / '170025120000003,0074.xml')],
+                         output_file=str(out), format_type='xml')
+    ds = ArrowIPCRecognitionDataset(im_transforms=_line_transforms())
+    ds.add(str(out))
+    assert len(ds) > 0
+    assert len(ds.alphabet) > 0
+    sample = ds[0]
+    assert sample['image'].ndim == 3       # (C, H, W)
+    # without a codec, target is the transformed text itself
+    assert isinstance(sample['target'], str) and sample['target']
+
+
+def test_arrow_random_split(resources, tmp_path):
+    from kraken_tpu.dataset import ArrowIPCRecognitionDataset
+    from kraken_tpu.dataset.arrow import build_binary_dataset
+
+    out = tmp_path / 'ds.arrow'
+    build_binary_dataset([str(resources / '170025120000003,0074.xml')],
+                         output_file=str(out), format_type='xml',
+                         random_split=(0.8, 0.1, 0.1))
+    full = ArrowIPCRecognitionDataset()
+    full.add(str(out))
+    train = ArrowIPCRecognitionDataset(split_filter='train')
+    train.add(str(out))
+    assert 0 < len(train) <= len(full)
+
+
+def test_arrow_path_format(resources, tmp_path):
+    from kraken_tpu.dataset import ArrowIPCRecognitionDataset
+    from kraken_tpu.dataset.arrow import build_binary_dataset
+
+    out = tmp_path / 'ds.arrow'
+    build_binary_dataset([str(resources / 'merge_tests' / '0006.jpg'),
+                          str(resources / 'merge_tests' / '0007.jpg')],
+                         output_file=str(out), format_type='path')
+    ds = ArrowIPCRecognitionDataset()
+    ds.add(str(out))
+    assert len(ds) == 2
+
+
+def test_groundtruth_dataset(resources):
+    from kraken_tpu.dataset import GroundTruthDataset
+    from kraken_tpu.lib.util import parse_gt_path
+
+    ds = GroundTruthDataset(im_transforms=_line_transforms())
+    ds.add(line=parse_gt_path(str(resources / 'merge_tests' / '0008.jpg')))
+    ds.encode()
+    sample = ds[0]
+    assert sample['image'].ndim == 3
+    assert len(sample['target']) > 0
+
+
+def test_centerline_dewarp():
+    from kraken_tpu.lib.lineest import CenterNormalizer
+
+    # synthetic line: bright stroke drifting vertically across the image
+    img = np.zeros((60, 200), float)
+    for x in range(200):
+        y = 30 + int(10 * np.sin(x / 40))
+        img[y - 2:y + 2, x] = 1.0
+    cn = CenterNormalizer(target_height=48)
+    cn.measure(img)
+    out = cn.normalize(img)
+    assert out.shape[0] == 48
+    # after dewarping the stroke's row-profile should concentrate mid-image
+    profile = out.sum(axis=1)
+    assert profile.argmax() == pytest.approx(24, abs=8)
+
+
+def test_scale_to_h():
+    from kraken_tpu.lib.lineest import scale_to_h
+    img = np.random.rand(60, 200)
+    out = scale_to_h(img, 30)
+    assert out.shape == (30, 100)
+
+
+def test_nlbin_host(resources):
+    from kraken_tpu.binarization import nlbin
+    from kraken_tpu.lib.util import is_bitonal
+    res = nlbin(Image.open(resources / 'input.jpg').convert('RGB')
+                if (resources / 'input.jpg').exists()
+                else Image.open(resources / 'bw.png').convert('RGB'))
+    assert res.mode in ('1', 'L')
+    assert is_bitonal(res)
+
+
+def test_lr_schedules():
+    from kraken_tpu.configs import RecognitionTrainingConfig
+    from kraken_tpu.train.optim import build_lr_schedule
+
+    # warmup ramps linearly to the base rate
+    config = RecognitionTrainingConfig(lrate=1e-3, warmup=10, schedule='constant')
+    sched = build_lr_schedule(config, steps_per_epoch=5)
+    assert float(sched(0)) < float(sched(5)) <= float(sched(20))
+    assert float(sched(20)) == pytest.approx(1e-3)
+
+    # cosine decays towards cos_min_lr
+    config = RecognitionTrainingConfig(lrate=1e-3, schedule='cosine',
+                                       cos_t_max=10, cos_min_lr=1e-5)
+    sched = build_lr_schedule(config, steps_per_epoch=1)
+    assert float(sched(0)) == pytest.approx(1e-3, rel=1e-3)
+    assert float(sched(10)) == pytest.approx(1e-5, rel=1e-2)
+
+    # exponential decays by gamma per epoch
+    config = RecognitionTrainingConfig(lrate=1e-3, schedule='exponential', gamma=0.5)
+    sched = build_lr_schedule(config, steps_per_epoch=2)
+    assert float(sched(2)) == pytest.approx(5e-4, rel=1e-3)
