@@ -1,0 +1,106 @@
+"""
+kraken_tpu.lib.fastfilters
+~~~~~~~~~~~~~~~~~~~~~~~~~~
+
+SIMD-accelerated drop-in equivalents of the scipy.ndimage separable filters
+on the legacy page-segmentation hot path (reference pipeline:
+kraken/pageseg.py uses scipy gaussian/uniform/maximum filters on full-page
+float arrays). The kernels are generated with scipy's exact formulas
+(gaussian truncation radius int(4*sigma+0.5), derivative-of-gaussian via
+-x/sigma^2) and applied with OpenCV's separable filter engine, which is
+several times faster than scipy's correlate1d on large pages. Border
+handling replicates scipy's default mode='reflect' (cv2.BORDER_REFLECT).
+
+Each entry point falls back to scipy when the requested configuration has
+no exact cv2 equivalent; parity is asserted in tests/test_pageseg.py.
+"""
+import numpy as np
+
+try:
+    import cv2
+    _HAS_CV2 = True
+except ImportError:  # pragma: no cover
+    _HAS_CV2 = False
+
+from scipy import ndimage as ndi
+
+__all__ = ['gaussian_filter', 'uniform_filter', 'maximum_filter']
+
+
+_BORDER = {'reflect': None, 'constant': None}
+if _HAS_CV2:
+    _BORDER = {'reflect': cv2.BORDER_REFLECT, 'constant': cv2.BORDER_CONSTANT,
+               'mirror': cv2.BORDER_REFLECT_101, 'nearest': cv2.BORDER_REPLICATE}
+
+
+def _gauss_kernel1d(sigma: float, order: int) -> np.ndarray:
+    """scipy-identical 1-D gaussian (derivative) correlation kernel."""
+    radius = int(4.0 * sigma + 0.5)
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    phi = np.exp(-0.5 * x * x / (sigma * sigma))
+    phi /= phi.sum()
+    if order == 0:
+        return phi
+    if order == 1:
+        return phi * (-x / (sigma * sigma))
+    if order == 2:
+        return phi * (x * x / sigma ** 4 - 1.0 / sigma ** 2)
+    raise NotImplementedError(order)
+
+
+def gaussian_filter(input: np.ndarray, sigma, order=0, mode: str = 'reflect'):
+    """
+    2-D gaussian (derivatives up to order 2) filter matching
+    scipy.ndimage.gaussian_filter for reflect/constant/mirror/nearest borders.
+    """
+    sigmas = (sigma, sigma) if np.isscalar(sigma) else tuple(sigma)
+    orders = (order, order) if np.isscalar(order) else tuple(order)
+    if (not _HAS_CV2 or input.ndim != 2 or mode not in _BORDER
+            or any(o not in (0, 1, 2) for o in orders) or any(s <= 0 for s in sigmas)):
+        return ndi.gaussian_filter(input, sigmas, order=orders, mode=mode)
+    # scipy correlates with the reversed kernel; cv2.sepFilter2D correlates
+    # with the kernel as given, so pass the reversed kernel through
+    ky = _gauss_kernel1d(sigmas[0], orders[0])[::-1]
+    kx = _gauss_kernel1d(sigmas[1], orders[1])[::-1]
+    dtype = np.float32 if input.dtype == np.float32 else np.float64
+    src = np.ascontiguousarray(input, dtype)
+    return cv2.sepFilter2D(src, -1, kx, ky, borderType=_BORDER[mode])
+
+
+def uniform_filter(input: np.ndarray, size, mode: str = 'reflect', **kwargs):
+    """
+    2-D box filter matching scipy.ndimage.uniform_filter for mode='reflect'
+    and origin 0.
+    """
+    sizes = (size, size) if np.isscalar(size) else tuple(size)
+    sizes = tuple(int(s) for s in sizes)
+    if (not _HAS_CV2 or input.ndim != 2 or mode != 'reflect' or kwargs
+            or any(s < 1 for s in sizes)):
+        return ndi.uniform_filter(input, sizes, mode=mode, **kwargs)
+    dtype = np.float32 if input.dtype == np.float32 else np.float64
+    src = np.ascontiguousarray(input, dtype)
+    # scipy's origin-0 window starts size//2 left of center, which is cv2's
+    # default integer-division anchor
+    return cv2.boxFilter(src, -1, (sizes[1], sizes[0]),
+                         anchor=(sizes[1] // 2, sizes[0] // 2), normalize=True,
+                         borderType=cv2.BORDER_REFLECT)
+
+
+def maximum_filter(input: np.ndarray, size, mode: str = 'reflect', **kwargs):
+    """
+    2-D maximum filter matching scipy.ndimage.maximum_filter for
+    mode='reflect' and origin 0.
+    """
+    sizes = (size, size) if np.isscalar(size) else tuple(size)
+    sizes = tuple(int(s) for s in sizes)
+    if (not _HAS_CV2 or input.ndim != 2 or mode != 'reflect' or kwargs
+            or any(s < 1 for s in sizes)):
+        return ndi.maximum_filter(input, sizes, mode=mode, **kwargs)
+    was_bool = input.dtype == bool
+    src = np.ascontiguousarray(input, np.uint8 if was_bool else np.float64)
+    kernel = np.ones((sizes[0], sizes[1]), np.uint8)
+    out = cv2.dilate(src, kernel, anchor=(sizes[1] // 2, sizes[0] // 2),
+                     borderType=cv2.BORDER_REFLECT)
+    if was_bool:
+        return out.astype(bool)
+    return out.astype(input.dtype)

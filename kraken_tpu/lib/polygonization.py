@@ -19,7 +19,9 @@ from typing import Optional, Sequence
 
 import cv2
 import numpy as np
-from scipy.ndimage import affine_transform, distance_transform_cdt, gaussian_filter
+from scipy.ndimage import affine_transform, distance_transform_cdt
+
+from kraken_tpu.lib.fastfilters import gaussian_filter
 
 from kraken_tpu.lib.geometry import douglas_peucker, polyline_dists
 

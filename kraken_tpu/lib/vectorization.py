@@ -20,8 +20,9 @@ from typing import Optional
 import cv2
 import numpy as np
 from scipy import sparse
-from scipy.ndimage import (convolve, gaussian_filter, label as nd_label,
-                           maximum_filter)
+from scipy.ndimage import convolve, label as nd_label
+
+from kraken_tpu.lib.fastfilters import gaussian_filter, maximum_filter
 from scipy.sparse.csgraph import dijkstra
 
 from kraken_tpu.lib.geometry import douglas_peucker, polyline_dists

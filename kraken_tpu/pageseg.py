@@ -13,7 +13,8 @@ from typing import Callable, Optional, Union
 
 import numpy as np
 import PIL
-from scipy.ndimage import gaussian_filter, maximum_filter, uniform_filter
+from kraken_tpu.lib.fastfilters import (gaussian_filter, maximum_filter,
+                                        uniform_filter)
 
 from kraken_tpu.containers import BBoxLine, Segmentation
 from kraken_tpu.exceptions import KrakenInputException
