@@ -56,9 +56,14 @@ class RecognitionPretrainModel:
             self.net = create_model('TorchVGSLModel',
                                     model_type=['recognition'],
                                     vgsl=spec)
-        # ensure a linear output layer exists (dummy codec domain)
+        # ensure a linear output layer exists (dummy codec domain), with a
+        # single-glyph dummy codec so fine-tuning with --resize union/new can
+        # negotiate against it (reference: lib/pretrain/model.py:104,260-261)
         if not isinstance(self.net.net.layers[-1], L.LinSoftmax):
             self.net.append(len(self.net.net.layers), '[O1c2]')
+        if self.net.codec is None:
+            from kraken_tpu.codec import Codec
+            self.net.add_codec(Codec(' '))
         # split around the first recurrent layer
         split_idx = None
         for idx, layer in enumerate(self.net.net.layers):

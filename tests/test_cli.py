@@ -109,3 +109,62 @@ def test_ketos_convert(runner, resources, tmp_path):
     assert result.exit_code == 0, result.output
     reloaded = load_models(out)[0]
     assert reloaded.codec.c2l == model.codec.c2l
+
+
+def test_segment_neural_cli(runner, resources, tmp_path):
+    """CLI `segment -bl` with a (random-weight) neural seg model produces a
+    structurally valid baseline Segmentation."""
+    import jax
+    import json
+    from kraken_tpu.models import write_models
+    from kraken_tpu.vgsl import VGSLModel
+
+    model = VGSLModel(vgsl='[1,128,0,3 Cr3,3,8,2,2 Gn2 Cr3,3,16,2,2 Gn2 O2l4]',
+                      rng=jax.random.PRNGKey(0))
+    model.model_type = 'segmentation'
+    model.user_metadata['class_mapping'] = {'aux': {'_start_separator': 0,
+                                                    '_end_separator': 1},
+                                            'baselines': {'default': 2},
+                                            'regions': {'text': 3}}
+    seg_model = tmp_path / 'seg.safetensors'
+    write_models([model], seg_model)
+
+    out = tmp_path / 'seg.json'
+    result = runner.invoke(kraken_cli, ['-i', str(resources / 'bw.png'), str(out),
+                                        '-r', 'segment', '-bl',
+                                        '-i', str(seg_model)])
+    assert result.exit_code == 0, result.output
+    seg = json.loads(out.read_text())
+    assert seg['type'] == 'baselines'
+
+
+def test_pretrain_to_recognition_flow(resources, tmp_path):
+    """A pretraining checkpoint warm-starts recognition training: the
+    __pretrain__ parameter subtree is dropped and the backbone weights load."""
+    from kraken_tpu.configs import (PretrainingConfig, RecognitionTrainingConfig,
+                                    RecognitionTrainingDataConfig)
+    from kraken_tpu.pretrain.model import RecognitionPretrainModel
+    from kraken_tpu.train import (KrakenTrainer, RecognitionDataModule,
+                                  RecognitionModel)
+
+    spec = '[1,32,0,1 Cr3,3,4,2,2 S1(1x0)1,3 Lbx8 Do0.1,2]'
+    pre_config = PretrainingConfig(spec=spec, epochs=1, lrate=1e-4,
+                                   mask_width=2, mask_prob=0.5, num_negatives=4,
+                                   checkpoint_path=str(tmp_path / 'pre'))
+    data_config = RecognitionTrainingDataConfig(
+        format_type='binary',
+        training_data=[str(resources / 'merge_tests' / 'base.arrow')],
+        batch_size=1)
+    dm = RecognitionDataModule(data_config)
+    pre_module = RecognitionPretrainModel(pre_config)
+    KrakenTrainer(pre_config, fast_dev_run=True).fit(pre_module, dm)
+    ckpts = sorted(tmp_path.glob('pre_*.safetensors'))
+    assert ckpts
+
+    rec_config = RecognitionTrainingConfig(spec=spec, epochs=1, lrate=1e-3,
+                                           resize='new',
+                                           checkpoint_path=str(tmp_path / 'rec'))
+    module = RecognitionModel.load_from_weights(rec_config, ckpts[0])
+    assert '__pretrain__' not in module.net.params
+    KrakenTrainer(rec_config, fast_dev_run=True).fit(module, RecognitionDataModule(data_config))
+    assert module.net.codec is not None
