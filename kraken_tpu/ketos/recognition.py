@@ -210,6 +210,7 @@ def test(ctx, model, batch_size, evaluation_files, format_type, normalization,
         dm = RecognitionDataModule(data_config)
         dm.setup('test')
         module = RecognitionModel.load_from_weights(config, m)
+        module.setup('test', dm)
         metrics = module.test(module.net.params, dm)
         report = render_report(str(m), metrics['chars'], metrics['errors'],
                                metrics['accuracy'], metrics['case_insensitive_accuracy'],

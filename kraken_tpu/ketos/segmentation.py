@@ -122,9 +122,10 @@ def segtrain(ctx, output, spec, load, batch_size, freq, quit, epochs, min_epochs
             key = self._merge.get(key, key)
             if self._valid is not None and key not in self._valid:
                 raise KeyError(key)
-            if key not in self:
-                self[key] = self._base[key]
-            return self[key]
+            # bypass __contains__/__getitem__: they re-enter __missing__
+            if not dict.__contains__(self, key):
+                dict.__setitem__(self, key, self._base[key])
+            return dict.__getitem__(self, key)
 
         def __contains__(self, key):
             try:

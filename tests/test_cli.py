@@ -168,3 +168,43 @@ def test_pretrain_to_recognition_flow(resources, tmp_path):
     assert '__pretrain__' not in module.net.params
     KrakenTrainer(rec_config, fast_dev_run=True).fit(module, RecognitionDataModule(data_config))
     assert module.net.codec is not None
+
+
+def test_ketos_test_cli(runner, resources, tmp_path):
+    """ketos test evaluates a model and writes an accuracy report."""
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        result = runner.invoke(ketos_cli, ['test',
+                                           '-m', str(resources / 'merge_tests' / 'merge_codec_nfd.mlmodel'),
+                                           '-f', 'binary',
+                                           str(resources / 'merge_tests' / 'base.arrow')])
+    finally:
+        os.chdir(cwd)
+    assert result.exit_code == 0, result.output
+    assert 'accuracy' in result.output.lower() or 'report' in result.output.lower()
+
+
+def test_ketos_segtrain_cli(runner, resources, tmp_path):
+    """ketos segtrain runs one epoch and writes checkpoints."""
+    result = runner.invoke(ketos_cli, ['segtrain', '-N', '1',
+                                       '-o', str(tmp_path / 'seg'),
+                                       '-s', '[1,64,0,3 Cr3,3,4,2,2 Gn2]',
+                                       str(resources / '170025120000003,0074.xml')])
+    assert result.exit_code == 0, result.output
+    assert list(tmp_path.glob('seg_*.safetensors')), result.output
+
+
+def test_ketos_segtest_cli(runner, resources, tmp_path):
+    """ketos segtest evaluates a trained seg model and prints metrics."""
+    result = runner.invoke(ketos_cli, ['segtrain', '-N', '1',
+                                       '-o', str(tmp_path / 'seg'),
+                                       '-s', '[1,64,0,3 Cr3,3,4,2,2 Gn2]',
+                                       str(resources / '170025120000003,0074.xml')])
+    assert result.exit_code == 0, result.output
+    best = tmp_path / 'seg_best.safetensors'
+    assert best.exists()
+    result = runner.invoke(ketos_cli, ['segtest', '-m', str(best),
+                                       str(resources / '170025120000003,0074.xml')])
+    assert result.exit_code == 0, result.output
+    assert 'val_mean_iu' in result.output
