@@ -208,3 +208,39 @@ def test_ketos_segtest_cli(runner, resources, tmp_path):
                                        str(resources / '170025120000003,0074.xml')])
     assert result.exit_code == 0, result.output
     assert 'val_mean_iu' in result.output
+
+
+def test_ketos_rotrain_roadd_cli(runner, resources, tmp_path):
+    """rotrain trains an RO model; roadd embeds it into a seg model."""
+    result = runner.invoke(ketos_cli, ['rotrain', '-N', '1',
+                                       '-o', str(tmp_path / 'ro'),
+                                       str(resources / '170025120000003,0074.xml')])
+    assert result.exit_code == 0, result.output
+    ro_best = tmp_path / 'ro_best.safetensors'
+    assert ro_best.exists(), result.output
+
+    # train a tiny seg model to attach the RO model to
+    result = runner.invoke(ketos_cli, ['segtrain', '-N', '1',
+                                       '-o', str(tmp_path / 'seg'),
+                                       '-s', '[1,64,0,3 Cr3,3,4,2,2 Gn2]',
+                                       str(resources / '170025120000003,0074.xml')])
+    assert result.exit_code == 0, result.output
+    result = runner.invoke(ketos_cli, ['roadd',
+                                       '-i', str(tmp_path / 'seg_best.safetensors'),
+                                       '-r', str(ro_best),
+                                       '-o', str(tmp_path / 'seg_ro.safetensors')])
+    assert result.exit_code == 0, result.output
+    from kraken_tpu.models import load_models
+    models = load_models(tmp_path / 'seg_ro.safetensors')
+    assert any('reading_order' in getattr(m, 'model_type', []) for m in models), \
+        [getattr(m, 'model_type', None) for m in models]
+
+
+def test_ketos_pretrain_cli(runner, resources, tmp_path):
+    result = runner.invoke(ketos_cli, ['pretrain', '-N', '1', '-f', 'binary',
+                                       '-o', str(tmp_path / 'pre'),
+                                       '-s', '[1,32,0,1 Cr3,3,4,2,2 S1(1x0)1,3 Lbx8 Do0.1,2]',
+                                       '--mask-width', '2', '--num-negatives', '4',
+                                       str(resources / 'merge_tests' / 'base.arrow')])
+    assert result.exit_code == 0, result.output
+    assert list(tmp_path.glob('pre_*.safetensors')), result.output
