@@ -1,5 +1,5 @@
-from kraken_tpu.parallel.mesh import (make_mesh, shard_batch, replicate,
+from kraken_tpu.parallel.mesh import (make_mesh, shard_batch, replicate, make_infer_fn,
                                       make_train_step, batch_sharding)
 
-__all__ = ['make_mesh', 'shard_batch', 'replicate', 'make_train_step',
+__all__ = ['make_mesh', 'shard_batch', 'replicate', 'make_train_step', 'make_infer_fn',
            'batch_sharding']

@@ -26,7 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 import optax
 
 __all__ = ['make_mesh', 'batch_sharding', 'shard_batch', 'replicate',
-           'make_train_step']
+           'make_train_step', 'make_infer_fn']
 
 
 def make_mesh(devices: Optional[Sequence] = None, axis: str = 'data') -> Mesh:
@@ -55,6 +55,28 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = 'data') -> dict:
     """
     sharding = batch_sharding(mesh, axis)
     return {k: jax.device_put(jnp.asarray(v), sharding) for k, v in batch.items()}
+
+
+def make_infer_fn(net, mesh: Mesh, temperature: float = 1.0):
+    """
+    Builds a jitted SPMD recognition forward over a device mesh: parameters
+    replicated, the (bucketed, padded) line batch sharded on the leading dim.
+    Returns fn(params, x, seq_lens) -> (labels, confs, olens) — the decoder's
+    device-side reductions, so only (N, W) tensors leave the mesh.
+
+    Batch sizes must be divisible by the mesh size; the recognition engine's
+    width buckets keep per-shard shapes static.
+    """
+    def fwd(params, x, seq_lens):
+        logits, olens = net.apply(params, x, seq_lens)
+        probs = jax.nn.softmax(logits.astype(jnp.float32) / temperature, axis=1)
+        probs = probs.squeeze(2)
+        return jnp.argmax(probs, axis=1), jnp.max(probs, axis=1), olens
+
+    repl = replicate(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(fwd, in_shardings=(repl, data, data),
+                   out_shardings=(data, data, data))
 
 
 def make_train_step(net, tx: optax.GradientTransformation, loss: str = 'ctc',

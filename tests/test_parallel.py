@@ -79,3 +79,32 @@ def test_dp_matches_single_device():
 def test_graft_dryrun():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+def test_sharded_inference_matches_single_device():
+    """make_infer_fn over an 8-device mesh equals the unsharded forward."""
+    import jax
+    import jax.numpy as jnp
+    from kraken_tpu.parallel import make_infer_fn, make_mesh, replicate
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from kraken_tpu.vgsl import VGSLModel
+
+    model = VGSLModel(vgsl='[1,16,0,1 Cr3,3,4,2,2 S1(1x0)1,3 Lbx8 O1c6]',
+                      rng=jax.random.PRNGKey(0))
+    rng = np.random.RandomState(3)
+    x = rng.rand(16, 1, 16, 64).astype(np.float32)
+    lens = np.full(16, 64, np.int32)
+
+    logits, olens = model.net.apply(model.params, jnp.asarray(x), jnp.asarray(lens))
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=1).squeeze(2)
+    ref_labels = np.asarray(jnp.argmax(probs, axis=1))
+    ref_confs = np.asarray(jnp.max(probs, axis=1))
+
+    mesh = make_mesh(jax.devices())
+    fn = make_infer_fn(model.net, mesh)
+    data = NamedSharding(mesh, P('data'))
+    labels, confs, olens2 = fn(jax.device_put(model.params, replicate(mesh)),
+                               jax.device_put(jnp.asarray(x), data),
+                               jax.device_put(jnp.asarray(lens), data))
+    np.testing.assert_array_equal(np.asarray(labels), ref_labels)
+    np.testing.assert_allclose(np.asarray(confs), ref_confs, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(olens2), np.asarray(olens))
