@@ -250,6 +250,24 @@ def cli(input, batch_input, suffix, verbose, format_type, pdf_format,
     ctx.meta['num_threads'] = num_threads
     ctx.meta['subline_segmentation'] = subline_segmentation
     log.set_logger(logger, level=30 - min(10 * verbose, 20))
+    _enable_xla_cache()
+
+
+def _enable_xla_cache() -> None:
+    """
+    Persists compiled XLA programs across CLI invocations so repeated runs
+    skip the cold compile of each (model, width-bucket) pair.
+    """
+    import os
+    try:
+        import jax
+        cache = os.environ.get('KRAKEN_TPU_XLA_CACHE',
+                               os.path.expanduser('~/.cache/kraken_tpu/xla'))
+        if cache and cache != '0':
+            jax.config.update('jax_compilation_cache_dir', cache)
+            jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception as e:
+        logger.debug(f'Persistent XLA cache unavailable: {e}')
 
 
 @cli.result_callback()
