@@ -78,3 +78,41 @@ def test_legacy_polygon_extractor_selected(resources, monkeypatch):
                                                            no_legacy_polygons=True))
     list(model.predict(im, seg))
     assert calls == [False]
+
+
+def test_legacy_polygons_training_flag(resources, tmp_path):
+    """--legacy-polygons on XML training data flags the resulting model."""
+    from kraken_tpu.configs import (RecognitionTrainingConfig,
+                                    RecognitionTrainingDataConfig)
+    from kraken_tpu.train import (KrakenTrainer, RecognitionDataModule,
+                                  RecognitionModel)
+
+    for legacy in (True, False):
+        config = RecognitionTrainingConfig(
+            spec='[1,32,0,1 Cr3,3,4,2,2 S1(1x0)1,3 Lbx8 Do0.1,2]',
+            epochs=1, lrate=1e-3,
+            checkpoint_path=str(tmp_path / f'model{legacy}'))
+        data_config = RecognitionTrainingDataConfig(
+            format_type='xml',
+            training_data=[str(resources / '170025120000003,0074.xml')],
+            batch_size=1)
+        data_config.legacy_polygons = legacy
+        dm = RecognitionDataModule(data_config)
+        module = RecognitionModel(config)
+        KrakenTrainer(config, fast_dev_run=True).fit(module, dm)
+        assert module.net.use_legacy_polygons == legacy
+
+
+def test_legacy_polygons_binary_status(resources, tmp_path):
+    """Arrow datasets record whether they were compiled with legacy polygons
+    and the trained model inherits that flag."""
+    from kraken_tpu.dataset import ArrowIPCRecognitionDataset
+    from kraken_tpu.dataset.arrow import build_binary_dataset
+
+    out = tmp_path / 'legacy.arrow'
+    build_binary_dataset([str(resources / '170025120000003,0074.xml')],
+                         output_file=str(out), format_type='xml',
+                         legacy_polygons=True)
+    ds = ArrowIPCRecognitionDataset()
+    ds.add(str(out))
+    assert ds.legacy_polygons_status is True
