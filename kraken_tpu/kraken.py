@@ -280,6 +280,13 @@ def process_pipeline(subcommands, input, batch_input, suffix, verbose,
     import tempfile
 
     ctx = click.get_current_context()
+    # cap host-side compute threads (reference caps BLAS via threadpool_limits,
+    # kraken.py:421; here the heavy host math is OpenCV's)
+    try:
+        import cv2
+        cv2.setNumThreads(ctx.meta.get('num_threads', 1))
+    except ImportError:
+        pass
     input = list(input)
     # expand batch inputs
     if batch_input and suffix:
