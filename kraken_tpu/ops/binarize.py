@@ -7,6 +7,8 @@ kraken_tpu.binarization.nlbin expressed as one jitted XLA program —
 background estimation via zoomed percentile filters, flattening, text-region
 variance masking, masked percentile thresholds, and final thresholding all
 run on the TPU; only the final bitonal map returns to the host.
+(Behavioral ancestor: reference kraken/binarization.py:44-127 — host-only
+scipy; this device path has no reference equivalent.)
 
 Percentile filters are computed as windowed shifted stacks + quantile
 reductions; masked percentiles use a sort with invalid lanes pushed to +inf

@@ -19,6 +19,9 @@ Masking follows torch packed-sequence semantics: steps at or beyond a row's
 valid length neither update the carry nor emit output. The reverse direction
 runs the same kernel over a time-reversed grid, which together with the
 same validity mask starts each row's recurrence at its true end.
+(Behavioral contract: torch LSTM packed-sequence semantics used by the
+reference, kraken/lib/vgsl/layers.py:528-536; the kernel itself has no
+reference equivalent.)
 """
 import functools
 

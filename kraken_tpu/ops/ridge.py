@@ -7,6 +7,8 @@ of kraken_tpu.lib.vectorization.sato_ridge expressed as separable gaussian
 derivative convolutions under jit. This is the hottest host step of baseline
 vectorization (≈1.6 s per 1800px page with scipy); on device it collapses
 into a handful of fused convolutions.
+(Behavioral ancestor: reference kraken/lib/segmentation.py:316-340 sato
+usage via skimage; this device path has no reference equivalent.)
 """
 import functools
 
