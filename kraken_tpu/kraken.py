@@ -546,8 +546,13 @@ def show(ctx, metadata_version, model_id):
     Retrieves model metadata from the repository.
     """
     from kraken_tpu import repo
-    desc = repo.get_description(model_id,
-                                version=metadata_version if metadata_version != 'highest' else None)
+    from kraken_tpu.exceptions import KrakenRepoException
+    try:
+        desc = repo.get_description(model_id,
+                                    version=metadata_version if metadata_version != 'highest' else None)
+    except KrakenRepoException as e:
+        message(str(e), fg='red')
+        ctx.exit(1)
     for k, v in desc.items():
         message(f'{k}: {v}')
 
@@ -566,10 +571,16 @@ def list_models(ctx, model_type, language, script, keyword):
     Lists models in the repository.
     """
     from kraken_tpu import repo
-    for model_id, meta in repo.get_listing(model_type=model_type,
-                                           language=language,
-                                           script=script,
-                                           keyword=keyword).items():
+    from kraken_tpu.exceptions import KrakenRepoException
+    try:
+        listing = repo.get_listing(model_type=model_type,
+                                   language=language,
+                                   script=script,
+                                   keyword=keyword)
+    except KrakenRepoException as e:
+        message(str(e), fg='red')
+        ctx.exit(1)
+    for model_id, meta in listing.items():
         message(f'{model_id}: {meta.get("summary", "")}')
 
 
@@ -581,7 +592,12 @@ def get(ctx, model_id):
     Retrieves a model from the repository.
     """
     from kraken_tpu import repo
-    path = repo.get_model(model_id)
+    from kraken_tpu.exceptions import KrakenRepoException
+    try:
+        path = repo.get_model(model_id)
+    except KrakenRepoException as e:
+        message(str(e), fg='red')
+        ctx.exit(1)
     message(f'Model dir: {path}')
 
 
