@@ -75,6 +75,43 @@ def get_trellis(emission: np.ndarray, tokens: np.ndarray) -> np.ndarray:
     return trellis
 
 
+def get_trellis_device(emission, tokens):
+    """
+    Device (jit/lax.scan) form of :func:`get_trellis`: the frame loop becomes
+    a scan carrying one trellis row, so whole-batch alignment of many lines
+    runs as one XLA program. Bit-compatible with the numpy version.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    emission = jnp.asarray(emission)
+    tokens = jnp.asarray(tokens)
+    num_frames = emission.shape[0]
+    num_tokens = tokens.shape[0]
+    token_emissions = emission[:, tokens]
+
+    # column 0 exactly as the numpy version: cumulative blank path with the
+    # final `num_tokens` cells forced to +inf (unreachable sentinels that
+    # must propagate through the recurrence)
+    col0 = jnp.concatenate([jnp.zeros((1,), jnp.float32),
+                            jnp.cumsum(emission[:, 0])])
+    col0 = jnp.where(jnp.arange(num_frames + 1) >= num_frames + 1 - num_tokens,
+                     jnp.inf, col0)
+    row0 = jnp.concatenate([col0[:1],
+                            jnp.full((num_tokens,), -jnp.inf, jnp.float32)])
+
+    def step(prev, inputs):
+        blank_e, tok_e, head = inputs
+        stay = prev[1:] + blank_e
+        advance = prev[:-1] + tok_e
+        row = jnp.concatenate([head[None], jnp.maximum(stay, advance)])
+        return row, row
+
+    _, rows = jax.lax.scan(step, row0,
+                           (emission[:, 0], token_emissions, col0[1:]))
+    return jnp.concatenate([row0[None], rows], axis=0)
+
+
 def backtrack(trellis: np.ndarray, emission: np.ndarray, tokens: np.ndarray) -> list[Point]:
     """Backtracks the best path through the trellis into per-frame points."""
     j = trellis.shape[1] - 1

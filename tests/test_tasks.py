@@ -94,3 +94,18 @@ def test_align_trellis_basic():
     segments = merge_repeats(path, 'ab')
     assert [s.label for s in segments] == ['a', 'b']
     assert segments[0].start < segments[1].start
+
+
+def test_trellis_device_parity():
+    """The lax.scan trellis matches the numpy reference implementation."""
+    import numpy as np
+    from kraken_tpu.align import get_trellis, get_trellis_device
+
+    rng = np.random.RandomState(0)
+    emission = np.log(rng.dirichlet(np.ones(12), size=40).astype(np.float32))
+    tokens = np.array([3, 1, 7, 7, 2], np.int32)
+    a = get_trellis(emission, tokens)
+    b = np.asarray(get_trellis_device(emission, tokens))
+    mask = np.isfinite(a) & np.isfinite(b)
+    np.testing.assert_allclose(a[mask], b[mask], rtol=1e-6)
+    np.testing.assert_array_equal(np.isfinite(a), np.isfinite(b))
