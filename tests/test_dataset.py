@@ -126,3 +126,42 @@ def test_lr_schedules():
     config = RecognitionTrainingConfig(lrate=1e-3, schedule='exponential', gamma=0.5)
     sched = build_lr_schedule(config, steps_per_epoch=2)
     assert float(sched(2)) == pytest.approx(5e-4, rel=1e-3)
+
+
+def test_default_augmenter_shapes():
+    from kraken_tpu.dataset.augmentation import DefaultAugmenter
+    aug = DefaultAugmenter(seed=42)
+    img = np.random.rand(1, 48, 200).astype(np.float32)
+    for i in range(8):
+        out = aug(img, i)
+        assert out.shape == img.shape
+        assert out.dtype == img.dtype
+        assert np.isfinite(out).all()
+
+
+def test_segmentation_augmenter_shapes():
+    from kraken_tpu.dataset.augmentation import SegmentationAugmenter
+    aug = SegmentationAugmenter(seed=42)
+    img = np.random.rand(3, 128, 96).astype(np.float32)
+    target = (np.random.rand(5, 128, 96) > 0.5).astype(np.float32)
+    out_img, out_t = aug(img, target)
+    assert out_img.shape == img.shape
+    assert out_t.shape == target.shape
+
+
+def test_training_with_augmentation(resources, tmp_path):
+    from kraken_tpu.configs import (RecognitionTrainingConfig,
+                                    RecognitionTrainingDataConfig)
+    from kraken_tpu.train import (KrakenTrainer, RecognitionDataModule,
+                                  RecognitionModel)
+    config = RecognitionTrainingConfig(
+        spec='[1,32,0,1 Cr3,3,4,2,2 S1(1x0)1,3 Lbx8 Do0.1,2]',
+        epochs=1, lrate=1e-3, checkpoint_path=str(tmp_path / 'model'))
+    data_config = RecognitionTrainingDataConfig(
+        format_type='binary', augment=True,
+        training_data=[str(resources / 'merge_tests' / 'base.arrow')],
+        batch_size=1)
+    dm = RecognitionDataModule(data_config)
+    module = RecognitionModel(config)
+    KrakenTrainer(config, fast_dev_run=True).fit(module, dm)
+    assert module.net.codec is not None
