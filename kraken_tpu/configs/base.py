@@ -219,6 +219,8 @@ class RecognitionTrainingConfig(TrainingConfig):
                                        'Do0.1,2 Lbx200 Do0.1,2 Lbx200 Do]')
         self.append = kwargs.pop('append', None)
         self.resize = kwargs.pop('resize', 'fail')
+        # keep all but the output layer frozen for the first N steps
+        self.freeze_backbone = kwargs.pop('freeze_backbone', 0)
         kwargs.setdefault('lrate', 1e-3)
         kwargs.setdefault('optimizer', 'AdamW')
         super().__init__(**kwargs)

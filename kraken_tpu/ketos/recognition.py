@@ -72,6 +72,8 @@ def _common_train_options(f):
         click.option('--gradient-clip-val', default=1.0, type=float),
         click.option('--remat/--no-remat', default=False,
                       help='Rematerialize the forward on backward to save device memory.'),
+        click.option('--freeze-backbone', type=int, default=0,
+                      help='Number of steps to keep everything but the last layer frozen.'),
         click.option('--fixed-splits/--ignore-fixed-splits', 'binary_dataset_split',
                       default=False),
         click.option('--logger', 'loggers', default=None,
@@ -99,7 +101,7 @@ def train(ctx, ground_truth, batch_size, output, spec, load, freq, quit, epochs,
           partition, normalization, normalize_whitespace, reorder, base_dir,
           training_files, evaluation_files, format_type, augment, resize, codec,
           legacy_polygons, accumulate_grad_batches, gradient_clip_val, remat,
-          binary_dataset_split, loggers, resume, profile_dir):
+          freeze_backbone, binary_dataset_split, loggers, resume, profile_dir):
     """
     Trains a text recognition model.
     """
@@ -128,6 +130,7 @@ def train(ctx, ground_truth, batch_size, output, spec, load, freq, quit, epochs,
                   cos_min_lr=cos_min_lr, resize=resize,
                   accumulate_grad_batches=accumulate_grad_batches,
                   gradient_clip_val=gradient_clip_val, remat=remat,
+                  freeze_backbone=freeze_backbone,
                   loggers=loggers, profile_dir=profile_dir,
                   device=ctx.meta['device'], precision=ctx.meta['precision'])
     if spec:

@@ -127,10 +127,28 @@ class KrakenTrainer:
 
         loss_fn = module.loss_fn
 
+        # freeze all but the output layer for the first N steps (reference:
+        # KrakenFreezeBackbone, kraken/train/utils.py:197-225)
+        freeze_steps = int(getattr(config, 'freeze_backbone', 0) or 0)
+        head_name = None
+        if freeze_steps and hasattr(module.net, 'net'):
+            head_name = module.net.net.names[-1]
+
         @jax.jit
-        def train_step(params, opt_state, batch, rng):
+        def train_step(params, opt_state, batch, rng, step):
             value, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
-            updates, opt_state = tx.update(grads, opt_state, params)
+            if freeze_steps and head_name is not None:
+                scale = jnp.where(step < freeze_steps, 0.0, 1.0)
+                mask = lambda tree: {k: (v if k == head_name else
+                                         jax.tree.map(lambda g: g * scale, v))
+                                     for k, v in tree.items()}
+                grads = mask(grads)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                # zero the updates too: decoupled weight decay must not move
+                # frozen parameters either
+                updates = mask(updates)
+            else:
+                updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, value
 
@@ -154,7 +172,8 @@ class KrakenTrainer:
                     rng, step_rng = jax.random.split(rng)
                     jbatch = {k: jnp.asarray(v) for k, v in batch.items()
                               if not isinstance(v, (list, str))}
-                    params, opt_state, loss = train_step(params, opt_state, jbatch, step_rng)
+                    params, opt_state, loss = train_step(params, opt_state, jbatch, step_rng,
+                                                         jnp.int32(self.global_step))
                     self.global_step += 1
                     epoch_loss += float(loss)
                     n_batches += 1
@@ -208,7 +227,7 @@ class KrakenTrainer:
                         opt_state = tx.init(params)
 
                         @jax.jit
-                        def train_step(params, opt_state, batch, rng):  # noqa: F811
+                        def train_step(params, opt_state, batch, rng, step):  # noqa: F811
                             value, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
                             updates, opt_state = tx.update(grads, opt_state, params)
                             params = optax.apply_updates(params, updates)

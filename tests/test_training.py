@@ -189,6 +189,37 @@ def test_training_tensorboard_logger(resources, tmp_path):
     assert list((tmp_path / 'runs').glob('events.out.tfevents.*'))
 
 
+def test_freeze_backbone(resources, tmp_path):
+    """With freeze_backbone, only the output layer changes in early steps."""
+    import jax
+    import numpy as np
+    config = RecognitionTrainingConfig(spec=TINY_REC_SPEC, epochs=1,
+                                       lrate=1e-2, freeze_backbone=100,
+                                       checkpoint_path=str(tmp_path / 'model'))
+    data_config = RecognitionTrainingDataConfig(
+        format_type='binary',
+        training_data=[str(resources / 'merge_tests' / 'base.arrow')],
+        batch_size=1)
+    dm = RecognitionDataModule(data_config)
+    module = RecognitionModel(config)
+    dm.setup('fit')
+    module.setup('fit', dm)
+    before = jax.tree.map(np.asarray, module.net.params)
+    trainer = KrakenTrainer(config, fast_dev_run=True)
+    trainer.fit(module, dm)  # re-setup is idempotent for an existing net
+    after = module.net.params
+    head = module.net.net.names[-1]
+    for k in before:
+        changed = any(np.any(np.asarray(a) != np.asarray(b))
+                      for a, b in zip(jax.tree.leaves(before[k]),
+                                      jax.tree.leaves(after[k])))
+        if k == head:
+            assert changed, 'output layer should train while backbone is frozen'
+        else:
+            # backbone frozen for the first 100 steps; 1 step ran
+            assert not changed, f'backbone layer {k} changed while frozen'
+
+
 def test_pretrain_smoke(resources, tmp_path):
     from kraken_tpu.configs import PretrainingConfig, RecognitionTrainingDataConfig
     from kraken_tpu.pretrain.model import RecognitionPretrainModel
