@@ -252,6 +252,9 @@ class RecognitionModel:
             self.net.seg_type = train_set.seg_type
         self.net.use_legacy_polygons = datamodule.use_legacy_polygons or \
             getattr(datamodule.config, 'legacy_polygons', False)
+        # recorded into checkpoints after samples have been seen (reference:
+        # KrakenSetOneChannelMode, kraken/train/utils.py:232)
+        self._train_set = train_set
 
         self._build_fns()
 
@@ -357,5 +360,12 @@ class RecognitionModel:
                 'substitutions': subs}
 
     def checkpoint_extras(self) -> dict:
+        # single-channel nets record the observed training image mode so
+        # inference picks the matching transform (reference: train/utils.py:232)
+        train_set = getattr(self, '_train_set', None)
+        if (self.net.one_channel_mode is None and train_set is not None
+                and self.net.input[1] == 1
+                and getattr(train_set, 'im_mode', None) in ('1', 'L')):
+            self.net.one_channel_mode = train_set.im_mode
         return {'_seg_type': self.net.seg_type,
                 '_one_channel_mode': self.net.one_channel_mode}
