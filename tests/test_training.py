@@ -220,6 +220,30 @@ def test_freeze_backbone(resources, tmp_path):
             assert not changed, f'backbone layer {k} changed while frozen'
 
 
+def test_abort_checkpoint_on_exception(resources, tmp_path):
+    """A crash mid-training writes a loadable abort checkpoint."""
+    config = RecognitionTrainingConfig(spec=TINY_REC_SPEC, epochs=1,
+                                       lrate=1e-3,
+                                       checkpoint_path=str(tmp_path / 'model'))
+    data_config = RecognitionTrainingDataConfig(
+        format_type='binary',
+        training_data=[str(resources / 'merge_tests' / 'base.arrow')],
+        batch_size=1)
+    dm = RecognitionDataModule(data_config)
+    module = RecognitionModel(config)
+    trainer = KrakenTrainer(config, fast_dev_run=True)
+
+    def boom(params, datamodule):
+        raise RuntimeError('validation crashed')
+    module.validate = boom
+    with pytest.raises(RuntimeError):
+        trainer.fit(module, dm)
+    abort = tmp_path / 'model_checkpoint_abort.safetensors'
+    assert abort.exists()
+    model, _, meta = load_checkpoint(abort)
+    assert model.codec is not None
+
+
 def test_pretrain_smoke(resources, tmp_path):
     from kraken_tpu.configs import PretrainingConfig, RecognitionTrainingDataConfig
     from kraken_tpu.pretrain.model import RecognitionPretrainModel
