@@ -26,24 +26,7 @@ def message(msg: str, **styles) -> None:
         click.secho(msg, **styles)
 
 
-def _load_yaml_config(ctx, param, value):
-    """Eager --config callback seeding the default map from a YAML file."""
-    if not value:
-        return value
-    import yaml
-    with open(value, 'r') as fp:
-        config = yaml.safe_load(fp)
-    ctx.default_map = config or {}
-    return value
-
-
-def expand_manifests(ctx, param, value):
-    """Reads file lists from manifest files (one path per line)."""
-    files = []
-    for manifest in value:
-        with open(manifest, 'r') as fp:
-            files.extend(line.strip() for line in fp if line.strip())
-    return files
+from kraken_tpu.ketos.util import _load_yaml_config, expand_manifests  # noqa: E402
 
 
 @click.group(context_settings=dict(show_default=True))
@@ -58,6 +41,9 @@ def expand_manifests(ctx, param, value):
               help='Number of data loading workers.')
 @click.option('--threads', default=1, type=click.IntRange(1),
               help='Size of host thread pools.')
+@click.option('--config', callback=_load_yaml_config, is_eager=True,
+              expose_value=False, type=click.Path(exists=True),
+              help='YAML experiment file with global options and per-command sections.')
 def cli(verbose, seed, device, precision, workers, threads):
     """
     Training and dataset tooling.

@@ -10,13 +10,34 @@ __all__ = ['_load_yaml_config', 'expand_manifests']
 
 
 def _load_yaml_config(ctx, param, value):
-    """Eager --config callback seeding click's default map from a YAML file."""
+    """
+    Eager --config callback seeding click's default map from a YAML file.
+
+    Accepts both flat option maps and the reference's experiment-file shape
+    (reference: kraken/ketos/util.py:87, experiments/*.yaml): top-level
+    global options plus per-subcommand sections like `train: {...}`. On the
+    `ketos` group the whole nested map is installed (click routes sections
+    named after subcommands to them); on a subcommand only its own section
+    plus scalar globals apply.
+    """
     if not value:
         return value
     import yaml
     with open(value, 'r') as fp:
-        config = yaml.safe_load(fp)
-    ctx.default_map = config or {}
+        config = yaml.safe_load(fp) or {}
+    cmd = ctx.command
+    import click as _click
+    if isinstance(cmd, _click.Group):
+        flat = dict(config)
+    else:
+        flat = {}
+        for k, v in config.items():
+            if isinstance(v, dict):
+                if cmd is not None and k == cmd.name:
+                    flat.update(v)
+            else:
+                flat[k] = v
+    ctx.default_map = {**(ctx.default_map or {}), **flat}
     return value
 
 

@@ -244,3 +244,21 @@ def test_ketos_pretrain_cli(runner, resources, tmp_path):
                                        str(resources / 'merge_tests' / 'base.arrow')])
     assert result.exit_code == 0, result.output
     assert list(tmp_path.glob('pre_*.safetensors')), result.output
+
+
+def test_ketos_yaml_config(runner, resources, tmp_path):
+    """Reference-style YAML experiment files work at group and subcommand level."""
+    cfg = tmp_path / 'exp.yml'
+    cfg.write_text(
+        'train:\n'
+        '  epochs: 1\n'
+        '  lrate: 0.002\n'
+        "  spec: '[1,32,0,1 Cr3,3,4,2,2 S1(1x0)1,3 Lbx8 Do0.1,2]'\n"
+        '  format_type: binary\n')
+    for args in (['train', '--config', str(cfg)],
+                 ['--config', str(cfg), 'train']):
+        out = tmp_path / f'm{len(args)}'
+        result = runner.invoke(ketos_cli, args + ['-o', str(out),
+                                                  str(resources / 'merge_tests' / 'base.arrow')])
+        assert result.exit_code == 0, result.output
+        assert list(tmp_path.glob(f'{out.name}_*.safetensors')), result.output
