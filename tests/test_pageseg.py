@@ -59,3 +59,19 @@ def test_nlbin_empty():
     im = Image.new('L', (100, 100), 128)
     with pytest.raises(KrakenInputException):
         nlbin(im)
+
+
+def test_segment_text_directions(resources):
+    """All four text directions produce structurally valid segmentations."""
+    from PIL import Image
+    from kraken_tpu.pageseg import segment
+
+    im = Image.open(resources / 'bw.png')
+    for direction in ('horizontal-lr', 'horizontal-rl', 'vertical-lr', 'vertical-rl'):
+        seg = segment(im, text_direction=direction)
+        assert seg.type == 'bbox'
+        assert len(seg.lines) > 0
+        for line in seg.lines:
+            x0, y0, x1, y1 = line.bbox
+            assert 0 <= x0 <= x1 <= im.width
+            assert 0 <= y0 <= y1 <= im.height
