@@ -28,7 +28,8 @@ def cli(format_type, topline, suffix, files):
         new_lines = [dataclasses.replace(line, boundary=pol)
                      for line, pol in zip(seg.lines, polygons) if pol is not None]
         new_seg = dataclasses.replace(seg, lines=new_lines)
-        out = str(fname) + suffix
+        import os
+        out = os.path.splitext(str(fname))[0] + suffix
         with open(out, 'w', encoding='utf-8') as fp:
             fp.write(serialization.serialize(new_seg, image_size=im.size,
                                              template='alto' if format_type != 'page' else 'page'))

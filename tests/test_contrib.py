@@ -40,3 +40,32 @@ def test_print_word_spreader_share_space(tmp_path):
     out = (tmp_path / 'out' / 't.html').read_text()
     assert out.count('ocrx_word') == 2  # space span removed
     assert 'bbox 10 10 108 50' in out   # previous word widened into the gap
+
+
+def test_extract_lines_xml(tmp_path):
+    from pathlib import Path
+    from kraken_tpu.contrib.extract_lines import cli
+    resources = Path(__file__).parent / 'resources'
+    result = CliRunner().invoke(cli, ['-f', 'xml', '-o', str(tmp_path),
+                                      str(resources / '170025120000003,0074.xml')])
+    assert result.exit_code == 0, result.output
+    pngs = list(tmp_path.glob('*.png'))
+    txts = list(tmp_path.glob('*.gt.txt'))
+    assert len(pngs) > 10
+    assert len(txts) == len(pngs)
+
+
+def test_repolygonize(tmp_path):
+    import shutil
+    from pathlib import Path
+    from kraken_tpu.contrib.repolygonize import cli
+    resources = Path(__file__).parent / 'resources'
+    shutil.copy(resources / '170025120000003,0074.xml', tmp_path / 'page.xml')
+    shutil.copy(resources / '170025120000003,0074.jpg', tmp_path / '170025120000003,0074.jpg')
+    result = CliRunner().invoke(cli, ['-f', 'xml', str(tmp_path / 'page.xml')])
+    assert result.exit_code == 0, result.output
+    out = tmp_path / 'page.repoly.xml'
+    assert out.exists()
+    from kraken_tpu.xml import XMLPage
+    seg = XMLPage(out).to_container()
+    assert sum(1 for line in seg.lines if line.boundary) > 10
