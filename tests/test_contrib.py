@@ -69,3 +69,38 @@ def test_repolygonize(tmp_path):
     from kraken_tpu.xml import XMLPage
     seg = XMLPage(out).to_container()
     assert sum(1 for line in seg.lines if line.boundary) > 10
+
+
+def test_set_seg_options(tmp_path):
+    import jax
+    from pathlib import Path
+    from kraken_tpu.contrib.set_seg_options import cli
+    from kraken_tpu.models import load_models, write_models
+    from kraken_tpu.vgsl import VGSLModel
+
+    model = VGSLModel(vgsl='[1,64,0,3 Cr3,3,4,2,2 Gn2 O2l4]',
+                      rng=jax.random.PRNGKey(0))
+    model.model_type = 'segmentation'
+    model.user_metadata['class_mapping'] = {'aux': {'_start_separator': 0,
+                                                    '_end_separator': 1},
+                                            'baselines': {'default': 2},
+                                            'regions': {'text': 3}}
+    path = tmp_path / 'seg.safetensors'
+    write_models([model], path)
+    result = CliRunner().invoke(cli, ['-br', 'text', '--topline', str(path)])
+    assert result.exit_code == 0, result.output
+    reloaded = load_models(path)[0]
+    assert reloaded.user_metadata['bounding_regions'] == ['text']
+    assert reloaded.user_metadata['topline'] is True
+
+
+def test_per_file_cer(tmp_path):
+    import shutil
+    from pathlib import Path
+    from kraken_tpu.contrib.test_per_file import cli
+    resources = Path(__file__).parent / 'resources'
+    result = CliRunner().invoke(cli, ['-m', str(resources / 'overfit.mlmodel'),
+                                      '-f', 'xml',
+                                      str(resources / '170025120000003,0074.xml')])
+    assert result.exit_code == 0, result.output
+    assert 'TOTAL' in result.output and 'CER' in result.output
