@@ -104,3 +104,27 @@ def test_per_file_cer(tmp_path):
                                       str(resources / '170025120000003,0074.xml')])
     assert result.exit_code == 0, result.output
     assert 'TOTAL' in result.output and 'CER' in result.output
+
+
+def test_segmentation_overlay_from_xml(tmp_path):
+    import shutil
+    from pathlib import Path
+    from kraken_tpu.contrib.segmentation_overlay import cli
+    resources = Path(__file__).parent / 'resources'
+    shutil.copy(resources / '170025120000003,0074.xml', tmp_path / 'page.xml')
+    shutil.copy(resources / '170025120000003,0074.jpg', tmp_path / '170025120000003,0074.jpg')
+    result = CliRunner().invoke(cli, ['-f', 'xml', str(tmp_path / 'page.xml')])
+    assert result.exit_code == 0, result.output
+    assert list(tmp_path.glob('*.overlay.png')), result.output
+
+
+def test_recognition_boxes(tmp_path):
+    import shutil
+    from pathlib import Path
+    from kraken_tpu.contrib.recognition_boxes import cli
+    resources = Path(__file__).parent / 'resources'
+    shutil.copy(resources / 'bw.png', tmp_path / 'bw.png')
+    result = CliRunner().invoke(cli, ['-m', str(resources / 'overfit.mlmodel'),
+                                      str(tmp_path / 'bw.png')])
+    assert result.exit_code == 0, result.output
+    assert (tmp_path / 'bw.boxes.png').exists() or list(tmp_path.glob('*.boxes.png')), result.output
