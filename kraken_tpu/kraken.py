@@ -42,8 +42,9 @@ def get_input_parser(type_str: str) -> Callable[[str], dict[str, Any]]:
 
 
 # ------------------------------------------------------------ stage drivers
-def binarizer(threshold, zoom, escale, border, perc, range, low, high,
+def binarizer(threshold, zoom, escale, border, perc, range, low, high, accel,
               input, output) -> None:
+    import numpy as np
     from PIL import Image
     from kraken_tpu.binarization import nlbin
 
@@ -56,7 +57,13 @@ def binarizer(threshold, zoom, escale, border, perc, range, low, high,
         raise click.UsageError('Binarization has to be the initial process.')
     try:
         im = Image.open(input)
-        res = nlbin(im, threshold, zoom, escale, border, perc, range, low, high)
+        if accel == 'device':
+            from kraken_tpu.ops.binarize import nlbin_device
+            bw = nlbin_device(np.asarray(im.convert('L')), threshold, zoom,
+                              escale, border, perc, range, low, high)
+            res = Image.fromarray(bw.astype(np.uint8) * 255).convert('1')
+        else:
+            res = nlbin(im, threshold, zoom, escale, border, perc, range, low, high)
         form = None
         ext = os.path.splitext(output)[1]
         if ext in ('.jpg', '.jpeg', '.JPG', '.JPEG', ''):
@@ -370,7 +377,10 @@ def _pdf_pages(path):
 @click.option('--range', default=20, type=click.INT)
 @click.option('--low', default=5, type=click.IntRange(1, 100))
 @click.option('--high', default=90, type=click.IntRange(1, 100))
-def binarize(ctx, threshold, zoom, escale, border, perc, range, low, high):
+@click.option('--accel', type=click.Choice(['host', 'device']), default='host',
+              help='Run nlbin on the host (scipy) or as a jitted XLA program '
+                   'on the accelerator.')
+def binarize(ctx, threshold, zoom, escale, border, perc, range, low, high, accel):
     """
     Binarizes page images.
     """
@@ -380,7 +390,8 @@ def binarize(ctx, threshold, zoom, escale, border, perc, range, low, high):
                                            'escale': escale, 'border': border,
                                            'perc': perc, 'range': range,
                                            'low': low, 'high': high}})
-    return partial(binarizer, threshold, zoom, escale, border, perc, range, low, high)
+    return partial(binarizer, threshold, zoom, escale, border, perc, range, low,
+                   high, accel)
 
 
 @cli.command('segment')

@@ -262,3 +262,13 @@ def test_ketos_yaml_config(runner, resources, tmp_path):
                                                   str(resources / 'merge_tests' / 'base.arrow')])
         assert result.exit_code == 0, result.output
         assert list(tmp_path.glob(f'{out.name}_*.safetensors')), result.output
+
+
+def test_binarize_device_accel(runner, resources, tmp_path):
+    """--accel device runs the jitted nlbin and produces a bitonal image."""
+    out = tmp_path / 'bin.png'
+    result = runner.invoke(kraken_cli, ['-i', str(resources / 'input.jpg'), str(out),
+                                        '-r', 'binarize', '--accel', 'device'])
+    assert result.exit_code == 0, result.output
+    with Image.open(out) as im:
+        assert len(im.convert('L').getcolors(2)) == 2
