@@ -109,6 +109,11 @@ class SegmentationInferenceConfig(Config):
         self.input_padding = kwargs.pop('input_padding', 0)
         self.bbox_ro_fn = kwargs.pop('bbox_ro_fn', geometry.reading_order)
         self.baseline_ro_fn = kwargs.pop('baseline_ro_fn', geometry.polygonal_reading_order)
+        # pad page widths up to a geometric bucket before the jitted forward
+        # (bounds the compile cache on mixed-size page batches; off by default
+        # because the zero-padded border perturbs edge activations slightly
+        # relative to the reference's exact-width computation)
+        self.width_bucketing = kwargs.pop('width_bucketing', False)
         super().__init__(**kwargs)
 
 

@@ -141,11 +141,19 @@ def _compute_segmentation_map(model: 'VGSLModel', im: 'Image.Image') -> dict[str
     scal_im = np.array(scal.convert('L'))
 
     tensor_im = transforms(im)
-    x = jax.device_put(jnp.asarray(tensor_im[None].astype(model._m_dtype)), model._device)
     padded_h = scal_im.shape[0] + padding[2] + padding[3]
     padded_w = scal_im.shape[1] + padding[0] + padding[1]
-    heat = model._seg_fwd(model._inf_params, x, padded_h, padded_w)
-    heat = np.asarray(heat)[0]
+    bucket_extra = 0
+    if getattr(config, 'width_bucketing', False):
+        from kraken_tpu.inference.recognition import width_bucket
+        bucket_extra = width_bucket(tensor_im.shape[2]) - tensor_im.shape[2]
+        if bucket_extra:
+            tensor_im = np.pad(tensor_im, ((0, 0), (0, 0), (0, bucket_extra)))
+    x = jax.device_put(jnp.asarray(tensor_im[None].astype(model._m_dtype)), model._device)
+    # upsample in bucket space (static args stay bucketed), then crop the
+    # padding back off on the host
+    heat = model._seg_fwd(model._inf_params, x, padded_h, tensor_im.shape[2])
+    heat = np.asarray(heat)[0][:, :, :padded_w]
     # strip padding
     heat = heat[:, padding[2]:heat.shape[1] - padding[3] or None,
                 padding[0]:heat.shape[2] - padding[1] or None]
