@@ -97,3 +97,27 @@ def test_coreml_writer_with_ro(resources, tmp_path):
     ro = [m for m in models if 'reading_order' in m.model_type][0]
     np.testing.assert_allclose(np.asarray(ro.params['fc1.weight']),
                                np.asarray(romlp.params['fc1.weight']), atol=1e-6)
+
+
+def test_coreml_writer_segmentation_model(tmp_path):
+    """Segmentation models (GroupNorm + heatmap output + class mapping)
+    round-trip through the CoreML writer bit-exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from kraken_tpu.models import load_models, write_models
+    from kraken_tpu.vgsl import VGSLModel
+
+    model = VGSLModel(vgsl='[1,128,0,3 Cr3,3,8,2,2 Gn2 Cr3,3,16,2,2 Gn2 O2l4]',
+                      rng=jax.random.PRNGKey(0))
+    model.model_type = 'segmentation'
+    cm = {'aux': {'_start_separator': 0, '_end_separator': 1},
+          'baselines': {'default': 2}, 'regions': {'text': 3}}
+    model.user_metadata['class_mapping'] = cm
+    write_models([model], tmp_path / 'seg.mlmodel', format='coreml')
+    m2 = load_models(tmp_path / 'seg.mlmodel')[0]
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 3, 128, 160), jnp.float32)
+    a, _ = model.net.apply(model.params, x, None)
+    b, _ = m2.net.apply(m2.params, x, None)
+    assert float(jnp.abs(a - b).max()) == 0.0
+    assert m2.user_metadata['class_mapping'] == cm
