@@ -272,3 +272,27 @@ def test_binarize_device_accel(runner, resources, tmp_path):
     assert result.exit_code == 0, result.output
     with Image.open(out) as im:
         assert len(im.convert('L').getcolors(2)) == 2
+
+
+def test_combined_multimodel_container(runner, resources, tmp_path):
+    """A single safetensors file holding seg + rec models drives the full
+    segment -bl → ocr pipeline (task wrappers filter by model type)."""
+    import jax
+    from kraken_tpu.models import load_models, write_models
+    from kraken_tpu.vgsl import VGSLModel
+
+    seg = VGSLModel(vgsl='[1,128,0,3 Cr3,3,8,2,2 Gn2 O2l4]', rng=jax.random.PRNGKey(0))
+    seg.model_type = 'segmentation'
+    seg.user_metadata['class_mapping'] = {'aux': {'_start_separator': 0, '_end_separator': 1},
+                                          'baselines': {'default': 2}, 'regions': {'text': 3}}
+    rec = load_models(resources / 'overfit.mlmodel')[0]
+    combined = tmp_path / 'combined.safetensors'
+    write_models([seg, rec], combined)
+
+    out = tmp_path / 'out.txt'
+    result = runner.invoke(kraken_cli, ['-i', str(resources / 'bw.png'), str(out),
+                                        '-r', 'segment', '-bl', '-i', str(combined),
+                                        'ocr', '-m', str(combined),
+                                        '--num-line-workers', '0'])
+    assert result.exit_code == 0, result.output
+    assert out.exists()
