@@ -296,3 +296,28 @@ def test_combined_multimodel_container(runner, resources, tmp_path):
                                         '--num-line-workers', '0'])
     assert result.exit_code == 0, result.output
     assert out.exists()
+
+
+def test_segment_with_neural_ro(runner, resources, tmp_path):
+    """A seg model with an embedded RO MLP applies neural reading order."""
+    import json
+    # train tiny seg + ro models and merge
+    r = runner.invoke(ketos_cli, ['segtrain', '-N', '1', '-o', str(tmp_path / 'seg'),
+                                  '-s', '[1,64,0,3 Cr3,3,4,2,2 Gn2]',
+                                  str(resources / '170025120000003,0074.xml')])
+    assert r.exit_code == 0, r.output
+    r = runner.invoke(ketos_cli, ['rotrain', '-N', '1', '-o', str(tmp_path / 'ro'),
+                                  str(resources / '170025120000003,0074.xml')])
+    assert r.exit_code == 0, r.output
+    r = runner.invoke(ketos_cli, ['roadd', '-i', str(tmp_path / 'seg_best.safetensors'),
+                                  '-r', str(tmp_path / 'ro_best.safetensors'),
+                                  '-o', str(tmp_path / 'seg_ro.safetensors')])
+    assert r.exit_code == 0, r.output
+
+    out = tmp_path / 'seg.json'
+    r = runner.invoke(kraken_cli, ['-i', str(resources / '170025120000003,0074.jpg'),
+                                   str(out), '-r', 'segment', '-bl',
+                                   '-i', str(tmp_path / 'seg_ro.safetensors')])
+    assert r.exit_code == 0, r.output
+    seg = json.loads(out.read_text())
+    assert seg['type'] == 'baselines'
