@@ -10,6 +10,11 @@ import warnings
 from typing import TYPE_CHECKING
 
 import numpy as np
+# NOTE: stays on scipy deliberately — the centerline estimate takes an
+# argmax over the smoothed line, and even 1e-16 kernel-rounding differences
+# (e.g. from the cv2-backed fastfilters) can flip ties and shift the
+# dewarped image by a pixel, breaking byte-exact recognition parity with
+# the reference.
 from scipy.ndimage import affine_transform, gaussian_filter, gaussian_filter1d, uniform_filter
 
 if TYPE_CHECKING:
