@@ -168,6 +168,7 @@ class RecognitionTrainingDataConfig(TrainingDataConfig):
         self.binary_dataset_split = kwargs.pop('binary_dataset_split', False)
         self.format_type = kwargs.pop('format_type', 'xml')
         self.linetype = kwargs.pop('linetype', None)
+        self.pad = kwargs.pop('pad', 16)
         self.codec = kwargs.pop('codec', None)
         self.normalization = kwargs.pop('normalization', None)
         self.normalize_whitespace = kwargs.pop('normalize_whitespace', True)

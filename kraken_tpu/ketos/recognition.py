@@ -20,6 +20,16 @@ def _common_train_options(f):
                       help='YAML experiment file.'),
         click.option('-o', '--output', type=click.Path(), default='model',
                       help='Output model prefix'),
+        click.option('--pad', default=16, type=int,
+                      help='Left/right padding around training lines'),
+        click.option('--weights-format', default='safetensors',
+                      type=click.Choice(['safetensors', 'coreml']),
+                      help='Format of the final best-model weights file'),
+        click.option('--linetype', default=None,
+                      type=click.Choice(['baselines', 'bbox']),
+                      help='Line type to parse from XML training data'),
+        click.option('--log-dir', default=None, type=click.Path(file_okay=False),
+                      help='Directory for experiment logger output'),
         click.option('-s', '--spec', default=None, help='VGSL spec of the network'),
         click.option('-i', '--load', type=click.Path(exists=True), default=None,
                       help='Warm start from weights or checkpoint'),
@@ -95,7 +105,8 @@ def _common_train_options(f):
 @click.pass_context
 @_common_train_options
 @click.argument('ground_truth', nargs=-1, type=click.Path(exists=True, dir_okay=False))
-def train(ctx, ground_truth, batch_size, output, spec, load, freq, quit, epochs,
+def train(ctx, ground_truth, batch_size, output, pad, weights_format, linetype,
+          log_dir, spec, load, freq, quit, epochs,
           min_epochs, lag, min_delta, optimizer, lrate, momentum, weight_decay,
           warmup, schedule, gamma, step_size, rop_patience, cos_t_max, cos_min_lr,
           partition, normalization, normalize_whitespace, reorder, base_dir,
@@ -130,7 +141,7 @@ def train(ctx, ground_truth, batch_size, output, spec, load, freq, quit, epochs,
                   cos_min_lr=cos_min_lr, resize=resize,
                   accumulate_grad_batches=accumulate_grad_batches,
                   gradient_clip_val=gradient_clip_val, remat=remat,
-                  freeze_backbone=freeze_backbone,
+                  freeze_backbone=freeze_backbone, weights_format=weights_format,
                   loggers=loggers, profile_dir=profile_dir,
                   device=ctx.meta['device'], precision=ctx.meta['precision'])
     if spec:
@@ -150,6 +161,8 @@ def train(ctx, ground_truth, batch_size, output, spec, load, freq, quit, epochs,
         reorder=reorder_val,
         augment=augment,
         codec=codec,
+        pad=pad,
+        linetype=linetype,
         binary_dataset_split=binary_dataset_split,
         batch_size=batch_size or 1,
         num_workers=ctx.meta['workers'])
@@ -158,12 +171,13 @@ def train(ctx, ground_truth, batch_size, output, spec, load, freq, quit, epochs,
     dm = RecognitionDataModule(data_config)
     module = (RecognitionModel.load_from_weights(config, load) if load
               else RecognitionModel(config))
-    trainer = KrakenTrainer(config)
+    trainer = KrakenTrainer(config, log_dir=log_dir)
     trainer.fit(module, dm, resume=resume)
     best = trainer._ckpt_path('best')
     if best.exists():
-        out = Path(f'{output}_best.safetensors')
-        convert_checkpoint(best, out)
+        ext = '.mlmodel' if weights_format == 'coreml' else '.safetensors'
+        out = Path(f'{output}_best{ext}')
+        convert_checkpoint(best, out, format=weights_format)
         message(f'Best model written to {out}')
 
 

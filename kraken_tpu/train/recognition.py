@@ -80,7 +80,8 @@ class RecognitionDataModule:
                 if cfg.format_type == 'binary':
                     dataset.add(f)
                 elif cfg.format_type in ('xml', 'alto', 'page'):
-                    page = XMLPage(f, filetype=cfg.format_type).to_container()
+                    page = XMLPage(f, filetype=cfg.format_type,
+                                   linetype=getattr(cfg, 'linetype', None) or 'baselines').to_container()
                     dataset.add(page=page)
                 elif cfg.format_type == 'path':
                     dataset.add(line=parse_gt_path(f))
@@ -239,9 +240,10 @@ class RecognitionModel:
         # wire input transforms from the network spec
         batch, channels, height, width = self.net.input
         valid_norm = self.net.seg_type != 'baselines' if self.net.seg_type else True
+        pad = getattr(datamodule.config, 'pad', 16)
         for ds in (train_set, val_set):
             ds.transforms = ImageInputTransforms(batch, height, width, channels,
-                                                 pad=(16, 0), valid_norm=valid_norm)
+                                                 pad=(pad, 0), valid_norm=valid_norm)
 
         if self.net.one_channel_mode and train_set.im_mode != self.net.one_channel_mode:
             logger.warning(f'Model trained on mode {self.net.one_channel_mode} images, '
@@ -321,8 +323,9 @@ class RecognitionModel:
         test_set = datamodule.test_set.dataset
         batch_, channels, height, width = self.net.input
         valid_norm = self.net.seg_type != 'baselines' if self.net.seg_type else True
+        pad = getattr(datamodule.config, 'pad', 16)
         test_set.transforms = ImageInputTransforms(batch_, height, width, channels,
-                                                   pad=(16, 0), valid_norm=valid_norm)
+                                                   pad=(pad, 0), valid_norm=valid_norm)
         test_diff = set(test_set.alphabet).difference(set(self.net.codec.c2l.keys()))
         codec = self.net.codec.add_labels(test_diff)
         test_set.encode(codec)
