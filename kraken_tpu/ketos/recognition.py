@@ -195,10 +195,15 @@ def train(ctx, ground_truth, batch_size, output, pad, weights_format, linetype,
               type=click.Choice(['NFD', 'NFKD', 'NFC', 'NFKC']))
 @click.option('-n', '--normalize-whitespace/--no-normalize-whitespace', default=True)
 @click.option('--reorder/--no-reorder', default=True)
+@click.option('--base-dir', default='auto', type=click.Choice(['L', 'R', 'auto']))
+@click.option('--pad', default=16, type=int,
+              help='Left/right padding around lines')
+@click.option('--linetype', default=None, type=click.Choice(['baselines', 'bbox']))
 @click.option('--fixed-splits/--ignore-fixed-splits', 'binary_dataset_split', default=False)
 @click.argument('test_data', nargs=-1, type=click.Path(exists=True, dir_okay=False))
 def test(ctx, model, batch_size, evaluation_files, format_type, normalization,
-         normalize_whitespace, reorder, binary_dataset_split, test_data):
+         normalize_whitespace, reorder, base_dir, pad, linetype,
+         binary_dataset_split, test_data):
     """
     Evaluates recognition model(s) on a test set, printing an accuracy report.
     """
@@ -216,11 +221,14 @@ def test(ctx, model, batch_size, evaluation_files, format_type, normalization,
     for m in model:
         config = RecognitionTrainingConfig(device=ctx.meta['device'],
                                            precision=ctx.meta['precision'])
+        reorder_val = reorder if base_dir == 'auto' else (base_dir if reorder else False)
         data_config = RecognitionTrainingDataConfig(
             test_data=files, format_type=format_type,
             normalization=normalization,
             normalize_whitespace=normalize_whitespace,
-            reorder=reorder,
+            reorder=reorder_val,
+            pad=pad,
+            linetype=linetype,
             binary_dataset_split=binary_dataset_split,
             batch_size=batch_size,
             num_workers=ctx.meta['workers'])
