@@ -155,6 +155,7 @@ class SegmentationTrainingDataConfig(TrainingDataConfig):
         self.line_class_mapping = kwargs.pop('line_class_mapping', defaultdict(counter))
         self.region_class_mapping = kwargs.pop('region_class_mapping', defaultdict(counter))
         self.topline = kwargs.pop('topline', False)
+        self.line_width = kwargs.pop('line_width', 4)
         super().__init__(**kwargs)
 
 
@@ -240,6 +241,9 @@ class SegmentationTrainingConfig(TrainingConfig):
                                        'Cr3,3,256 Gn32]')
         self.resize = kwargs.pop('resize', 'fail')
         self.topline = kwargs.pop('topline', False)
+        self.dice_weight = kwargs.pop('dice_weight', 0.5)
+        # tolerance (px) for baseline-detection validation matching
+        self.bl_tol = kwargs.pop('bl_tol', 25.0)
         kwargs.setdefault('lrate', 2e-4)
         super().__init__(**kwargs)
 

@@ -28,6 +28,15 @@ def _print_class_stats(dataset):
 @click.option('-o', '--output', type=click.Path(), default='model')
 @click.option('-s', '--spec', default=None, help='VGSL spec of the network')
 @click.option('-i', '--load', type=click.Path(exists=True), default=None)
+@click.option('--line-width', default=4, type=int,
+              help='Width of the baseline strip in the rasterized target.')
+@click.option('--dice-weight', default=0.5, type=float,
+              help='Weight of the soft-Dice term in the loss (0 disables).')
+@click.option('--bl-tol', default=25.0, type=float,
+              help='Baseline-detection matching tolerance in pixels.')
+@click.option('--weights-format', default='safetensors',
+              type=click.Choice(['safetensors', 'coreml']))
+@click.option('--log-dir', default=None, type=click.Path(file_okay=False))
 @click.option('-B', '--batch-size', type=int, default=1)
 @click.option('-F', '--freq', default=1.0, type=float)
 @click.option('-q', '--quit', default='fixed', type=click.Choice(['early', 'fixed']))
@@ -74,7 +83,8 @@ def _print_class_stats(dataset):
               type=click.Choice(['tensorboard', 'wandb']),
               help='Experiment logger backend.')
 @click.argument('ground_truth', nargs=-1, type=click.Path(exists=True, dir_okay=False))
-def segtrain(ctx, output, spec, load, batch_size, freq, quit, epochs, min_epochs,
+def segtrain(ctx, output, spec, load, line_width, dice_weight, bl_tol,
+             weights_format, log_dir, batch_size, freq, quit, epochs, min_epochs,
              lag, min_delta, optimizer, lrate, momentum, weight_decay, warmup,
              schedule, partition, training_files, evaluation_files, format_type,
              augment, resize, topline, valid_regions, valid_baselines,
@@ -100,6 +110,8 @@ def segtrain(ctx, output, spec, load, batch_size, freq, quit, epochs, min_epochs
                   optimizer=optimizer, lrate=lrate, momentum=momentum,
                   weight_decay=weight_decay, warmup=warmup, schedule=schedule,
                   resize=resize, topline=topline, remat=remat, loggers=loggers,
+                  dice_weight=dice_weight, bl_tol=bl_tol,
+                  weights_format=weights_format,
                   device=ctx.meta['device'], precision=ctx.meta['precision'])
     if spec:
         kwargs['spec'] = spec
@@ -141,6 +153,7 @@ def segtrain(ctx, output, spec, load, batch_size, freq, quit, epochs, min_epochs
         format_type=format_type,
         augment=augment,
         topline=topline,
+        line_width=line_width,
         line_class_mapping=_FilteredMap(line_map, valid_baselines, merge_b),
         region_class_mapping=_FilteredMap(region_map, valid_regions, merge_r),
         batch_size=batch_size,
@@ -149,14 +162,15 @@ def segtrain(ctx, output, spec, load, batch_size, freq, quit, epochs, min_epochs
     dm = SegmentationDataModule(data_config)
     module = (SegmentationModel.load_from_weights(config, load) if load
               else SegmentationModel(config))
-    trainer = KrakenTrainer(config)
+    trainer = KrakenTrainer(config, log_dir=log_dir)
     trainer.fit(module, dm, resume=resume)
     train_ds = dm.train_set.dataset if hasattr(dm.train_set, 'dataset') else dm.train_set
     _print_class_stats(train_ds)
     best = trainer._ckpt_path('best')
     if best.exists():
-        out = Path(f'{output}_best.safetensors')
-        convert_checkpoint(best, out)
+        ext = '.mlmodel' if weights_format == 'coreml' else '.safetensors'
+        out = Path(f'{output}_best{ext}')
+        convert_checkpoint(best, out, format=weights_format)
         message(f'Best model written to {out}')
 
 
@@ -167,8 +181,10 @@ def segtrain(ctx, output, spec, load, batch_size, freq, quit, epochs, min_epochs
               type=click.Path(exists=True))
 @click.option('-f', '--format-type', default='xml',
               type=click.Choice(['xml', 'alto', 'page']))
+@click.option('--bl-tol', default=25.0, type=float,
+              help='Baseline-detection matching tolerance in pixels.')
 @click.argument('test_data', nargs=-1, type=click.Path(exists=True, dir_okay=False))
-def segtest(ctx, model, evaluation_files, format_type, test_data):
+def segtest(ctx, model, evaluation_files, format_type, bl_tol, test_data):
     """
     Evaluates segmentation model(s) on a test set.
     """
@@ -197,7 +213,7 @@ def segtest(ctx, model, evaluation_files, format_type, test_data):
         # reuse the validation metrics over the test loader
         dm.val_set = dm.test_set
         module.setup('test', dm)
-        results = module.validate(module.net.params, dm)
+        results = module.validate(module.net.params, dm, bl_tol=bl_tol)
         message(f'=== {m} ===')
         for k, v in results.items():
             message(f'{k}: {v:.4f}')

@@ -60,6 +60,14 @@ def dice_loss(logits: jnp.ndarray, targets: jnp.ndarray,
     return (1 - dice).mean()
 
 
-def segmentation_loss(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
-    """BCE + soft Dice, the baseline segmentation training criterion."""
-    return bce_logits_loss(logits, targets) + dice_loss(logits, targets)
+def segmentation_loss(logits: jnp.ndarray, targets: jnp.ndarray,
+                      dice_weight: float = 0.5) -> jnp.ndarray:
+    """
+    BCE + weighted soft Dice, the baseline segmentation training criterion
+    (reference: train/blla.py:277-294, default dice_weight 0.5 from
+    configs/vgsl.py:126; dice_weight=0 disables the Dice term).
+    """
+    loss = bce_logits_loss(logits, targets)
+    if dice_weight > 0:
+        loss = loss + dice_weight * dice_loss(logits, targets)
+    return loss

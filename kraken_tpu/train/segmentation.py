@@ -49,7 +49,8 @@ class SegmentationDataModule:
         class_mapping = {'aux': {'_start_separator': 0, '_end_separator': 1},
                          'baselines': cfg.line_class_mapping,
                          'regions': cfg.region_class_mapping}
-        ds = BaselineSet(class_mapping=class_mapping, augmentation=cfg.augment)
+        ds = BaselineSet(class_mapping=class_mapping, augmentation=cfg.augment,
+                         line_width=getattr(cfg, 'line_width', 4))
         for f in files:
             try:
                 ds.add(XMLPage(f, filetype=cfg.format_type
@@ -180,6 +181,8 @@ class SegmentationModel:
                     return net.apply(p, im, seq_lens, train=train, rng=r)
                 return jax.checkpoint(_fwd)(params, image, rng)
 
+        dice_weight = getattr(self.config, 'dice_weight', 0.5)
+
         def loss_fn(params, batch, rng):
             logits, _ = apply(params, batch['image'], None, train=True, rng=rng)
             # the network output is at reduced stride; upsample to the
@@ -188,7 +191,7 @@ class SegmentationModel:
             logits = jax.image.resize(logits, (logits.shape[0], logits.shape[1],
                                                target.shape[2], target.shape[3]),
                                       method='bilinear')
-            return segmentation_loss(logits, target)
+            return segmentation_loss(logits, target, dice_weight=dice_weight)
         self.loss_fn = loss_fn
 
         @jax.jit
@@ -197,7 +200,9 @@ class SegmentationModel:
             return jax.nn.sigmoid(logits.astype(jnp.float32))
         self._fwd = fwd
 
-    def validate(self, params, datamodule, bl_tol: float = 25.0) -> dict:
+    def validate(self, params, datamodule, bl_tol: Optional[float] = None) -> dict:
+        if bl_tol is None:
+            bl_tol = getattr(self.config, 'bl_tol', 25.0)
         from kraken_tpu.lib.segmentation_metrics import (aggregate_detection_metrics,
                                                          compute_detection_metrics,
                                                          interpolate_polyline)
