@@ -37,10 +37,12 @@ logger = logging.getLogger('kraken')
 @click.option('-f', '--format-type', default='binary',
               type=click.Choice(['path', 'xml', 'alto', 'page', 'binary']))
 @click.option('--augment/--no-augment', default=False)
+@click.option('--resume', default=None, type=click.Path(exists=True),
+              help='Resume training from a checkpoint.')
 @click.argument('ground_truth', nargs=-1, type=click.Path(exists=True, dir_okay=False))
 def pretrain(ctx, output, spec, load, batch_size, freq, quit, epochs, lag, lrate,
              warmup, partition, mask_prob, mask_width, num_negatives, logit_temp,
-             training_files, evaluation_files, format_type, augment, ground_truth):
+             training_files, evaluation_files, format_type, augment, resume, ground_truth):
     """
     Unsupervised pretraining of recognition models.
     """
@@ -85,5 +87,5 @@ def pretrain(ctx, output, spec, load, batch_size, freq, quit, epochs, lag, lrate
     module = (RecognitionPretrainModel.load_from_weights(config, load) if load
               else RecognitionPretrainModel(config))
     trainer = KrakenTrainer(config)
-    trainer.fit(module, dm)
+    trainer.fit(module, dm, resume=resume)
     message(f'Pretraining complete. Checkpoints under {output}_*.safetensors')
