@@ -37,5 +37,10 @@ def publish(ctx, metadata, access_token, private, model):
     card.setdefault('keywords', ['kraken_pytorch'])
     types = sorted({t for m in models for t in getattr(m, 'model_type', [])})
     card.setdefault('model_type', types)
-    doi = repo.publish_model(card, model, access_token, private=private)
+    from kraken_tpu.exceptions import KrakenRepoException
+    try:
+        doi = repo.publish_model(card, model, access_token, private=private)
+    except KrakenRepoException as e:
+        message(str(e), fg='red')
+        ctx.exit(1)
     message(f'model published under DOI: {doi}')
