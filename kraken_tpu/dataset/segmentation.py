@@ -116,15 +116,24 @@ class BaselineSet:
         baselines_ = defaultdict(list)
         for line in doc.lines:
             tag = _get_type(line.tags)
-            if tag in self.class_mapping['baselines']:
-                baselines_[self.class_mapping['baselines'][tag]].append(line.baseline)
-                self.class_stats['baselines'][tag] += 1
+            # index rather than test membership: auto-assigning mappings
+            # (defaultdict / ketos' filtered maps) allocate classes in
+            # __missing__, which `in` would never trigger
+            try:
+                cls_idx = self.class_mapping['baselines'][tag]
+            except KeyError:
+                continue
+            baselines_[cls_idx].append(line.baseline)
+            self.class_stats['baselines'][tag] += 1
         regions_ = defaultdict(list)
         for k, v in doc.regions.items():
-            if k in self.class_mapping['regions']:
-                valid = [x for x in v if x.boundary]
-                regions_[self.class_mapping['regions'][k]].extend(valid)
-                self.class_stats['regions'][k] += len(valid)
+            try:
+                cls_idx = self.class_mapping['regions'][k]
+            except KeyError:
+                continue
+            valid = [x for x in v if x.boundary]
+            regions_[cls_idx].extend(valid)
+            self.class_stats['regions'][k] += len(valid)
         self.targets.append({'baselines': baselines_, 'regions': regions_})
         self.imgs.append(doc.imagename)
 

@@ -263,3 +263,23 @@ def test_pretrain_smoke(resources, tmp_path):
     trainer.fit(module, dm)
     metrics = module.validate(module.net.params, dm)
     assert np.isfinite(metrics['val_ce'])
+
+
+def test_seg_datamodule_auto_class_mapping(resources):
+    """Auto-assigning (defaultdict) class mappings must populate targets —
+    regression for `tag in mapping` never triggering __missing__."""
+    from kraken_tpu.dataset import ImageInputTransforms
+    from kraken_tpu.train.segmentation import SegmentationDataModule
+
+    dc = SegmentationTrainingDataConfig(
+        training_data=[str(resources / '170025120000003,0074.xml')],
+        batch_size=1)
+    dm = SegmentationDataModule(dc)
+    dm.setup('fit')
+    ds = dm.train_set.dataset if hasattr(dm.train_set, 'dataset') else dm.train_set
+    assert ds.class_mapping['baselines'], 'baseline classes must auto-assign'
+    assert ds.class_mapping['regions'], 'region classes must auto-assign'
+    ds.transforms = ImageInputTransforms(1, 384, 0, 3, 0, valid_norm=False)
+    target = ds[0]['target']
+    per_class = target.sum(axis=(1, 2))
+    assert (per_class > 0).all(), f'empty target channels: {per_class}'
