@@ -120,6 +120,12 @@ class RecognitionPretrainModel:
             K = max(1, int(mask_prob * W / mask_width))
             k_mask, k_neg = jax.random.split(jax.random.fold_in(rng, 1))
             starts = jax.random.randint(k_mask, (N, K), 0, max(1, W - mask_width))
+            if seq_lens is not None:
+                # keep spans inside each row's valid frames: spans over padded
+                # positions yield exact-zero encoder outputs whose cosine-norm
+                # gradient is NaN, and carry no training signal anyway
+                limit = jnp.maximum(seq_lens - mask_width, 1)[:, None]
+                starts = starts % limit
             span = starts[..., None] + jnp.arange(mask_width)[None, None, :]  # (N, K, mw)
             mask = jnp.zeros((N, W), bool)
             mask = mask.at[jnp.arange(N)[:, None, None], span].set(True)
@@ -142,8 +148,11 @@ class RecognitionPretrainModel:
             neg_idx = jnp.where(neg_idx >= self_idx, neg_idx + 1, neg_idx) % K
             negatives = y[jnp.arange(N)[None, :, None], neg_idx]  # (neg, N, K, Ce)
             candidates = jnp.concatenate([y[None], negatives], axis=0)  # (1+neg, N, K, Ce)
-            x_n = x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-8)
-            c_n = candidates / (jnp.linalg.norm(candidates, axis=-1, keepdims=True) + 1e-8)
+            # norms via sqrt(sumsq + eps): jnp.linalg.norm has a NaN gradient
+            # at exactly-zero vectors (masked/padded positions)
+            x_n = x * jax.lax.rsqrt(jnp.sum(x * x, axis=-1, keepdims=True) + 1e-12)
+            c_n = candidates * jax.lax.rsqrt(
+                jnp.sum(candidates * candidates, axis=-1, keepdims=True) + 1e-12)
             logits = (x_n[None] * c_n).sum(-1) / logit_temp  # (1+neg, N, K)
             log_probs = jax.nn.log_softmax(logits, axis=0)
             return -log_probs[0].mean()

@@ -283,3 +283,36 @@ def test_seg_datamodule_auto_class_mapping(resources):
     target = ds[0]['target']
     per_class = target.sum(axis=(1, 2))
     assert (per_class > 0).all(), f'empty target channels: {per_class}'
+
+
+def test_pretrain_padded_batch_gradients_finite(resources, tmp_path):
+    """Gradients through the contrastive loss stay finite on padded batches —
+    regression for NaN norms at exact-zero (padded/masked) encoder outputs."""
+    import jax
+    import jax.numpy as jnp
+    from kraken_tpu.configs import PretrainingConfig
+    from kraken_tpu.pretrain.model import RecognitionPretrainModel
+
+    config = PretrainingConfig(
+        spec='[1,48,0,1 Cr3,13,16 Do0.1,2 Mp2,2 Cr3,9,16 Do0.1,2 Mp2,2 '
+             'S1(1x0)1,3 Lbx64 Do0.1,2]',
+        epochs=1, lrate=3e-4, mask_width=2, mask_prob=0.5, num_negatives=8,
+        checkpoint_path=str(tmp_path / 'p'))
+    data_config = RecognitionTrainingDataConfig(
+        format_type='binary',
+        training_data=[str(resources / 'merge_tests' / 'base.arrow')],
+        evaluation_data=[str(resources / 'merge_tests' / 'base.arrow')],
+        batch_size=2)
+    dm = RecognitionDataModule(data_config)
+    dm.setup('fit')
+    module = RecognitionPretrainModel(config)
+    module.setup('fit', dm)
+    batch = next(iter(dm.train_dataloader()))
+    jb = {k: jnp.asarray(v) for k, v in batch.items() if not isinstance(v, (list, str))}
+    assert len(set(np.asarray(jb['seq_lens']).tolist())) > 1, 'batch must be padded'
+    for seed in range(3):
+        value, grads = jax.value_and_grad(module.loss_fn)(
+            module.net.params, jb, jax.random.PRNGKey(seed))
+        assert np.isfinite(float(value))
+        for g in jax.tree.leaves(grads):
+            assert np.isfinite(np.asarray(g)).all(), 'non-finite gradient'
