@@ -155,7 +155,9 @@ def align_line(logits: np.ndarray, codec, text: str,
     """
     do_text = get_display(text, base_dir=base_dir)
     labels = codec.encode(do_text).astype(np.int64)
-    if logits.shape[-1] < 2 * len(labels):
+    if len(labels) == 0 or logits.shape[-1] < 2 * len(labels):
+        # nothing encodable (codec/transcription mismatch) or output too
+        # short for the label sequence — no feasible alignment
         return None
     probs = logits.squeeze()
     # log-softmax over classes

@@ -128,3 +128,16 @@ def test_recognition_boxes(tmp_path):
                                       str(tmp_path / 'bw.png')])
     assert result.exit_code == 0, result.output
     assert (tmp_path / 'bw.boxes.png').exists() or list(tmp_path.glob('*.boxes.png')), result.output
+
+
+def test_forced_alignment_overlay(tmp_path):
+    import shutil
+    from pathlib import Path
+    from kraken_tpu.contrib.forced_alignment_overlay import cli
+    resources = Path(__file__).parent / 'resources'
+    shutil.copy(resources / '170025120000003,0074.xml', tmp_path / 'page.xml')
+    shutil.copy(resources / '170025120000003,0074.jpg', tmp_path / '170025120000003,0074.jpg')
+    result = CliRunner().invoke(cli, ['-m', str(resources / 'overfit.mlmodel'),
+                                      '-f', 'xml', str(tmp_path / 'page.xml')])
+    assert result.exit_code == 0, result.output
+    assert list(tmp_path.glob('*.align.png')), result.output
