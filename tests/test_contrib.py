@@ -141,3 +141,24 @@ def test_forced_alignment_overlay(tmp_path):
                                       '-f', 'xml', str(tmp_path / 'page.xml')])
     assert result.exit_code == 0, result.output
     assert list(tmp_path.glob('*.align.png')), result.output
+
+
+def test_heatmap_overlay(tmp_path):
+    import jax
+    import shutil
+    from pathlib import Path
+    from kraken_tpu.contrib.heatmap_overlay import cli
+    from kraken_tpu.models import write_models
+    from kraken_tpu.vgsl import VGSLModel
+
+    model = VGSLModel(vgsl='[1,128,0,3 Cr3,3,8,2,2 Gn2 O2l4]', rng=jax.random.PRNGKey(0))
+    model.model_type = 'segmentation'
+    model.user_metadata['class_mapping'] = {'aux': {'_start_separator': 0, '_end_separator': 1},
+                                            'baselines': {'default': 2}, 'regions': {'text': 3}}
+    seg_model = tmp_path / 'seg.safetensors'
+    write_models([model], seg_model)
+    resources = Path(__file__).parent / 'resources'
+    shutil.copy(resources / 'bw.png', tmp_path / 'bw.png')
+    result = CliRunner().invoke(cli, ['-i', str(seg_model), str(tmp_path / 'bw.png')])
+    assert result.exit_code == 0, result.output
+    assert (tmp_path / 'bw.png.heat.png').exists()
