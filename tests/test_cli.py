@@ -321,3 +321,19 @@ def test_segment_with_neural_ro(runner, resources, tmp_path):
     assert r.exit_code == 0, r.output
     seg = json.loads(out.read_text())
     assert seg['type'] == 'baselines'
+
+
+def test_ocr_xml_bbox_linetype(runner, resources, tmp_path):
+    """--linetype bbox parses XML lines as boxes and recognizes them."""
+    import shutil
+    shutil.copy(resources / '170025120000003,0074.xml', tmp_path / 'page.xml')
+    shutil.copy(resources / '170025120000003,0074.jpg',
+                tmp_path / '170025120000003,0074.jpg')
+    out = tmp_path / 'out.txt'
+    result = runner.invoke(kraken_cli, ['-f', 'xml', '-i', str(tmp_path / 'page.xml'),
+                                        str(out), '-r',
+                                        'ocr', '-m', str(resources / 'overfit.mlmodel'),
+                                        '--linetype', 'bbox',
+                                        '--num-line-workers', '0'])
+    assert result.exit_code == 0, result.output
+    assert len(out.read_text().splitlines()) == 44
