@@ -129,3 +129,24 @@ def test_sato_device_parity():
     host = sato_ridge(bl)
     dev = sato_ridge_device(bl)
     np.testing.assert_allclose(dev, host, atol=1e-5)
+
+
+def test_device_seam_parity():
+    """Batched lax.scan seam carve matches the host DP on random patches."""
+    from kraken_tpu.lib.polygonization import _carve_seam
+    from kraken_tpu.ops.seam import carve_seams_device
+
+    rng = np.random.RandomState(0)
+    shapes = [(40, 120), (17, 60), (64, 200)]
+    H = max(s[0] for s in shapes)
+    W = max(s[1] for s in shapes)
+    patches = np.full((len(shapes), H, W), np.inf, np.float32)
+    host = []
+    for i, (h, w) in enumerate(shapes):
+        p = rng.rand(h, w).astype(np.float32)
+        patches[i, :h, :w] = p
+        host.append(_carve_seam(p))
+    seams = carve_seams_device(patches, widths=[s[1] for s in shapes])
+    for i, (h, w) in enumerate(shapes):
+        np.testing.assert_array_equal(seams[i, :w], host[i],
+                                      err_msg=f'patch {i} mismatch')
