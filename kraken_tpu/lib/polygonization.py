@@ -254,18 +254,17 @@ def _carve_seam(rotated: np.ndarray) -> np.ndarray:
     return seam - 1  # remove pad offset
 
 
-def _calc_seam(baseline: np.ndarray, polygon: np.ndarray, angle: float,
-               im_feats: np.ndarray, bias: int = 150) -> np.ndarray:
+def _seam_prepare(baseline: np.ndarray, polygon: np.ndarray, angle: float,
+                  im_feats: np.ndarray, bias: int = 150):
     """
-    Carves the minimum-energy seam between a baseline and its ROI boundary:
-    the energy patch is masked outside the ROI polygon, biased by distance
-    from the baseline, rotated level, carved, smoothed, and mapped back.
+    First half of :func:`_calc_seam`: builds the biased/masked energy patch,
+    rotates it level, and crops to the baseline span. Returns
+    (cropped rotated patch, finish(seam_rows) -> seam points).
     """
     polygon = np.asarray(polygon)
     c_min, c_max = int(polygon[:, 0].min()), int(polygon[:, 0].max())
     r_min, r_max = int(polygon[:, 1].min()), int(polygon[:, 1].max())
     patch = im_feats[r_min:r_max + 2, c_min:c_max + 2].astype(np.float32).copy()
-    h, w = patch.shape
     # distance-from-baseline bias
     mask = np.ones_like(patch, np.uint8)
     bl = np.round(np.asarray(baseline) - (c_min, r_min)).astype(np.int32)
@@ -288,19 +287,33 @@ def _calc_seam(baseline: np.ndarray, polygon: np.ndarray, angle: float,
     x1 = min(rotated.shape[1] - 1, x_range[1])
     if x1 <= x0:
         raise ValueError('Degenerate rotated patch for seam carving')
-    seam_rows = _carve_seam(rotated[:, x0:x1 + 1])
-    seam = np.stack([np.arange(x0, x1 + 1), seam_rows], axis=1).astype(float)
-    mean, std = seam[:, 1].mean(), seam[:, 1].std()
-    seam[:, 1] = np.clip(seam[:, 1], mean - std, mean + std)
-    seam = from_rot(seam).astype(int)
-    # filter points outside the patch or in the masked region
-    keep = (seam[:, 0] >= 0) & (seam[:, 1] >= 0) & \
-           (seam[:, 0] < outside.shape[1]) & (seam[:, 1] < outside.shape[0])
-    seam = seam[keep]
-    seam = seam[~outside[seam[:, 1], seam[:, 0]]]
-    if len(seam) < 2:
-        raise ValueError('Seam carving produced no valid points')
-    return seam + (c_min, r_min)
+
+    def finish(seam_rows: np.ndarray) -> np.ndarray:
+        seam = np.stack([np.arange(x0, x1 + 1), seam_rows], axis=1).astype(float)
+        mean, std = seam[:, 1].mean(), seam[:, 1].std()
+        seam[:, 1] = np.clip(seam[:, 1], mean - std, mean + std)
+        seam = from_rot(seam).astype(int)
+        # filter points outside the patch or in the masked region
+        keep = (seam[:, 0] >= 0) & (seam[:, 1] >= 0) & \
+               (seam[:, 0] < outside.shape[1]) & (seam[:, 1] < outside.shape[0])
+        seam = seam[keep]
+        seam = seam[~outside[seam[:, 1], seam[:, 0]]]
+        if len(seam) < 2:
+            raise ValueError('Seam carving produced no valid points')
+        return seam + (c_min, r_min)
+
+    return rotated[:, x0:x1 + 1], finish
+
+
+def _calc_seam(baseline: np.ndarray, polygon: np.ndarray, angle: float,
+               im_feats: np.ndarray, bias: int = 150) -> np.ndarray:
+    """
+    Carves the minimum-energy seam between a baseline and its ROI boundary:
+    the energy patch is masked outside the ROI polygon, biased by distance
+    from the baseline, rotated level, carved, smoothed, and mapped back.
+    """
+    cropped, finish = _seam_prepare(baseline, polygon, angle, im_feats, bias)
+    return finish(_carve_seam(cropped))
 
 
 def _fuse_polygon(env_up: np.ndarray, env_bottom: np.ndarray,
