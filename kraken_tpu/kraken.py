@@ -431,6 +431,11 @@ def segment(ctx, model, boxes, text_direction, legacy_scale, legacy_maxcolseps,
     task_model = None
     if not boxes:
         from kraken_tpu.tasks import SegmentationTaskModel
+        if not model and not SEGMENTATION_DEFAULT_MODEL.exists():
+            raise click.UsageError(
+                'No segmentation model given (-i) and the default blla.mlmodel '
+                'is not bundled with this build. Train one with `ketos segtrain` '
+                'or fetch one from the model repository (`kraken get`).')
         paths = list(model) or [SEGMENTATION_DEFAULT_MODEL]
         models = []
         from kraken_tpu.models import load_models
