@@ -12,15 +12,22 @@ logger = logging.getLogger('kraken')
 @click.command('convert')
 @click.pass_context
 @click.option('-o', '--output', type=click.Path(), default='model.safetensors')
-@click.option('--format', 'fmt', default='safetensors',
-              type=click.Choice(['safetensors', 'coreml']))
-@click.argument('checkpoint', nargs=1, type=click.Path(exists=True, dir_okay=False))
-def convert(ctx, output, fmt, checkpoint):
+@click.option('--weights-format', '--format', 'fmt', default='safetensors',
+              type=click.Choice(['safetensors', 'coreml']),
+              help='Output weights format.')
+@click.argument('checkpoints', nargs=-1, type=click.Path(exists=True, dir_okay=False))
+def convert(ctx, output, fmt, checkpoints):
     """
-    Converts a training checkpoint into a deployable weights file.
+    Converts and combines one or more checkpoints/weights files into a
+    deployable multi-model weights file (reference: ketos/weights.py:48).
     """
-    from kraken_tpu.train import convert_checkpoint
+    from kraken_tpu.models import load_models, write_models
     from kraken_tpu.ketos import message
 
-    convert_checkpoint(checkpoint, output, format=fmt)
-    message(f'Model written to {output}')
+    if not checkpoints:
+        raise click.UsageError('No checkpoints to convert were provided.')
+    models = []
+    for ckpt in checkpoints:
+        models.extend(load_models(ckpt))
+    write_models(models, output, format=fmt)
+    message(f'Output file written to {output}')
