@@ -51,6 +51,42 @@ def main():
                       'ocr_ms_per_page': round(1000 * t_ocr / N_PAGES, 1),
                       'lines_per_page': n_lines // N_PAGES},
     }))
+    bench_neural_seg()
+
+
+def bench_neural_seg():
+    """Device time of the production-scale segmentation net (blla spec) on a
+    1800px page: the compute half of `kraken segment -bl`."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kraken_tpu.configs import SegmentationInferenceConfig, SegmentationTrainingConfig
+    from kraken_tpu.inference.segmentation import prepare_segmentation
+    from kraken_tpu.vgsl import VGSLModel
+
+    spec = SegmentationTrainingConfig().spec
+    model = VGSLModel(vgsl=f'[{spec.strip()[1:-1]} O2l5]', rng=jax.random.PRNGKey(0))
+    model.model_type = 'segmentation'
+    model.user_metadata['class_mapping'] = {
+        'aux': {'_start_separator': 0, '_end_separator': 1},
+        'baselines': {'default': 2}, 'regions': {'text': 3, 'x': 4}}
+    prepare_segmentation(model, SegmentationInferenceConfig(precision='bf16'))
+    x = jax.device_put(jnp.asarray(
+        np.random.RandomState(0).rand(1, 3, 1800, 1200), model._m_dtype), model._device)
+    out = model._seg_fwd(model._inf_params, x, 1800, 1200)
+    np.asarray(out)  # warm/compile
+    start = time.perf_counter()
+    for _ in range(4):
+        out = model._seg_fwd(model._inf_params, x, 1800, 1200)
+    np.asarray(out)
+    dt = (time.perf_counter() - start) / 4
+    print(json.dumps({
+        'metric': 'neural segmentation forward (blla-scale net, 1800x1200 page)',
+        'value': round(1 / dt, 2),
+        'unit': 'pages/sec',
+        'breakdown': {'device_ms_per_page': round(1000 * dt, 1)},
+    }))
 
 
 if __name__ == '__main__':
