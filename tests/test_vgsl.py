@@ -219,3 +219,17 @@ def test_maxpool_parity():
     ref = torch.nn.MaxPool2d((2, 2), (2, 2))(_to_t(x)).numpy()
     np.testing.assert_allclose(np.asarray(y), ref)
     assert int(lens[0]) == 4
+
+
+def test_legacy_ocropy_peephole_lstm():
+    """Legacy clstm-era `Lbxo` specs build and run the peephole LSTM path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from kraken_tpu.vgsl import VGSLModel
+
+    m = VGSLModel('[1,16,0,1 S1(1x0)1,3 Lbxo8 O1c5]', rng=jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 1, 16, 32), jnp.float32)
+    y, lens = m(x, jnp.asarray([32, 20]))
+    assert y.shape == (2, 5, 1, 32)
+    assert np.isfinite(np.asarray(y)).all()
