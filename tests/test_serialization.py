@@ -172,3 +172,17 @@ def test_render_report():
     assert '95.00%' in report
     assert 'Latin' in report
     assert 'model.safetensors' in report
+
+
+def test_serialization_deterministic(bl_seg):
+    """Serializing the same Segmentation twice yields identical output
+    (stable IDs and ordering — required for reproducible pipelines).
+    PageXML legitimately embeds Created/LastChange wall-clock timestamps,
+    which are excluded from the comparison."""
+    def strip_ts(doc):
+        return '\n'.join(line for line in doc.splitlines()
+                         if '<Created>' not in line and '<LastChange>' not in line)
+    for tpl in ('alto', 'pagexml', 'hocr', 'abbyyxml'):
+        a = serialization.serialize(bl_seg, image_size=(1000, 800), template=tpl)
+        b = serialization.serialize(bl_seg, image_size=(1000, 800), template=tpl)
+        assert strip_ts(a) == strip_ts(b), f'{tpl} serialization is not deterministic'
