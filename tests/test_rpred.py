@@ -164,3 +164,21 @@ def test_record_cut_geometry(model, overfit_line, bl_seg):
     pred, cut, conf = record[0:5]
     assert pred == record.prediction[0:5]
     assert 0 <= conf <= 1
+
+
+def test_width_bucket_properties():
+    """Bucket ladder: monotone, idempotent, >= input, 16-aligned, bounded count."""
+    from kraken_tpu.inference.recognition import width_bucket
+
+    buckets = set()
+    prev = 0
+    for w in range(1, 8000, 7):
+        b = width_bucket(w)
+        assert b >= w
+        assert b >= prev or width_bucket(prev) == prev  # monotone in w
+        assert b == width_bucket(b)                     # idempotent
+        assert b == 128 or b % 16 == 0                  # TPU-lane friendly
+        buckets.add(b)
+        prev = b
+    # the whole 1..8000 px range compiles to a bounded set of shapes
+    assert len(buckets) < 25
