@@ -114,6 +114,9 @@ class SegmentationInferenceConfig(Config):
         # because the zero-padded border perturbs edge activations slightly
         # relative to the reference's exact-width computation)
         self.width_bucketing = kwargs.pop('width_bucketing', False)
+        # 'uint8' quantizes heatmaps on device before the host transfer
+        # (4x less data over remote-TPU links); 'float32' is parity-exact
+        self.heatmap_precision = kwargs.pop('heatmap_precision', 'float32')
         super().__init__(**kwargs)
 
 
