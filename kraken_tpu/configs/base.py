@@ -85,6 +85,9 @@ class RecognitionInferenceConfig(Config):
         self.decoder = kwargs.pop('decoder', ctc.greedy_decoder)
         self.bidi_reordering = kwargs.pop('bidi_reordering', True)
         self.text_direction = kwargs.pop('text_direction', 'horizontal-tb')
+        # 'uint8' ships line batches as bytes, rescaled on device (halves the
+        # host->device upload on remote TPUs); 'float' is parity-exact
+        self.input_transfer = kwargs.pop('input_transfer', 'float')
         super().__init__(**kwargs)
 
 

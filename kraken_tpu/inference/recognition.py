@@ -88,8 +88,15 @@ def prepare_recognition(model: 'VGSLModel', config) -> None:
     model._inf_params = jax.tree.map(cast, model.params)
     if getattr(model, '_rec_fwd', None) is None:
         net = model.net
+        # 'uint8' ships line batches as bytes and rescales on device —
+        # pixels are natively 8-bit, so the upload halves (vs bf16) or
+        # quarters (vs fp32) with at most 1/255 quantization on dewarped
+        # lines; 'float' is the parity-exact default
+        dequant = getattr(config, 'input_transfer', 'float') == 'uint8'
 
         def fwd(params, x, seq_lens, temperature):
+            if dequant:
+                x = (x.astype(jnp.float32) / 255.0).astype(dtype)
             logits, olens = net.apply(params, x, seq_lens)
             probs = jax.nn.softmax(logits.astype(jnp.float32) / temperature, axis=1)
             # per-frame best label/conf computed on device; full probs kept
@@ -207,9 +214,13 @@ def _dispatch_batch(model: 'VGSLModel', lines: list):
     for i, (ts, *_) in enumerate(lines):
         batch[i, :, :, :ts.shape[2]] = ts
     seq_lens = np.array(widths, np.int32)
+    if getattr(config, 'input_transfer', 'float') == 'uint8':
+        payload = np.round(np.clip(batch, 0, 1) * 255).astype(np.uint8)
+    else:
+        payload = batch.astype(model._m_dtype)
     outputs = model._rec_fwd(
         model._inf_params,
-        jax.device_put(jnp.asarray(batch.astype(model._m_dtype)), model._device),
+        jax.device_put(jnp.asarray(payload), model._device),
         jax.device_put(jnp.asarray(seq_lens), model._device),
         jnp.float32(config.temperature))
     return outputs, lines

@@ -182,3 +182,16 @@ def test_width_bucket_properties():
         prev = b
     # the whole 1..8000 px range compiles to a bounded set of shapes
     assert len(buckets) < 25
+
+
+def test_batched_engine_uint8_transfer(resources, overfit_line, bl_seg, box_seg):
+    """uint8 input shipping reproduces the goldens (quantization ≤1/255 is
+    below the model's decision margins on these lines)."""
+    from kraken_tpu.train.metrics import levenshtein
+    vmodel = load_models(resources / 'overfit.mlmodel')[0]
+    vmodel.prepare_for_inference(RecognitionInferenceConfig(
+        batch_size=4, num_line_workers=0, padding=1, input_transfer='uint8'))
+    rec = list(vmodel.predict(overfit_line, bl_seg))[0]
+    assert levenshtein(rec.prediction, BL_GOLD) <= 1
+    rec = list(vmodel.predict(overfit_line, box_seg))[0]
+    assert levenshtein(rec.prediction, BBOX_GOLD) <= 1
