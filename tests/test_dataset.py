@@ -165,3 +165,30 @@ def test_training_with_augmentation(resources, tmp_path):
     module = RecognitionModel(config)
     KrakenTrainer(config, fast_dev_run=True).fit(module, dm)
     assert module.net.codec is not None
+
+
+def test_levenshtein_and_cer():
+    from kraken_tpu.train.metrics import CharErrorRate, WordErrorRate, levenshtein
+
+    assert levenshtein('kitten', 'sitting') == 3
+    assert levenshtein('', 'abc') == 3
+    assert levenshtein('abc', 'abc') == 0
+
+    cer = CharErrorRate()
+    cer.update('abcd', 'abcf')        # 1 sub over 4 chars
+    cer.update('xyz', 'xyz')          # perfect over 3 chars
+    assert cer.compute() == pytest.approx(1 / 7)
+
+    wer = WordErrorRate()
+    wer.update('the cat sat', 'the dog sat')
+    assert wer.compute() == pytest.approx(1 / 3)
+
+
+def test_global_align_roundtrip():
+    from kraken_tpu.dataset.utils import global_align
+    d, algn_gt, algn_pred = global_align('abcde', 'abde')
+    assert d == 1
+    # alignments have equal length and reconstruct the originals
+    assert ''.join(x for x in algn_gt if x) == 'abcde'
+    assert ''.join(x for x in algn_pred if x) == 'abde'
+    assert len(algn_gt) == len(algn_pred)
