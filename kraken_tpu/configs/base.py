@@ -44,6 +44,10 @@ class Config:
         self.precision = kwargs.pop('precision', '32-true')
         self.accelerator = kwargs.pop('accelerator', 'auto')
         self.device = kwargs.pop('device', 'auto')
+        # number of devices for data-parallel execution: >1 builds a 1-D
+        # mesh with parameters replicated and batches sharded on the
+        # leading dim (SURVEY §2.5 TPU mapping of Lightning's devices=)
+        self.devices = kwargs.pop('devices', 1)
         self.batch_size = kwargs.pop('batch_size', 1)
         self.compile_config = kwargs.pop('compile', None)
         self.raise_on_error = kwargs.pop('raise_on_error', False)
@@ -210,6 +214,10 @@ class TrainingConfig(Config):
         self.cos_t_max = kwargs.pop('cos_t_max', 10)
         self.cos_min_lr = kwargs.pop('cos_min_lr', 1e-6)
         self.quit = kwargs.pop('quit', 'fixed')
+        # retain only the K best epoch checkpoints by validation metric
+        # (reference: ModelCheckpoint(save_top_k=10),
+        # kraken/ketos/recognition.py:199-205); <=0 keeps everything
+        self.save_top_k = kwargs.pop('save_top_k', 10)
         self.min_epochs = kwargs.pop('min_epochs', 0)
         self.lag = kwargs.pop('lag', 10)
         self.min_delta = kwargs.pop('min_delta', 0.0)

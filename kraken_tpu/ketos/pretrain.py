@@ -30,9 +30,9 @@ logger = logging.getLogger('kraken')
 @click.option('--mask-width', default=4, type=int)
 @click.option('--num-negatives', default=100, type=int)
 @click.option('--logit-temp', default=0.1, type=float)
-@click.option('-t', '--training-files', multiple=True, callback=expand_manifests,
+@click.option('-t', '--training-data', '--training-files', 'training_files', multiple=True, callback=expand_manifests,
               type=click.Path(exists=True))
-@click.option('-e', '--evaluation-files', multiple=True, callback=expand_manifests,
+@click.option('-e', '--evaluation-data', '--evaluation-files', 'evaluation_files', multiple=True, callback=expand_manifests,
               type=click.Path(exists=True))
 @click.option('-f', '--format-type', default='binary',
               type=click.Choice(['path', 'xml', 'alto', 'page', 'binary']))

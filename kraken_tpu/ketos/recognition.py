@@ -64,11 +64,14 @@ def _common_train_options(f):
         click.option('--reorder/--no-reorder', default=True,
                       help='Reorder code points to display order'),
         click.option('--base-dir', default='auto', type=click.Choice(['L', 'R', 'auto'])),
-        click.option('-t', '--training-files', multiple=True,
-                      callback=expand_manifests,
+        # reference names these -t/--training-data and -e/--evaluation-data
+        # (kraken/ketos/recognition.py:116-120); the *-files spellings are
+        # kept as compatible aliases
+        click.option('-t', '--training-data', '--training-files', 'training_files',
+                      multiple=True, callback=expand_manifests,
                       type=click.Path(exists=True), help='Manifest of training data'),
-        click.option('-e', '--evaluation-files', multiple=True,
-                      callback=expand_manifests,
+        click.option('-e', '--evaluation-data', '--evaluation-files', 'evaluation_files',
+                      multiple=True, callback=expand_manifests,
                       type=click.Path(exists=True), help='Manifest of evaluation data'),
         click.option('-f', '--format-type', default='path',
                       type=click.Choice(['path', 'xml', 'alto', 'page', 'binary'])),
@@ -92,6 +95,10 @@ def _common_train_options(f):
         click.option('--resume', default=None, type=click.Path(exists=True),
                       help='Resume training from a checkpoint (weights, optimizer '
                            'state, and epoch counter).'),
+        click.option('--devices', type=int, default=1,
+                      help='Number of devices for data-parallel training '
+                           '(parameters replicated, line batches sharded over '
+                           'the device mesh).'),
         click.option('--profile-dir', default=None, type=click.Path(),
                       help='Write a jax profiler trace of the first epoch to this '
                            'directory (inspect with tensorboard).'),
@@ -112,7 +119,8 @@ def train(ctx, ground_truth, batch_size, output, pad, weights_format, linetype,
           partition, normalization, normalize_whitespace, reorder, base_dir,
           training_files, evaluation_files, format_type, augment, resize, codec,
           legacy_polygons, accumulate_grad_batches, gradient_clip_val, remat,
-          freeze_backbone, binary_dataset_split, loggers, resume, profile_dir):
+          freeze_backbone, binary_dataset_split, loggers, resume, profile_dir,
+          devices):
     """
     Trains a text recognition model.
     """
@@ -171,7 +179,9 @@ def train(ctx, ground_truth, batch_size, output, pad, weights_format, linetype,
     dm = RecognitionDataModule(data_config)
     module = (RecognitionModel.load_from_weights(config, load) if load
               else RecognitionModel(config))
-    trainer = KrakenTrainer(config, log_dir=log_dir)
+    from kraken_tpu.ketos.util import build_device_mesh
+    trainer = KrakenTrainer(config, mesh=build_device_mesh(devices),
+                            log_dir=log_dir)
     trainer.fit(module, dm, resume=resume)
     best = trainer._ckpt_path('best')
     if best.exists():
@@ -186,8 +196,8 @@ def train(ctx, ground_truth, batch_size, output, pad, weights_format, linetype,
 @click.option('-m', '--model', multiple=True, type=click.Path(exists=True),
               help='Model(s) to evaluate')
 @click.option('-B', '--batch-size', type=int, default=1)
-@click.option('-e', '--evaluation-files', multiple=True,
-              callback=expand_manifests,
+@click.option('-e', '--test-data', '--evaluation-files', 'evaluation_files',
+              multiple=True, callback=expand_manifests,
               type=click.Path(exists=True))
 @click.option('-f', '--format-type', default='path',
               type=click.Choice(['path', 'xml', 'alto', 'page', 'binary']))
@@ -200,10 +210,13 @@ def train(ctx, ground_truth, batch_size, output, pad, weights_format, linetype,
               help='Left/right padding around lines')
 @click.option('--linetype', default=None, type=click.Choice(['baselines', 'bbox']))
 @click.option('--fixed-splits/--ignore-fixed-splits', 'binary_dataset_split', default=False)
+@click.option('--no-legacy-polygons', is_flag=True, default=False,
+              help='Force disable the legacy polygon extractor '
+                   '(reference: kraken/ketos/recognition.py:289).')
 @click.argument('test_data', nargs=-1, type=click.Path(exists=True, dir_okay=False))
 def test(ctx, model, batch_size, evaluation_files, format_type, normalization,
          normalize_whitespace, reorder, base_dir, pad, linetype,
-         binary_dataset_split, test_data):
+         binary_dataset_split, no_legacy_polygons, test_data):
     """
     Evaluates recognition model(s) on a test set, printing an accuracy report.
     """
@@ -232,9 +245,13 @@ def test(ctx, model, batch_size, evaluation_files, format_type, normalization,
             binary_dataset_split=binary_dataset_split,
             batch_size=batch_size,
             num_workers=ctx.meta['workers'])
+        module = RecognitionModel.load_from_weights(config, m)
+        # legacy polygon extraction follows the model's training-time flag
+        # unless force-disabled (reference: ketos/recognition.py:337-340)
+        data_config.legacy_polygons = (not no_legacy_polygons and
+                                       getattr(module.net, 'use_legacy_polygons', False))
         dm = RecognitionDataModule(data_config)
         dm.setup('test')
-        module = RecognitionModel.load_from_weights(config, m)
         module.setup('test', dm)
         metrics = module.test(module.net.params, dm)
         report = render_report(str(m), metrics['chars'], metrics['errors'],

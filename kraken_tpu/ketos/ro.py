@@ -23,9 +23,9 @@ logger = logging.getLogger('kraken')
 @click.option('--lag', default=10, type=int)
 @click.option('-r', '--lrate', default=1e-3, type=float)
 @click.option('-p', '--partition', default=0.9, type=float)
-@click.option('-t', '--training-files', multiple=True, callback=expand_manifests,
+@click.option('-t', '--training-data', '--training-files', 'training_files', multiple=True, callback=expand_manifests,
               type=click.Path(exists=True))
-@click.option('-e', '--evaluation-files', multiple=True, callback=expand_manifests,
+@click.option('-e', '--evaluation-data', '--evaluation-files', 'evaluation_files', multiple=True, callback=expand_manifests,
               type=click.Path(exists=True))
 @click.option('-f', '--format-type', default='xml',
               type=click.Choice(['xml', 'alto', 'page']))

@@ -54,9 +54,9 @@ def _print_class_stats(dataset):
               type=click.Choice(['constant', '1cycle', 'exponential', 'cosine', 'step',
                                  'reduceonplateau']))
 @click.option('-p', '--partition', default=0.9, type=float)
-@click.option('-t', '--training-files', multiple=True, callback=expand_manifests,
+@click.option('-t', '--training-data', '--training-files', 'training_files', multiple=True, callback=expand_manifests,
               type=click.Path(exists=True))
-@click.option('-e', '--evaluation-files', multiple=True, callback=expand_manifests,
+@click.option('-e', '--evaluation-data', '--evaluation-files', 'evaluation_files', multiple=True, callback=expand_manifests,
               type=click.Path(exists=True))
 @click.option('-f', '--format-type', default='xml',
               type=click.Choice(['xml', 'alto', 'page']))
@@ -77,6 +77,8 @@ def _print_class_stats(dataset):
               help='Baseline merge mapping src:dest')
 @click.option('--remat/--no-remat', default=False,
               help='Rematerialize the forward on backward to save device memory.')
+@click.option('--devices', type=int, default=1,
+              help='Number of devices for data-parallel training.')
 @click.option('--resume', default=None, type=click.Path(exists=True),
               help='Resume training from a checkpoint.')
 @click.option('--logger', 'loggers', default=None,
@@ -88,7 +90,8 @@ def segtrain(ctx, output, spec, load, line_width, dice_weight, bl_tol,
              lag, min_delta, optimizer, lrate, momentum, weight_decay, warmup,
              schedule, partition, training_files, evaluation_files, format_type,
              augment, resize, topline, valid_regions, valid_baselines,
-             merge_regions, merge_baselines, remat, resume, loggers, ground_truth):
+             merge_regions, merge_baselines, remat, devices, resume, loggers,
+             ground_truth):
     """
     Trains a baseline/region segmentation model.
     """
@@ -162,7 +165,9 @@ def segtrain(ctx, output, spec, load, line_width, dice_weight, bl_tol,
     dm = SegmentationDataModule(data_config)
     module = (SegmentationModel.load_from_weights(config, load) if load
               else SegmentationModel(config))
-    trainer = KrakenTrainer(config, log_dir=log_dir)
+    from kraken_tpu.ketos.util import build_device_mesh
+    trainer = KrakenTrainer(config, mesh=build_device_mesh(devices),
+                            log_dir=log_dir)
     trainer.fit(module, dm, resume=resume)
     train_ds = dm.train_set.dataset if hasattr(dm.train_set, 'dataset') else dm.train_set
     _print_class_stats(train_ds)
@@ -177,7 +182,7 @@ def segtrain(ctx, output, spec, load, line_width, dice_weight, bl_tol,
 @click.command('segtest')
 @click.pass_context
 @click.option('-m', '--model', multiple=True, type=click.Path(exists=True))
-@click.option('-e', '--evaluation-files', multiple=True, callback=expand_manifests,
+@click.option('-e', '--test-data', '--evaluation-files', 'evaluation_files', multiple=True, callback=expand_manifests,
               type=click.Path(exists=True))
 @click.option('-f', '--format-type', default='xml',
               type=click.Choice(['xml', 'alto', 'page']))

@@ -6,7 +6,7 @@ import logging
 
 logger = logging.getLogger('kraken')
 
-__all__ = ['_load_yaml_config', 'expand_manifests']
+__all__ = ['_load_yaml_config', 'expand_manifests', 'build_device_mesh']
 
 
 def _load_yaml_config(ctx, param, value):
@@ -48,3 +48,25 @@ def expand_manifests(ctx, param, value):
         with open(manifest, 'r') as fp:
             files.extend(line.strip() for line in fp if line.strip())
     return files
+
+
+def build_device_mesh(n_devices):
+    """
+    Builds a 1-D data-parallel device mesh over the first `n_devices` jax
+    devices for `--devices N` training (the TPU-native replacement of the
+    reference's Lightning `devices=` plumbing,
+    kraken/ketos/recognition.py:215-217). Returns None for n_devices <= 1
+    (single-device jit needs no mesh).
+    """
+    if not n_devices or n_devices <= 1:
+        return None
+    import click
+    import jax
+    from kraken_tpu.parallel import make_mesh
+
+    available = jax.devices()
+    if len(available) < n_devices:
+        raise click.UsageError(
+            f'--devices {n_devices} requested but only {len(available)} '
+            f'jax device(s) are visible.')
+    return make_mesh(available[:n_devices])

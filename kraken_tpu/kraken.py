@@ -478,6 +478,9 @@ def segment(ctx, model, boxes, text_direction, legacy_scale, legacy_maxcolseps,
               help='Softmax temperature')
 @click.option('--num-line-workers', default=2, type=int,
               help='Number of line extraction workers. 0 for in-process extraction.')
+@click.option('--devices', default=1, type=int,
+              help='Number of devices to shard line batches over (data-parallel '
+                   'SPMD inference).')
 @click.option('-n', '--reorder/--no-reorder', default=True,
               help='Reorder code points to logical order in output.')
 @click.option('--base-dir', default='auto', type=click.Choice(['L', 'R', 'auto']),
@@ -495,9 +498,9 @@ def segment(ctx, model, boxes, text_direction, legacy_scale, legacy_maxcolseps,
               help='CTC decoding strategy.')
 @click.option('--beam-size', default=3, type=int,
               help='Beam width for the beam decoder.')
-def ocr(ctx, model, batch_size, pad, temperature, num_line_workers, reorder,
-        base_dir, no_segmentation, text_direction, no_legacy_polygons, linetype,
-        decoder, beam_size):
+def ocr(ctx, model, batch_size, pad, temperature, num_line_workers, devices,
+        reorder, base_dir, no_segmentation, text_direction, no_legacy_polygons,
+        linetype, decoder, beam_size):
     """
     Recognizes text in line images.
     """
@@ -528,6 +531,7 @@ def ocr(ctx, model, batch_size, pad, temperature, num_line_workers, reorder,
                                         padding=pad,
                                         temperature=temperature,
                                         num_line_workers=num_line_workers,
+                                        devices=devices,
                                         bidi_reordering=bidi,
                                         text_direction=text_direction,
                                         no_legacy_polygons=no_legacy_polygons,

@@ -26,7 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 import optax
 
 __all__ = ['make_mesh', 'batch_sharding', 'shard_batch', 'replicate',
-           'make_train_step', 'make_infer_fn']
+           'pad_batch_to_multiple', 'make_train_step', 'make_infer_fn']
 
 
 def make_mesh(devices: Optional[Sequence] = None, axis: str = 'data') -> Mesh:
@@ -55,6 +55,26 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = 'data') -> dict:
     """
     sharding = batch_sharding(mesh, axis)
     return {k: jax.device_put(jnp.asarray(v), sharding) for k, v in batch.items()}
+
+
+def pad_batch_to_multiple(batch: dict, n: int) -> dict:
+    """
+    Pads every array's leading (batch) dim to the next multiple of `n` by
+    repeating samples from the start of the batch — the same strategy torch's
+    DistributedSampler uses for ragged final batches, so data-parallel
+    gradients stay well-defined at a tiny duplicate-sample bias on the last
+    batch per epoch.
+    """
+    sizes = {v.shape[0] for v in batch.values()}
+    if len(sizes) != 1:
+        raise ValueError(f'inconsistent leading batch dims: {sizes}')
+    bs = sizes.pop()
+    rem = (-bs) % n
+    if rem == 0:
+        return batch
+    idx = np.arange(rem) % bs
+    return {k: np.concatenate([np.asarray(v), np.asarray(v)[idx]], axis=0)
+            for k, v in batch.items()}
 
 
 def make_infer_fn(net, mesh: Mesh, temperature: float = 1.0):

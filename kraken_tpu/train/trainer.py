@@ -91,6 +91,7 @@ class KrakenTrainer:
         self.best_metric = -math.inf
         self.best_epoch = -1
         self.metrics_history: list[dict] = []
+        self._ckpt_ledger: list[tuple[float, Path]] = []
 
     # ------------------------------------------------------------------ fit
     def fit(self, module, datamodule, resume: Optional[str] = None) -> None:
@@ -127,30 +128,64 @@ class KrakenTrainer:
 
         loss_fn = module.loss_fn
 
-        # freeze all but the output layer for the first N steps (reference:
-        # KrakenFreezeBackbone, kraken/train/utils.py:197-225)
+        # freeze all but the output layer for the first N steps (reference
+        # unfreezes when trainer.global_step hits unfreeze_at_iteration:
+        # KrakenFreezeBackbone.on_train_batch_start,
+        # kraken/train/utils.py:197-225 — iteration-based, like here)
         freeze_steps = int(getattr(config, 'freeze_backbone', 0) or 0)
         head_name = None
         if freeze_steps and hasattr(module.net, 'net'):
             head_name = module.net.net.names[-1]
 
-        @jax.jit
-        def train_step(params, opt_state, batch, rng, step):
+        def _train_step(params, opt_state, batch, rng, step, rop_scale):
             value, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+            mask = None
             if freeze_steps and head_name is not None:
                 scale = jnp.where(step < freeze_steps, 0.0, 1.0)
                 mask = lambda tree: {k: (v if k == head_name else
                                          jax.tree.map(lambda g: g * scale, v))
                                      for k, v in tree.items()}
                 grads = mask(grads)
-                updates, opt_state = tx.update(grads, opt_state, params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            if mask is not None:
                 # zero the updates too: decoupled weight decay must not move
                 # frozen parameters either
                 updates = mask(updates)
-            else:
-                updates, opt_state = tx.update(grads, opt_state, params)
+            # reduce-on-plateau enters as a multiplier on the applied update
+            # — identical to scaling the lr (optax applies the lr as the
+            # final update scaling) but without touching opt_state, so Adam
+            # moments survive every reduction (the reference's ROP likewise
+            # only changes the lr of the live optimizer).
+            updates = jax.tree.map(lambda u: u * rop_scale, updates)
             params = optax.apply_updates(params, updates)
             return params, opt_state, value
+
+        # data-parallel execution over a device mesh: parameters/optimizer
+        # state replicated, batches sharded on the leading dim, gradient
+        # all-reduce inserted by XLA over ICI (SURVEY §2.5 TPU mapping)
+        mesh = self.mesh
+        if mesh is not None and mesh.devices.size <= 1:
+            mesh = None
+        if mesh is not None:
+            from kraken_tpu.parallel import (batch_sharding, replicate,
+                                             pad_batch_to_multiple, shard_batch)
+            repl = replicate(mesh)
+            data = batch_sharding(mesh)
+            train_step = jax.jit(_train_step,
+                                 in_shardings=(repl, repl, data, repl, repl, repl),
+                                 out_shardings=(repl, repl, repl))
+            params = jax.device_put(params, repl)
+            opt_state = jax.device_put(opt_state, repl)
+            n_shards = mesh.devices.size
+
+            def prepare_batch(batch):
+                batch = pad_batch_to_multiple(batch, n_shards)
+                return shard_batch(batch, mesh)
+        else:
+            train_step = jax.jit(_train_step)
+
+            def prepare_batch(batch):
+                return {k: jnp.asarray(v) for k, v in batch.items()}
 
         rng = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
         epochs = config.epochs if config.epochs and config.epochs > 0 else (1 if self.fast_dev_run else 10**6)
@@ -170,10 +205,11 @@ class KrakenTrainer:
                     profiling = True
                 for batch in train_loader:
                     rng, step_rng = jax.random.split(rng)
-                    jbatch = {k: jnp.asarray(v) for k, v in batch.items()
-                              if not isinstance(v, (list, str))}
+                    jbatch = prepare_batch({k: v for k, v in batch.items()
+                                            if not isinstance(v, (list, str))})
                     params, opt_state, loss = train_step(params, opt_state, jbatch, step_rng,
-                                                         jnp.int32(self.global_step))
+                                                         jnp.int32(self.global_step),
+                                                         jnp.float32(rop_scale))
                     self.global_step += 1
                     epoch_loss += float(loss)
                     n_batches += 1
@@ -218,20 +254,13 @@ class KrakenTrainer:
                         logger.info(f'Early stopping after {config.lag} epochs without improvement.')
                         break
                     if config.schedule == 'reduceonplateau' and rop_counter >= config.rop_patience:
+                        # only the applied-update multiplier changes — the
+                        # jitted step, optimizer state, and Adam moments all
+                        # carry over untouched
                         rop_scale *= config.rop_factor
                         rop_counter = 0
                         logger.info(f'Reducing learning rate by {config.rop_factor} '
                                     f'(scale now {rop_scale}).')
-                        tx = build_optimizer(config, steps_per_epoch,
-                                             schedule=lambda step: self._lr_schedule(step) * rop_scale)
-                        opt_state = tx.init(params)
-
-                        @jax.jit
-                        def train_step(params, opt_state, batch, rng, step):  # noqa: F811
-                            value, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
-                            updates, opt_state = tx.update(grads, opt_state, params)
-                            params = optax.apply_updates(params, updates)
-                            return params, opt_state, value
                 if self.fast_dev_run:
                     break
         except KeyboardInterrupt:
@@ -258,7 +287,7 @@ class KrakenTrainer:
         base.parent.mkdir(parents=True, exist_ok=True)
         return base.parent / f'{base.name}_{name}.safetensors'
 
-    def _write(self, module, opt_state, name: str) -> None:
+    def _write(self, module, opt_state, name: str) -> Path:
         path = self._ckpt_path(name)
         save_checkpoint(module.net, opt_state, path,
                         epoch=self.current_epoch,
@@ -266,9 +295,21 @@ class KrakenTrainer:
                         hyper_params=vars(self.config),
                         extras=module.checkpoint_extras())
         logger.info(f'Wrote checkpoint {path}')
+        return path
 
     def _checkpoint(self, module, opt_state, epoch: int, metric: float) -> None:
-        self._write(module, opt_state, f'{epoch}')
+        # keep only the top-K epoch checkpoints by validation metric
+        # (reference: ModelCheckpoint(save_top_k=10),
+        # kraken/ketos/recognition.py:199-205); 'best' is always retained
+        path = self._write(module, opt_state, f'{epoch}')
+        self._ckpt_ledger.append((metric, path))
+        top_k = int(getattr(self.config, 'save_top_k', 10) or 0)
+        if top_k > 0 and len(self._ckpt_ledger) > top_k:
+            self._ckpt_ledger.sort(key=lambda t: t[0], reverse=True)
+            for _, stale in self._ckpt_ledger[top_k:]:
+                stale.unlink(missing_ok=True)
+                logger.info(f'Pruned checkpoint {stale}')
+            self._ckpt_ledger = self._ckpt_ledger[:top_k]
         if metric > self.best_metric:
             self._write(module, opt_state, 'best')
 

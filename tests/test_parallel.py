@@ -108,3 +108,56 @@ def test_sharded_inference_matches_single_device():
     np.testing.assert_array_equal(np.asarray(labels), ref_labels)
     np.testing.assert_allclose(np.asarray(confs), ref_confs, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(olens2), np.asarray(olens))
+
+
+def test_sharded_inference_engine_matches_golden(resources):
+    """
+    recognition_pred with devices=8 shards line batches over the mesh and
+    reproduces the single-device golden predictions, including the ragged
+    (batch % devices != 0) padding path.
+    """
+    import dataclasses
+    from PIL import Image
+    from kraken_tpu.configs import RecognitionInferenceConfig
+    from kraken_tpu.containers import BaselineLine, Segmentation
+    from kraken_tpu.models import load_models
+
+    BL_GOLD = '.ܗ ܣܗܐ  ܕ ܣ   ܗ ܕܗܗ ܟܕܗܣ    ܠ  ܐ .ܣܕܐܣ. ܗ '
+    im = Image.open(resources / '000236.png')
+    line = BaselineLine(id='l0', baseline=[[0, 10], [2543, 10]],
+                        boundary=[[0, 0], [2543, 0], [2543, 155], [0, 155]])
+    seg = Segmentation(type='baselines', imagename=resources / 'bw.png',
+                       text_direction='horizontal-lr', script_detection=False,
+                       lines=[dataclasses.replace(line, id=f'l{i}') for i in range(3)])
+
+    vmodel = load_models(resources / 'overfit.mlmodel')[0]
+    vmodel.prepare_for_inference(RecognitionInferenceConfig(
+        batch_size=3, num_line_workers=0, padding=1, devices=8))
+    assert vmodel._mesh is not None and vmodel._mesh.devices.size == 8
+    records = list(vmodel.predict(im, seg))
+    assert len(records) == 3
+    assert all(r.prediction == BL_GOLD for r in records)
+
+
+def test_ketos_train_devices_cli(resources, tmp_path):
+    """ketos train --devices 8 runs the mesh-sharded training path."""
+    from click.testing import CliRunner
+    from kraken_tpu.ketos import cli as ketos_cli
+
+    train_manifest = tmp_path / 'train.lst'
+    train_manifest.write_text('\n'.join([
+        str(resources / '000236.png'),
+        str(resources / 'merge_tests' / '0006.jpg'),
+        str(resources / 'merge_tests' / '0007.jpg'),
+        str(resources / 'merge_tests' / '0008.jpg')]))
+    eval_manifest = tmp_path / 'eval.lst'
+    eval_manifest.write_text(str(resources / 'merge_tests' / '0021.jpg'))
+
+    result = CliRunner().invoke(ketos_cli, [
+        'train', '-N', '1', '-o', str(tmp_path / 'model'),
+        '-s', '[1,32,0,1 Cr3,3,4,2,2 S1(1x0)1,3 Lbx8]',
+        '--devices', '8', '-B', '2', '-f', 'path',
+        '--training-data', str(train_manifest),
+        '--evaluation-data', str(eval_manifest)])
+    assert result.exit_code == 0, result.output
+    assert (tmp_path / 'model_best.safetensors').exists()

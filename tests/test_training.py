@@ -316,3 +316,109 @@ def test_pretrain_padded_batch_gradients_finite(resources, tmp_path):
         assert np.isfinite(float(value))
         for g in jax.tree.leaves(grads):
             assert np.isfinite(np.asarray(g)).all(), 'non-finite gradient'
+
+
+def test_trainer_mesh_matches_single_device(resources, tmp_path):
+    """
+    One DP training epoch over the 8-virtual-device mesh produces the same
+    parameters as the single-device path (batch divisible by mesh size, no
+    dropout so rng order is irrelevant).
+    """
+    import jax
+    from kraken_tpu.parallel import make_mesh
+
+    spec = '[1,32,0,1 Cr3,3,4,2,2 S1(1x0)1,3 Lbx8]'
+    files = [str(resources / '000236.png'),
+             str(resources / 'merge_tests' / '0006.jpg'),
+             str(resources / 'merge_tests' / '0007.jpg'),
+             str(resources / 'merge_tests' / '0008.jpg')]
+
+    def run(mesh, sub):
+        np.random.seed(99)
+        config = RecognitionTrainingConfig(spec=spec, epochs=1, lrate=1e-3,
+                                           checkpoint_path=str(tmp_path / sub / 'model'))
+        data_config = RecognitionTrainingDataConfig(
+            format_type='path', training_data=files,
+            evaluation_data=[str(resources / 'merge_tests' / '0021.jpg')],
+            batch_size=4)
+        dm = RecognitionDataModule(data_config)
+        module = RecognitionModel(config)
+        trainer = KrakenTrainer(config, mesh=mesh, fast_dev_run=True)
+        trainer.fit(module, dm)
+        return module.net.params
+
+    import jax as _jax
+    p_single = run(None, 'single')
+    p_mesh = run(make_mesh(_jax.devices()[:4]), 'mesh')
+    for a, b in zip(jax.tree.leaves(p_single), jax.tree.leaves(p_mesh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_trainer_mesh_pads_ragged_batches(resources, tmp_path):
+    """Batches not divisible by the mesh size are padded with repeats."""
+    import jax
+    from kraken_tpu.parallel import make_mesh
+
+    config = RecognitionTrainingConfig(spec=TINY_REC_SPEC, epochs=1, lrate=1e-3,
+                                       checkpoint_path=str(tmp_path / 'model'))
+    data_config = RecognitionTrainingDataConfig(
+        format_type='path',
+        training_data=[str(resources / '000236.png'),
+                       str(resources / 'merge_tests' / '0006.jpg'),
+                       str(resources / 'merge_tests' / '0007.jpg'),
+                       str(resources / 'merge_tests' / '0008.jpg')],
+        evaluation_data=[str(resources / 'merge_tests' / '0021.jpg')],
+        batch_size=3)
+    dm = RecognitionDataModule(data_config)
+    module = RecognitionModel(config)
+    trainer = KrakenTrainer(config, mesh=make_mesh(jax.devices()), fast_dev_run=False)
+    trainer.fit(module, dm)
+    assert all(np.isfinite(np.asarray(leaf)).all()
+               for leaf in jax.tree.leaves(module.net.params))
+
+
+def test_checkpoint_top_k_pruning(resources, tmp_path):
+    """Only the save_top_k best epoch checkpoints are retained (+ best)."""
+    config = RecognitionTrainingConfig(spec=TINY_REC_SPEC, epochs=5, lrate=1e-3,
+                                       save_top_k=2,
+                                       checkpoint_path=str(tmp_path / 'model'))
+    data_config = RecognitionTrainingDataConfig(
+        format_type='binary',
+        training_data=[str(resources / 'merge_tests' / 'base.arrow')],
+        batch_size=2)
+    dm = RecognitionDataModule(data_config)
+    module = RecognitionModel(config)
+    trainer = KrakenTrainer(config)
+    trainer.fit(module, dm)
+    epoch_ckpts = [p for p in tmp_path.glob('model_*.safetensors')
+                   if p.stem.rsplit('_', 1)[-1].isdigit()]
+    assert len(epoch_ckpts) == 2, sorted(p.name for p in tmp_path.iterdir())
+    assert (tmp_path / 'model_best.safetensors').exists()
+
+
+def test_reduce_on_plateau_keeps_optimizer_state(resources, tmp_path):
+    """
+    ROP lr reductions scale the applied update without re-initializing the
+    optimizer or re-jitting the step; training continues across reductions.
+    """
+    config = RecognitionTrainingConfig(spec=TINY_REC_SPEC, epochs=4, lrate=1e-3,
+                                       schedule='reduceonplateau',
+                                       rop_patience=1, min_delta=100.0,
+                                       checkpoint_path=str(tmp_path / 'model'))
+    data_config = RecognitionTrainingDataConfig(
+        format_type='path',
+        training_data=[str(resources / '000236.png'),
+                       str(resources / 'merge_tests' / '0006.jpg'),
+                       str(resources / 'merge_tests' / '0007.jpg'),
+                       str(resources / 'merge_tests' / '0008.jpg')],
+        evaluation_data=[str(resources / 'merge_tests' / '0021.jpg')],
+        batch_size=2)
+    dm = RecognitionDataModule(data_config)
+    module = RecognitionModel(config)
+    trainer = KrakenTrainer(config)
+    trainer.fit(module, dm)
+    # min_delta=100 means the metric never 'improves', so a reduction fires
+    # after every rop_patience=1 validation epochs; 4 epochs trained through
+    # on the same jitted step with live optimizer state
+    assert trainer.current_epoch == 3
+    assert trainer.global_step == 8
