@@ -2,24 +2,28 @@
 kraken_tpu.binarization
 ~~~~~~~~~~~~~~~~~~~~~~~
 
-nlbin adaptive (non-linear) binarization (reference: kraken/binarization.py,
-algorithm by Thomas Breuel/ocropus): estimate the page background with a
-zoomed percentile filter, flatten the image against it, estimate black/white
-thresholds from high-variance (text) regions only, and threshold.
+Adaptive ("non-linear") page binarization in the nlbin algorithm family
+(Thomas Breuel / ocropus; behavioral reference: kraken/binarization.py:44).
+The page background is estimated with a coarse two-pass sliding-window
+percentile on a downscaled copy, the page is flattened against it, and the
+black/white points are read off percentiles of the flattened intensities
+restricted to high-variance (inky) regions.
 
-Two implementations: :func:`nlbin` is the host scipy path with exact
-reference semantics; :func:`nlbin_device` (in kraken_tpu.ops.binarize) is the
-jitted XLA formulation used in the batched page pipeline.
+This is an independent implementation: the sliding percentile is computed
+with stride-trick window stacks instead of scipy's rank filter, resampling
+goes through OpenCV (area-average down, bilinear up), and the
+variance-masking stage runs on the cv2-backed separable kernels in
+:mod:`kraken_tpu.lib.fastfilters`. For the batched device formulation used
+by the page pipeline see :func:`kraken_tpu.ops.binarize.nlbin_device`.
 """
 import logging
-import warnings
 from typing import TYPE_CHECKING
 
 import numpy as np
-from scipy.ndimage import (affine_transform, binary_dilation, gaussian_filter,
-                           percentile_filter, zoom as _zoom)
+from numpy.lib.stride_tricks import sliding_window_view
 
 from kraken_tpu.exceptions import KrakenInputException
+from kraken_tpu.lib import fastfilters as ff
 from kraken_tpu.lib.util import array2pil, get_im_str, is_bitonal, pil2array
 
 if TYPE_CHECKING:
@@ -28,6 +32,73 @@ if TYPE_CHECKING:
 __all__ = ['nlbin']
 
 logger = logging.getLogger(__name__)
+
+
+def _resample(page: np.ndarray, out_hw: tuple) -> np.ndarray:
+    """Resamples to `out_hw` — area-average shrinking, bilinear growing."""
+    try:
+        import cv2
+        interp = cv2.INTER_AREA if out_hw[0] < page.shape[0] else cv2.INTER_LINEAR
+        return cv2.resize(page.astype(np.float32), (out_hw[1], out_hw[0]),
+                          interpolation=interp).astype(np.float64)
+    except ImportError:  # pragma: no cover
+        from scipy.ndimage import zoom
+        return zoom(page, (out_hw[0] / page.shape[0], out_hw[1] / page.shape[1]),
+                    order=1)
+
+
+def _sliding_percentile(arr: np.ndarray, q: float, window: tuple) -> np.ndarray:
+    """
+    Same-size 2-D sliding-window percentile with symmetric edge padding,
+    evaluated in row blocks to bound the window-stack memory.
+    """
+    wh, ww = window
+    top, left = (wh - 1) // 2, (ww - 1) // 2
+    padded = np.pad(arr, ((top, wh - 1 - top), (left, ww - 1 - left)),
+                    mode='symmetric')
+    out = np.empty_like(arr, dtype=np.float64)
+    block = max(1, int(2**22 / (arr.shape[1] * wh * ww)))  # ~32 MB of windows
+    for r0 in range(0, arr.shape[0], block):
+        r1 = min(r0 + block, arr.shape[0])
+        view = sliding_window_view(padded[r0:r1 + wh - 1], window)
+        view = view[:, :arr.shape[1]]
+        out[r0:r1] = np.percentile(view, q, axis=(-2, -1))
+    return out
+
+
+def _estimate_background(page: np.ndarray, zoom: float, perc: int,
+                         win: int) -> np.ndarray:
+    """
+    Coarse page-background model: thin horizontal and vertical percentile
+    windows over a `zoom`-downscaled copy, resampled back to full size.
+    """
+    small_hw = (max(1, int(page.shape[0] * zoom)), max(1, int(page.shape[1] * zoom)))
+    small = _resample(page, small_hw)
+    small = _sliding_percentile(small, perc, (win, 2))
+    small = _sliding_percentile(small, perc, (2, win))
+    return _resample(small, page.shape)
+
+
+def _ink_percentiles(flat: np.ndarray, border: float, escale: float,
+                     low: int, high: int) -> tuple:
+    """
+    Black/white point estimation: restrict the flattened page to its
+    high-local-variance (text-bearing) pixels — found via a
+    difference-of-gaussian energy map, thresholded and grown with box
+    dilations — and take the `low`/`high` percentiles there.
+    """
+    h, w = flat.shape
+    mh, mw = int(border * h), int(border * w)
+    inner = flat[mh:h - mh, mw:w - mw]
+    sigma = 20.0 * escale
+    residual = inner - ff.gaussian_filter(inner, sigma)
+    energy = np.sqrt(ff.gaussian_filter(residual * residual, sigma))
+    texty = energy > 0.3 * energy.max()
+    grow = int(50 * escale)
+    texty = ff.maximum_filter(texty, (grow, 1))
+    texty = ff.maximum_filter(texty, (1, grow))
+    samples = inner[texty]
+    return np.percentile(samples, low), np.percentile(samples, high)
 
 
 def nlbin(im: 'Image.Image',
@@ -64,42 +135,17 @@ def nlbin(im: 'Image.Image',
     if is_bitonal(im):
         logger.info(f'Skipping binarization because {im_str} is bitonal.')
         return im
-    im = im.convert('L')
-    raw = pil2array(im)
-    raw = raw / float(np.iinfo(raw.dtype).max)
-    if np.amax(raw) == np.amin(raw):
+    gray = pil2array(im.convert('L'))
+    gray = gray / float(np.iinfo(gray.dtype).max)
+    span = gray.max() - gray.min()
+    if span == 0:
         logger.warning(f'Trying to binarize empty image {im_str}')
         raise KrakenInputException('Image is empty')
-    image = raw - np.amin(raw)
-    image /= np.amax(image)
+    page = (gray - gray.min()) / span
 
-    # background estimation on a zoomed-down copy
-    with warnings.catch_warnings():
-        warnings.simplefilter('ignore', UserWarning)
-        m = _zoom(image, zoom)
-        m = percentile_filter(m, perc, size=(range, 2))
-        m = percentile_filter(m, perc, size=(2, range))
-        mh, mw = m.shape
-        oh, ow = image.shape
-        scale = np.diag([mh * 1.0 / oh, mw * 1.0 / ow])
-        m = affine_transform(m, scale, output_shape=image.shape)
-    w, h = np.minimum(np.array(image.shape), np.array(m.shape))
-    flat = np.clip(image[:w, :h] - m[:w, :h] + 1, 0, 1)
-
-    # estimate low/high thresholds from high-variance (text) regions only
-    d0, d1 = flat.shape
-    o0, o1 = int(border * d0), int(border * d1)
-    est = flat[o0:d0 - o0, o1:d1 - o1]
-    v = est - gaussian_filter(est, escale * 20.0)
-    v = gaussian_filter(v ** 2, escale * 20.0) ** 0.5
-    v = (v > 0.3 * np.amax(v))
-    v = binary_dilation(v, structure=np.ones((int(escale * 50), 1)))
-    v = binary_dilation(v, structure=np.ones((1, int(escale * 50))))
-    est = est[v]
-    lo = np.percentile(est.ravel(), low)
-    hi = np.percentile(est.ravel(), high)
-    flat -= lo
-    flat /= (hi - lo)
-    flat = np.clip(flat, 0, 1)
-    logger.debug(f'Thresholding at {threshold}')
-    return array2pil(np.array(255 * (flat > threshold), 'B'))
+    bg = _estimate_background(page, zoom, perc, range)
+    flat = np.clip(page - bg + 1.0, 0.0, 1.0)
+    lo, hi = _ink_percentiles(flat, border, escale, low, high)
+    logger.debug(f'Black/white points {lo:.4f}/{hi:.4f}, thresholding at {threshold}')
+    bitonal = (flat - lo) / (hi - lo) > threshold
+    return array2pil(np.where(bitonal, 255, 0).astype('B'))

@@ -2,20 +2,26 @@
 kraken_tpu.lib.lineest
 ~~~~~~~~~~~~~~~~~~~~~~
 
-Centerline estimation and dewarping for bbox line images (ocropy-style
-CenterNormalizer; reference: kraken/lib/lineest.py). Used by the input
-transform pipeline for 1-channel bbox models with valid_norm.
+Centerline estimation and vertical dewarping for bbox line images in the
+ocropy CenterNormalizer family (behavioral reference:
+kraken/lib/lineest.py). Used by the input transform pipeline for 1-channel
+bbox models with valid_norm.
+
+The dewarp itself is a vectorized fixed-height band gather around the
+per-column centerline (the ancestor loops per column). The centerline
+estimate stays on scipy kernels deliberately: it takes an argmax over the
+smoothed line, and even 1e-16 kernel-rounding differences (e.g. from the
+cv2-backed fastfilters) can flip ties and shift the dewarped image by a
+pixel, breaking byte-exact recognition parity. Note that the smoothing of
+the integer argmax track runs in integer arithmetic — scipy preserves the
+input dtype — and that truncation is part of the pinned behavior.
 """
 import warnings
 from typing import TYPE_CHECKING
 
 import numpy as np
-# NOTE: stays on scipy deliberately — the centerline estimate takes an
-# argmax over the smoothed line, and even 1e-16 kernel-rounding differences
-# (e.g. from the cv2-backed fastfilters) can flip ties and shift the
-# dewarped image by a pixel, breaking byte-exact recognition parity with
-# the reference.
-from scipy.ndimage import affine_transform, gaussian_filter, gaussian_filter1d, uniform_filter
+from scipy.ndimage import (affine_transform, gaussian_filter,
+                           gaussian_filter1d, uniform_filter)
 
 if TYPE_CHECKING:
     from PIL import Image
@@ -28,13 +34,14 @@ def scale_to_h(img: np.ndarray, target_height: int, order: int = 1,
     """Scales a 2D image to a target height preserving aspect ratio."""
     h, w = img.shape
     scale = target_height * 1.0 / h
-    target_width = int(scale * w)
     with warnings.catch_warnings():
         warnings.simplefilter('ignore', UserWarning)
-        output = affine_transform(1.0 * img, np.ones(2) / scale, order=order,
-                                  output_shape=(target_height, target_width),
-                                  mode='constant', cval=cval)
-    return np.array(output, dtype=dtype)
+        resized = affine_transform(img * 1.0,
+                                   np.full(2, 1.0 / scale),
+                                   order=order,
+                                   output_shape=(target_height, int(scale * w)),
+                                   mode='constant', cval=cval)
+    return resized.astype(dtype)
 
 
 class CenterNormalizer:
@@ -51,15 +58,24 @@ class CenterNormalizer:
         self.target_height = target_height
 
     def measure(self, line: np.ndarray) -> None:
+        """
+        Fits the centerline of an ink-intensity array (text bright on dark):
+        a heavy blur turns each column into a unimodal intensity profile
+        whose argmax tracks the text core; a faint whole-line box blur is
+        mixed in so empty columns inherit their neighborhood's maximum
+        instead of defaulting to row 0. The track is then smoothed (integer
+        arithmetic, see module docstring) and the half-band radius `r` set
+        from the mean |row - center| over ink pixels.
+        """
         h, w = line.shape
-        smoothed = gaussian_filter(line, (h * 0.5, h * self.smoothness), mode='constant')
-        smoothed += 0.001 * uniform_filter(smoothed, (h * 0.5, w), mode='constant')
         self.shape = (h, w)
-        a = np.argmax(smoothed, axis=0)
-        a = gaussian_filter(a, h * self.extra)
-        self.center = np.array(a, 'i')
-        deltas = np.abs(np.arange(h)[:, np.newaxis] - self.center[np.newaxis, :])
-        self.mad = np.mean(deltas[line != 0])
+        blurred = gaussian_filter(line, sigma=(h * 0.5, h * self.smoothness),
+                                  mode='constant')
+        blurred += 1e-3 * uniform_filter(blurred, (h * 0.5, w), mode='constant')
+        track = blurred.argmax(axis=0)
+        self.center = np.asarray(gaussian_filter1d(track, h * self.extra), 'i')
+        ink_rows, ink_cols = np.nonzero(line)
+        self.mad = np.abs(ink_rows - self.center[ink_cols]).mean()
         self.r = int(1 + self.range * self.mad)
 
     def dewarp(self, img: np.ndarray, cval: int = 0, dtype=np.dtype('f')) -> np.ndarray:
@@ -75,10 +91,11 @@ class CenterNormalizer:
 
     def normalize(self, img: np.ndarray, order: int = 1, dtype=np.dtype('f'),
                   cval: int = 0) -> np.ndarray:
-        dewarped = self.dewarp(img, cval=cval, dtype=dtype)
-        if dewarped.shape[0] == 0:
-            dewarped = img
-        return scale_to_h(dewarped, self.target_height, order=order, dtype=dtype, cval=cval)
+        band = self.dewarp(img, cval=cval, dtype=dtype)
+        if not band.shape[0]:
+            band = img
+        return scale_to_h(band, self.target_height, order=order, dtype=dtype,
+                          cval=cval)
 
 
 def dewarp(normalizer: CenterNormalizer, im: 'Image.Image') -> 'Image.Image':
@@ -86,8 +103,6 @@ def dewarp(normalizer: CenterNormalizer, im: 'Image.Image') -> 'Image.Image':
     from kraken_tpu.lib.util import array2pil, pil2array
 
     line = pil2array(im)
-    temp = np.amax(line) - line
-    temp = temp * 1.0 / np.amax(temp)
-    normalizer.measure(temp)
-    line = normalizer.normalize(line, cval=np.amax(line))
-    return array2pil(line)
+    ink = np.amax(line) - line  # dark-on-light → ink intensity
+    normalizer.measure(ink * 1.0 / np.amax(ink))
+    return array2pil(normalizer.normalize(line, cval=np.amax(line)))

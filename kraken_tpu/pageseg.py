@@ -6,6 +6,10 @@ Legacy bbox page segmentation for bi-level images (ocropy lineage;
 reference: kraken/pageseg.py): connected-component scale estimation, column
 separator detection (whitespace or black rules), gradient-map line seeds,
 label propagation, and heuristic reading order. Emits BBoxLine records.
+
+Provenance: the filter sequences and constants implement the ocropy
+algorithm (Copyright Thomas M. Breuel, Apache-2.0, via kraken/pageseg.py)
+and are pinned for output parity — see the NOTICE file at the repo root.
 """
 import logging
 import uuid
