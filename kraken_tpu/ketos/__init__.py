@@ -75,5 +75,10 @@ cli.add_command(pretrain.pretrain)
 cli.add_command(repo.publish)
 
 
+# third-party subcommand discovery (reference: kraken/ketos/__init__.py:109-110)
+from kraken_tpu.registry import register_cli_plugins  # noqa: E402
+register_cli_plugins(cli, 'ketos.cli')
+
+
 if __name__ == '__main__':
     cli()

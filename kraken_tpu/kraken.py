@@ -621,5 +621,10 @@ def get(ctx, model_id):
     message(f'Model dir: {path}')
 
 
+# third-party subcommand discovery (reference: kraken/kraken.py:818-819)
+from kraken_tpu.registry import register_cli_plugins  # noqa: E402
+register_cli_plugins(cli, 'kraken.cli')
+
+
 if __name__ == '__main__':
     cli()

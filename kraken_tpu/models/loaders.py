@@ -37,7 +37,19 @@ def load_models(path: Union[str, 'PathLike'], tasks: Optional[Sequence[_T_tasks]
     if not path.is_file():
         raise ValueError(f'{path} is not a regular file.')
     errors = []
-    for name, loader in (('safetensors', load_safetensors), ('coreml', load_coreml)):
+    loaders = [('safetensors', load_safetensors), ('coreml', load_coreml)]
+    # third-party loaders via the 'kraken.loaders' entry-point group
+    # (reference: kraken/models/loaders.py:35)
+    import importlib.metadata
+    seen = {name for name, _ in loaders}
+    for ep in sorted(importlib.metadata.entry_points(group='kraken.loaders'),
+                     key=lambda ep: ep.name):
+        if ep.name not in seen:
+            try:
+                loaders.append((ep.name, ep.load()))
+            except Exception as e:
+                logger.warning(f'Failed to load model loader plugin {ep.name}: {e}')
+    for name, loader in loaders:
         try:
             return loader(path, tasks=tasks)
         except ValueError as e:

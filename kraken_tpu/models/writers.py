@@ -66,4 +66,11 @@ def write_models(models: Sequence, path: Union[str, PathLike], format: str = 'sa
         from kraken_tpu.models._coreml_writer import write_coreml
         write_coreml(models, path)
     else:
+        # third-party writers via the 'kraken.writers' entry-point group
+        # (reference: kraken/models/writers.py:36)
+        import importlib.metadata
+        for ep in importlib.metadata.entry_points(group='kraken.writers'):
+            if ep.name == format:
+                ep.load()(models, path)
+                return
         raise ValueError(f'Unknown model format {format}')

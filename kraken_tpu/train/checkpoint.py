@@ -23,7 +23,25 @@ from kraken_tpu.models.writers import _model_metadata
 
 logger = logging.getLogger(__name__)
 
-__all__ = ['save_checkpoint', 'load_checkpoint', 'convert_checkpoint']
+__all__ = ['save_checkpoint', 'load_checkpoint', 'convert_checkpoint',
+           'config_from_checkpoint']
+
+
+def config_from_checkpoint(training_meta: dict):
+    """
+    Re-inflates the training config recorded in a checkpoint's metadata into
+    its registered class (first-party or `kraken.configs` plugin). Values
+    pass through JSON with `default=str`, so non-scalar members (injected
+    functions etc.) come back as strings — the registry restores the class
+    and its defaults, not live callables.
+    """
+    from kraken_tpu.configs import resolve_config
+    hyper_params = dict(training_meta.get('hyper_params', {}))
+    name = hyper_params.pop('config_class', None)
+    if name is None:
+        return None
+    cls = resolve_config(name)
+    return cls(**hyper_params)
 
 
 def _flatten_state(state, prefix: str) -> dict[str, np.ndarray]:

@@ -292,7 +292,8 @@ class KrakenTrainer:
         save_checkpoint(module.net, opt_state, path,
                         epoch=self.current_epoch,
                         global_step=self.global_step,
-                        hyper_params=vars(self.config),
+                        hyper_params={'config_class': type(self.config).__name__,
+                                      **vars(self.config)},
                         extras=module.checkpoint_extras())
         logger.info(f'Wrote checkpoint {path}')
         return path
