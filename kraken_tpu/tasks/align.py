@@ -65,6 +65,12 @@ class ForcedAlignmentTaskModel:
             if record.logits is None or not line.text:
                 records.append(record.__class__('', [], [], line))
                 continue
+            # completely unencodable transcriptions are a hard error
+            # (reference: tasks/align.py backtrack 'Failed to align')
+            if len(self.net.codec.encode(line.text)) == 0:
+                raise ValueError(f'Failed to align: transcription of line {idx} '
+                                 f'({line.text!r}) shares no code points with the '
+                                 f'model codec.')
             result = align_line(record.logits, self.net.codec, line.text, base_dir)
             if result is None:
                 logger.warning(f'Could not align line {idx}: output too short for '
@@ -84,9 +90,11 @@ class ForcedAlignmentTaskModel:
             pos = [(scale_val(seg.start, 0, record.image.width),
                     scale_val(seg.end, 0, record.image.width)) for seg in segments]
             conf = [seg.score for seg in segments]
+            # aligned records are emitted in display order — the reference
+            # computes logical_order() but discards the result
+            # (kraken/tasks/align.py:134-138), and its test suite pins the
+            # display-order output
             rec = BaselineOCRRecord(pred, pos, conf, line, display_order=True)
-            if config.bidi_reordering:
-                rec = rec.logical_order(base_dir=base_dir)
             records.append(rec)
         return replace(segmentation, lines=records)
 

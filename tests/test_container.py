@@ -129,3 +129,204 @@ def test_segmentation_type_casts():
     assert back.type == 'baselines'
     # original untouched
     assert seg.lines[0].baseline == [(0, 5), (50, 5)]
+
+
+# ---- bbox <-> baseline cast matrix (reference tests/test_container.py) ----
+
+from kraken_tpu.containers import BaselineLine, BBoxLine, Region, Segmentation
+
+_SHARED = dict(id='line-1', text='hello', base_dir='L', imagename='page.png',
+               tags={'type': [{'tag': 'default'}]}, split='train',
+               regions=['r1'], language=['eng'])
+_SHARED_FIELDS = ('id', 'text', 'base_dir', 'imagename', 'tags', 'split',
+                  'regions', 'language')
+
+
+def test_to_bbox_boundary_extents():
+    bl = BaselineLine(baseline=[(20, 40), (90, 42)],
+                      boundary=[(10, 30), (100, 30), (100, 55), (10, 55), (10, 30)],
+                      **_SHARED)
+    out = bl.to_bbox()
+    assert isinstance(out, BBoxLine)
+    assert tuple(out.bbox) == (10, 30, 100, 55)
+
+
+def test_to_bbox_baseline_fallbacks():
+    # None boundary falls back to the baseline polyline extents
+    out = BaselineLine(baseline=[(5, 8), (60, 12), (90, 7)], boundary=None,
+                       **_SHARED).to_bbox()
+    assert tuple(out.bbox) == (5, 7, 90, 12)
+    # empty boundary likewise
+    out = BaselineLine(baseline=[(5, 8), (60, 12)], boundary=[], **_SHARED).to_bbox()
+    assert tuple(out.bbox) == (5, 8, 60, 12)
+
+
+def test_to_bbox_preserves_shared_fields_and_direction():
+    bl = BaselineLine(baseline=[(0, 0), (1, 1)], **_SHARED)
+    out = bl.to_bbox()
+    for f in _SHARED_FIELDS:
+        assert getattr(bl, f) == getattr(out, f)
+    assert out.type == 'bbox'
+    for td in ('horizontal-lr', 'horizontal-rl', 'vertical-lr', 'vertical-rl'):
+        assert BaselineLine(baseline=[(0, 0), (10, 10)],
+                            **_SHARED).to_bbox(text_direction=td).text_direction == td
+
+
+def test_to_bbox_does_not_mutate_input():
+    baseline = [(0, 0), (10, 10)]
+    boundary = [(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)]
+    bl = BaselineLine(id='x', baseline=list(baseline), boundary=list(boundary))
+    bl.to_bbox()
+    assert bl.baseline == baseline and bl.boundary == boundary
+
+
+_BBOX = (10, 20, 110, 70)
+# (text_direction, topline) -> expected baseline endpoints; heights/widths
+# quarter/half insets per the reference placement rules
+_BASELINE_CASES = [
+    ('horizontal-lr', False, [(10, 57), (110, 57)]),
+    ('horizontal-lr', True, [(10, 32), (110, 32)]),
+    ('horizontal-lr', None, [(10, 45), (110, 45)]),
+    ('horizontal-rl', False, [(110, 57), (10, 57)]),
+    ('horizontal-rl', True, [(110, 32), (10, 32)]),
+    ('horizontal-rl', None, [(110, 45), (10, 45)]),
+    ('vertical-lr', False, [(35, 20), (35, 70)]),
+    ('vertical-lr', True, [(85, 20), (85, 70)]),
+    ('vertical-lr', None, [(60, 20), (60, 70)]),
+    ('vertical-rl', False, [(85, 20), (85, 70)]),
+    ('vertical-rl', True, [(35, 20), (35, 70)]),
+    ('vertical-rl', None, [(60, 20), (60, 70)]),
+]
+
+
+@pytest.mark.parametrize('td,topline,expected', _BASELINE_CASES)
+def test_to_baseline_placement(td, topline, expected):
+    out = BBoxLine(bbox=_BBOX, text_direction=td, **_SHARED).to_baseline(topline=topline)
+    assert isinstance(out, BaselineLine)
+    assert [tuple(p) for p in out.baseline] == expected
+    assert [tuple(p) for p in out.boundary] == [(10, 20), (110, 20), (110, 70),
+                                                (10, 70), (10, 20)]
+    assert out.type == 'baselines'
+
+
+def test_to_baseline_preserves_shared_fields():
+    bx = BBoxLine(bbox=_BBOX, text_direction='horizontal-lr', **_SHARED)
+    out = bx.to_baseline()
+    for f in _SHARED_FIELDS:
+        assert getattr(bx, f) == getattr(out, f)
+
+
+def test_to_baseline_degenerate_bbox():
+    out = BBoxLine(id='x', bbox=(5, 5, 5, 5), text_direction='horizontal-lr').to_baseline()
+    assert [tuple(p) for p in out.baseline] == [(5, 5), (5, 5)]
+    assert [tuple(p) for p in out.boundary] == [(5, 5)] * 5
+
+
+def test_to_baseline_does_not_mutate_input():
+    bx = BBoxLine(id='x', bbox=_BBOX, text_direction='horizontal-lr')
+    bx.to_baseline()
+    assert tuple(bx.bbox) == _BBOX and bx.text_direction == 'horizontal-lr'
+
+
+def _baselines_seg():
+    return Segmentation(
+        type='baselines', imagename='page.png', text_direction='horizontal-lr',
+        script_detection=True,
+        lines=[BaselineLine(id='l1', baseline=[(10, 50), (100, 50)],
+                            boundary=[(10, 30), (100, 30), (100, 70), (10, 70), (10, 30)],
+                            text='foo'),
+               BaselineLine(id='l2', baseline=[(10, 150), (100, 150)],
+                            boundary=[(10, 130), (100, 130), (100, 170), (10, 170), (10, 130)],
+                            text='bar')],
+        regions={'text': [Region(id='r1', boundary=[(0, 0), (200, 0), (200, 200), (0, 200), (0, 0)])]},
+        line_orders=[[0, 1]], language=['eng'])
+
+
+def _bbox_seg():
+    return Segmentation(
+        type='bbox', imagename='page.png', text_direction='horizontal-rl',
+        script_detection=False,
+        lines=[BBoxLine(id='l1', bbox=(10, 30, 100, 70), text_direction='horizontal-rl', text='foo'),
+               BBoxLine(id='l2', bbox=(10, 130, 100, 170), text_direction='horizontal-rl', text='bar')],
+        regions={'text': [Region(id='r1', boundary=[(0, 0), (200, 0), (200, 200), (0, 200), (0, 0)])]},
+        line_orders=[[0, 1]], language=['eng'])
+
+
+def test_segmentation_to_bbox_roundtrip():
+    seg = _baselines_seg()
+    out = seg.to_bbox()
+    assert out.type == 'bbox' and len(out.lines) == 2
+    assert all(isinstance(ln, BBoxLine) and ln.text_direction == seg.text_direction
+               for ln in out.lines)
+    assert tuple(out.lines[0].bbox) == (10, 30, 100, 70)
+    assert tuple(out.lines[1].bbox) == (10, 130, 100, 170)
+
+
+def test_segmentation_to_baselines_roundtrip_and_topline():
+    seg = _bbox_seg()
+    out = seg.to_baselines()
+    assert out.type == 'baselines' and len(out.lines) == 2
+    assert all(isinstance(ln, BaselineLine) and tuple(ln.boundary[0]) == tuple(ln.boundary[-1])
+               for ln in out.lines)
+    # topline placement through the Segmentation-level cast (horizontal-rl)
+    up = _bbox_seg().to_baselines(topline=True)
+    assert [tuple(p) for p in up.lines[0].baseline] == [(100, 40), (10, 40)]
+    center = _bbox_seg().to_baselines(topline=None)
+    assert [tuple(p) for p in center.lines[0].baseline] == [(100, 50), (10, 50)]
+
+
+def test_segmentation_cast_passthrough_fields():
+    seg = _baselines_seg()
+    out = seg.to_bbox()
+    assert out.imagename == seg.imagename
+    assert out.text_direction == seg.text_direction
+    assert out.script_detection == seg.script_detection
+    assert out.line_orders == seg.line_orders
+    assert out.language == seg.language
+    assert list(out.regions.keys()) == list(seg.regions.keys())
+    assert out.regions['text'][0].id == 'r1'
+
+
+def test_segmentation_identity_casts_deep_copy():
+    seg = _baselines_seg()
+    out = seg.to_baselines()
+    assert out is not seg and out.lines is not seg.lines
+    for orig, new in zip(seg.lines, out.lines):
+        assert orig is not new
+        assert orig.baseline == new.baseline and orig.boundary == new.boundary
+    assert out.regions is not seg.regions
+    assert out.regions['text'] is not seg.regions['text']
+    assert out.regions['text'][0] is not seg.regions['text'][0]
+    assert out.line_orders is not seg.line_orders
+    assert out.line_orders == seg.line_orders
+
+    seg2 = _bbox_seg()
+    out2 = seg2.to_bbox()
+    assert out2 is not seg2 and out2.lines is not seg2.lines
+    for orig, new in zip(seg2.lines, out2.lines):
+        assert orig is not new and tuple(orig.bbox) == tuple(new.bbox)
+
+
+def test_segmentation_cross_cast_independent():
+    seg = _baselines_seg()
+    out = seg.to_bbox()
+    assert out.lines is not seg.lines
+    assert all(o is not n for o, n in zip(seg.lines, out.lines))
+    assert out.regions is not seg.regions
+
+
+def test_segmentation_empty_lines_cast():
+    seg = Segmentation(type='baselines', imagename='page.png',
+                       text_direction='horizontal-lr', script_detection=False,
+                       lines=[])
+    out = seg.to_bbox()
+    assert out.type == 'bbox' and out.lines == []
+
+
+def test_segmentation_vertical_rl_cast():
+    seg = Segmentation(type='bbox', imagename='page.png',
+                       text_direction='vertical-rl', script_detection=False,
+                       lines=[BBoxLine(id='l1', bbox=(10, 20, 110, 70),
+                                       text_direction='vertical-rl')])
+    out = seg.to_baselines(topline=False)
+    assert [tuple(p) for p in out.lines[0].baseline] == [(85, 20), (85, 70)]

@@ -109,3 +109,271 @@ def test_trellis_device_parity():
     mask = np.isfinite(a) & np.isfinite(b)
     np.testing.assert_allclose(a[mask], b[mask], rtol=1e-6)
     np.testing.assert_array_equal(np.isfinite(a), np.isfinite(b))
+
+
+# ---- reference task-API matrix (reference tests/test_tasks.py) ----
+# The reference's Gallicorpora/all_arabic models are absent from its own
+# snapshot (.MISSING_LARGE_BLOBS); the orchestration matrix below runs on the
+# available overfit/model_small weights with the same fixtures.
+
+from unittest.mock import MagicMock
+
+from kraken_tpu.containers import BaselineOCRRecord, Region
+from tests.test_serialization import load_ref_pickle
+
+BL_GOLD = '.ܗ ܣܗܐ  ܕ ܣ   ܗ ܕܗܗ ܟܕܗܣ    ܠ  ܐ .ܣܕܐܣ. ܗ '
+
+
+@pytest.fixture(scope='module')
+def bl_task(resources):
+    return RecognitionTaskModel.load_model(resources / 'overfit.mlmodel')
+
+
+@pytest.fixture(scope='module')
+def bl_seg(resources):
+    return Segmentation(type='baselines', imagename=resources / 'bw.png',
+                        text_direction='horizontal-lr', script_detection=False,
+                        lines=[BaselineLine(id='foo',
+                                            baseline=[[0, 10], [2543, 10]],
+                                            boundary=[[0, 0], [2543, 0], [2543, 155], [0, 155]])])
+
+
+def test_task_load_and_instantiate(resources):
+    task = RecognitionTaskModel.load_model(resources / 'overfit.mlmodel')
+    assert isinstance(task, RecognitionTaskModel)
+    task2 = RecognitionTaskModel(load_models(resources / 'overfit.mlmodel'))
+    assert isinstance(task2, RecognitionTaskModel)
+
+
+def test_task_attribute_propagation(bl_task):
+    assert bl_task.one_channel_mode in (None, '1', 'L')
+    assert bl_task.seg_type in (None, 'bbox', 'baseline', 'baselines')
+
+
+def test_task_rejects_mock_seg_model():
+    mock_model = MagicMock()
+    mock_model.model_type = ['segmentation']
+    with pytest.raises(ValueError, match='[Nn]o recognition model'):
+        RecognitionTaskModel([mock_model])
+
+
+def test_seg_task_rejects_mock_rec_model():
+    mock_model = MagicMock()
+    mock_model.model_type = ['recognition']
+    with pytest.raises(ValueError, match='[Nn]o segmentation model'):
+        SegmentationTaskModel([mock_model])
+
+
+def test_align_task_rejects_mock_models():
+    mock_model = MagicMock()
+    mock_model.model_type = ['segmentation']
+    with pytest.raises(ValueError, match='[Nn]o recognition model'):
+        ForcedAlignmentTaskModel([mock_model])
+
+
+def test_task_predict_empty_segmentation(bl_task, overfit_line, resources):
+    empty = Segmentation(type='baselines', imagename=resources / 'bw.png',
+                         lines=[], text_direction='horizontal-lr',
+                         script_detection=False)
+    records = list(bl_task.predict(overfit_line, empty,
+                                   RecognitionInferenceConfig(num_line_workers=0)))
+    assert records == []
+
+
+def test_task_predict_config_precision(bl_task, overfit_line, bl_seg):
+    for precision in ('32-true', 'bf16-true'):
+        config = RecognitionInferenceConfig(padding=1, num_line_workers=0,
+                                            precision=precision)
+        records = list(bl_task.predict(overfit_line, bl_seg, config))
+        assert len(records) == 1
+        assert len(records[0].prediction) > 0
+
+
+def test_task_predict_invalid_line_coords(bl_task, overfit_line, resources):
+    invalid = Segmentation(type='baselines', imagename=resources / 'bw.png',
+                           lines=[BaselineLine(id='bar',
+                                               baseline=[[0, 0], [1, 0]],
+                                               boundary=[[0, 0], [1, 0], [1, 1], [0, 1]])],
+                           text_direction='horizontal-lr', script_detection=False)
+    records = list(bl_task.predict(overfit_line, invalid,
+                                   RecognitionInferenceConfig(num_line_workers=0)))
+    assert len(records) == 1
+    assert records[0].prediction == ''
+
+
+# ---- RTL/bidi matrix on the Syriac overfit model ----
+
+def test_task_rtl_bidi_nobidi_differ(bl_task, overfit_line, bl_seg):
+    bidi = list(bl_task.predict(overfit_line, bl_seg,
+                                RecognitionInferenceConfig(padding=1, num_line_workers=0,
+                                                           bidi_reordering=True)))[0]
+    nobidi = list(bl_task.predict(overfit_line, bl_seg,
+                                  RecognitionInferenceConfig(padding=1, num_line_workers=0,
+                                                             bidi_reordering=False)))[0]
+    assert bidi.prediction == BL_GOLD
+    assert not bidi._display_order
+    assert nobidi._display_order
+    assert bidi.prediction != nobidi.prediction
+
+
+def test_task_rtl_display_logical_roundtrip(bl_task, overfit_line, bl_seg):
+    record = list(bl_task.predict(overfit_line, bl_seg,
+                                  RecognitionInferenceConfig(padding=1, num_line_workers=0,
+                                                             bidi_reordering=True)))[0]
+    display = record.display_order()
+    assert display.prediction != record.prediction
+    assert display.logical_order().prediction == record.prediction
+
+
+# ---- arabic_seg.pkl geometry fixture (reference test_tasks.py:180-270) ----
+
+def test_task_arabic_seg_fixture(resources):
+    """
+    The reference's pickled 24-line Arabic page segmentation drives batched
+    recognition end-to-end: one in-order record per line, ids preserved.
+    (The reference's all_arabic model is missing from its snapshot, so
+    model_small stands in; prediction content is model-dependent, geometry
+    and orchestration are not.)
+    """
+    full_seg = load_ref_pickle(resources / 'arabic_seg.pkl')
+    seg = Segmentation(type='baselines', imagename=full_seg.imagename,
+                       lines=full_seg.lines, text_direction='horizontal-lr',
+                       script_detection=False)
+    assert len(seg.lines) == 24
+    # the reference's all_arabic model is absent from its snapshot; the
+    # Syriac overfit_bl recognizer stands in (geometry/orchestration are
+    # model-independent)
+    task = RecognitionTaskModel.load_model(resources / 'overfit_bl.safetensors')
+    im = Image.open(resources / 'arabic.webp')
+    records = list(task.predict(im, seg,
+                                RecognitionInferenceConfig(num_line_workers=0,
+                                                           batch_size=8)))
+    assert len(records) == 24
+    assert [r.id for r in records] == [ln.id for ln in seg.lines]
+    assert all(isinstance(r, BaselineOCRRecord) for r in records)
+    # every record's char cuts stay inside the page bounds (cut polygons
+    # can overhang the line boundary for warped/diagonal baselines)
+    for rec in records:
+        for cut in rec.cuts:
+            for point in cut:
+                assert 0 <= point[0] <= im.width
+                assert 0 <= point[1] <= im.height
+
+
+# ---- _merge_segmentations matrix (reference test_tasks.py:322-350) ----
+
+def _mini_seg(line_ids, region_ids=(), imagename='test.png'):
+    return Segmentation(
+        type='baselines', imagename=imagename,
+        text_direction='horizontal-lr', script_detection=False,
+        lines=[BaselineLine(id=lid,
+                            baseline=[[0, 10 + 30 * i], [100, 10 + 30 * i]],
+                            boundary=[[0, 30 * i], [100, 30 * i],
+                                      [100, 20 + 30 * i], [0, 20 + 30 * i]])
+               for i, lid in enumerate(line_ids)],
+        regions={'text': [Region(id=rid, boundary=[[0, 0], [100, 0], [100, 100], [0, 100]])
+                          for rid in region_ids]} if region_ids else {})
+
+
+def test_merge_segmentations_single_identity():
+    seg = _mini_seg(['l1'])
+    config = SegmentationInferenceConfig()
+    assert SegmentationTaskModel._merge_segmentations([seg], config) is seg
+
+
+def test_merge_segmentations_region_only():
+    a = _mini_seg([], region_ids=['r1'])
+    b = _mini_seg([], region_ids=['r2'])
+    config = SegmentationInferenceConfig()
+    merged = SegmentationTaskModel._merge_segmentations([a, b], config)
+    assert merged.type == a.type
+    assert merged.lines == []
+    assert sum(len(v) for v in merged.regions.values()) > 0
+
+
+def test_merge_segmentations_line_union():
+    a = _mini_seg(['l1', 'l2'])
+    b = _mini_seg(['l3'])
+    config = SegmentationInferenceConfig()
+    merged = SegmentationTaskModel._merge_segmentations([a, b], config)
+    assert len(merged.lines) == 3
+    assert {ln.id for ln in merged.lines} == {'l1', 'l2', 'l3'}
+
+
+# ---- forced-alignment task matrix (reference test_tasks.py:355-513) ----
+
+SYRIAC_MIM = 'ܡ'
+
+
+@pytest.fixture(scope='module')
+def align_seg(resources):
+    return Segmentation(type='baselines', imagename=resources / '000236.png',
+                        lines=[BaselineLine(id='foo',
+                                            baseline=[[0, 10], [2543, 10]],
+                                            boundary=[[0, 0], [2543, 0], [2543, 155], [0, 155]],
+                                            text=SYRIAC_MIM)],
+                        text_direction='horizontal-lr', script_detection=False)
+
+
+def test_align_task_load_and_reject_non_vgsl(resources):
+    task = ForcedAlignmentTaskModel.load_model(resources / 'overfit.mlmodel')
+    assert isinstance(task, ForcedAlignmentTaskModel)
+    mock_model = MagicMock()
+    mock_model.model_type = ['recognition']
+    with pytest.raises(ValueError):
+        ForcedAlignmentTaskModel([mock_model])
+
+
+def test_align_predict_enables_logits(resources, overfit_line, align_seg):
+    task = ForcedAlignmentTaskModel.load_model(resources / 'overfit.mlmodel')
+    config = RecognitionInferenceConfig(padding=1, num_line_workers=0)
+    assert not config.return_logits
+    task.predict(overfit_line, align_seg, config)
+    assert config.return_logits
+    assert config.return_line_image
+
+
+def test_align_predict_structure(resources, overfit_line, align_seg):
+    task = ForcedAlignmentTaskModel.load_model(resources / 'overfit.mlmodel')
+    result = task.predict(overfit_line, align_seg,
+                          RecognitionInferenceConfig(padding=1, num_line_workers=0))
+    assert isinstance(result, Segmentation)
+    assert len(result.lines) == 1
+    record = result.lines[0]
+    assert isinstance(record, BaselineOCRRecord)
+    assert record._display_order
+    assert len(record.prediction) > 0
+    assert len(record.cuts) > 0
+    assert len(record.confidences) > 0
+
+
+def test_align_predict_record_count(resources, overfit_line, align_seg):
+    task = ForcedAlignmentTaskModel.load_model(resources / 'overfit.mlmodel')
+    import dataclasses
+    two = dataclasses.replace(
+        align_seg,
+        lines=[dataclasses.replace(align_seg.lines[0], id=f'l{i}') for i in range(2)])
+    result = task.predict(overfit_line, two,
+                          RecognitionInferenceConfig(padding=1, num_line_workers=0))
+    assert len(result.lines) == 2
+
+
+def test_align_predict_unencodable(resources, overfit_line, align_seg):
+    task = ForcedAlignmentTaskModel.load_model(resources / 'overfit.mlmodel')
+    import dataclasses
+    bad = dataclasses.replace(
+        align_seg,
+        lines=[dataclasses.replace(align_seg.lines[0], text='Z' * 47)])
+    with pytest.raises(ValueError):
+        task.predict(overfit_line, bad,
+                     RecognitionInferenceConfig(padding=1, num_line_workers=0))
+
+
+def test_align_predict_empty_segmentation(resources, overfit_line, align_seg):
+    task = ForcedAlignmentTaskModel.load_model(resources / 'overfit.mlmodel')
+    import dataclasses
+    empty = dataclasses.replace(align_seg, lines=[])
+    result = task.predict(overfit_line, empty,
+                          RecognitionInferenceConfig(padding=1, num_line_workers=0))
+    assert isinstance(result, Segmentation)
+    assert result.lines == []
