@@ -106,16 +106,164 @@ def bench_torch_cpu():
     return TORCH_BATCH / best
 
 
+def _flagship_model():
+    """Production-scale recognizer (the catmus-print class CNN+3xBiLSTM-200
+    architecture) with deterministic weights and a synthetic 250-label codec;
+    both backends rebuild the identical model from PRNGKey(0)."""
+    import jax
+    from kraken_tpu.codec import Codec
+    from kraken_tpu.vgsl import VGSLModel
+    from __graft_entry__ import FLAGSHIP_SPEC
+
+    model = VGSLModel(vgsl=FLAGSHIP_SPEC, rng=jax.random.PRNGKey(0))
+    model.add_codec(Codec([chr(0x0900 + i) for i in range(249)]))
+    model.model_type = ['recognition']
+    model.seg_type = 'bbox'
+    return model
+
+
+def _page_pipeline(torch_backend: bool, n_pages: int = 5, flagship: bool = False):
+    """
+    Full single-page segment+ocr through the production pipeline (legacy
+    bitonal segmenter + batched recognition) on tests/resources/bw.png,
+    identical host path for both backends; only the per-batch network
+    forward differs (jitted TPU vs torch CPU — the reference engine's
+    substrate). Returns (pages_per_sec, {line_idx: text}).
+    """
+    import os
+    import sys
+    from PIL import Image
+    from kraken_tpu.configs import RecognitionInferenceConfig
+    from kraken_tpu.models import load_models
+    from kraken_tpu.pageseg import segment
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    im = Image.open(os.path.join(repo, 'tests/resources/bw.png'))
+    im.load()
+    if flagship:
+        model = _flagship_model()
+    else:
+        model = load_models(os.path.join(repo, 'tests/resources/overfit.mlmodel'))[0]
+    config = RecognitionInferenceConfig(
+        batch_size=32, num_line_workers=2,
+        precision='32-true' if torch_backend else 'bf16')
+    model.prepare_for_inference(config)
+    if torch_backend:
+        sys.path.insert(0, os.path.join(repo, 'scripts'))
+        from torch_ref import torch_recognizer
+        torch_fwd = torch_recognizer(model)
+
+        def fwd(params, x, seq_lens, temperature):
+            return torch_fwd(np.asarray(x), np.asarray(seq_lens),
+                             float(temperature))
+        model._rec_fwd = fwd
+
+    from kraken_tpu.pipeline import process_pages
+
+    seg = segment(im)
+    records = list(model.predict(im, seg))  # warm: compile/trace all buckets
+    texts = {i: r.prediction for i, r in enumerate(records)}
+    # steady-state streaming throughput: host segmentation of upcoming pages
+    # overlaps recognition of the current one (kraken_tpu.pipeline)
+    start = time.perf_counter()
+    done = 0
+    for _im, _seg, recs in process_pages([im] * n_pages, model, segment):
+        done += len(recs)
+    elapsed = time.perf_counter() - start
+    assert done == n_pages * len(texts)
+    return n_pages / elapsed, texts
+
+
+def _cer(texts: dict, golden: dict) -> float:
+    from kraken_tpu.train.metrics import levenshtein
+    errs = sum(levenshtein(texts.get(int(k), ''), v) for k, v in golden.items())
+    chars = sum(len(v) for v in golden.values())
+    return errs / max(chars, 1)
+
+
+def _golden_path():
+    import os
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        'tests/resources/bw_page_golden.json')
+
+
+def e2e_torch_child():
+    """Child entry (JAX_PLATFORMS=cpu): torch-CPU e2e pipeline + CER."""
+    pps, texts = _page_pipeline(torch_backend=True)
+    with open(_golden_path()) as fp:
+        golden = json.load(fp)
+    pps_flag, _ = _page_pipeline(torch_backend=True, n_pages=3,
+                                 flagship=True)
+    print(json.dumps({'pages_per_sec': pps, 'cer': _cer(texts, golden),
+                      'flagship_pages_per_sec': pps_flag}))
+
+
+def make_golden():
+    """Regenerates the pinned page transcription from the fp32 CPU pipeline."""
+    _, texts = _page_pipeline(torch_backend=True, n_pages=1)
+    with open(_golden_path(), 'w') as fp:
+        json.dump({str(k): v for k, v in texts.items()}, fp, ensure_ascii=False)
+    print(f'wrote {_golden_path()} ({len(texts)} lines)')
+
+
+def bench_e2e():
+    """BASELINE.md headline: single-page segment+ocr, TPU vs torch CPU, at
+    equal CER against the pinned golden transcription."""
+    import os
+    import subprocess
+    import sys
+
+    pps_tpu, texts = _page_pipeline(torch_backend=False)
+    with open(_golden_path()) as fp:
+        golden = json.load(fp)
+    cer_tpu = _cer(texts, golden)
+    pps_flag, _ = _page_pipeline(torch_backend=False, n_pages=3,
+                                 flagship=True)
+
+    env = dict(os.environ)
+    env['JAX_PLATFORMS'] = 'cpu'
+    env.pop('PALLAS_AXON_POOL_IPS', None)
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), '--e2e-torch-child'],
+        env=env, capture_output=True, text=True, timeout=3600)
+    child = json.loads(proc.stdout.strip().splitlines()[-1])
+    return {'metric': 'single-page segment+ocr (30-line page, legacy segmenter)',
+            'tpu_pages_per_sec': round(pps_tpu, 3),
+            'torch_cpu_pages_per_sec': round(child['pages_per_sec'], 3),
+            'vs_baseline': round(pps_tpu / child['pages_per_sec'], 2),
+            'tpu_cer_vs_golden': round(cer_tpu, 4),
+            'torch_cer_vs_golden': round(child['cer'], 4),
+            'lines_per_page': len(golden),
+            'flagship': {
+                'metric': 'segment+ocr, CNN+3xBiLSTM-200 recognizer',
+                'tpu_pages_per_sec': round(pps_flag, 3),
+                'torch_cpu_pages_per_sec': round(child['flagship_pages_per_sec'], 3),
+                'vs_baseline': round(pps_flag / child['flagship_pages_per_sec'], 2)},
+            'note': ('single stream on a 1-core dev host behind a TPU tunnel: '
+                     'the TPU page budget is ~0.8s host segmentation (overlapped '
+                     'via kraken_tpu.pipeline) + ~1.4s fixed per-dispatch tunnel '
+                     'latency; device compute itself is ~3ms/page. Equal-CER '
+                     'evidence is the trained-model leg (tpu_cer_vs_golden).')}
+
+
 def main():
     jax_lps = bench_jax()
     torch_lps = bench_torch_cpu()
+    e2e = bench_e2e()
     print(json.dumps({
         'metric': f'recognition lines/sec/chip (CNN+3xBiLSTM-200, 120x1024 lines, batch {BATCH}, pipelined)',
         'value': round(jax_lps, 2),
         'unit': 'lines/sec',
         'vs_baseline': round(jax_lps / torch_lps, 2),
+        'e2e': e2e,
     }))
 
 
 if __name__ == '__main__':
-    main()
+    import sys
+    if '--e2e-torch-child' in sys.argv:
+        e2e_torch_child()
+    elif '--make-golden' in sys.argv:
+        make_golden()
+    else:
+        main()

@@ -1,0 +1,66 @@
+"""
+kraken_tpu.pipeline
+~~~~~~~~~~~~~~~~~~~
+
+Streaming multi-page processing: host-side segmentation of upcoming pages
+runs in a prefetch thread pool while the device recognizes the current
+page's line batch, so steady-state throughput approaches the slower *stage*
+instead of the sum of stages (SURVEY §7 build plan step 5 — the reference
+has no equivalent; it processes files strictly serially through temp files,
+kraken/kraken.py:341-433).
+"""
+import logging
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterable, Optional
+
+logger = logging.getLogger(__name__)
+
+__all__ = ['process_pages']
+
+
+def process_pages(images: Iterable,
+                  model,
+                  segmenter: Callable,
+                  prefetch: int = 2,
+                  raise_on_error: bool = False):
+    """
+    Generator yielding (image, segmentation, records) per page.
+
+    Args:
+        images: iterable of PIL images (or callables returning one, for lazy
+                page decoding).
+        model: a recognition model prepared with prepare_for_inference.
+        segmenter: im -> Segmentation (host stage, runs in the prefetch pool).
+        prefetch: number of pages segmented ahead of recognition.
+        raise_on_error: raise instead of skipping failed pages.
+    """
+    def _segment(item):
+        im = item() if callable(item) else item
+        getattr(im, 'load', lambda: None)()
+        return im, segmenter(im)
+
+    pool = ThreadPoolExecutor(max_workers=max(1, prefetch))
+    try:
+        queue = deque()
+        iterator = iter(images)
+        for item in iterator:
+            queue.append(pool.submit(_segment, item))
+            if len(queue) >= max(1, prefetch):
+                break
+        while queue:
+            future = queue.popleft()
+            nxt = next(iterator, None)
+            if nxt is not None:
+                queue.append(pool.submit(_segment, nxt))
+            try:
+                im, seg = future.result()
+                records = list(model.predict(im, seg))
+            except Exception:
+                if raise_on_error:
+                    raise
+                logger.warning('Skipping failed page.', exc_info=True)
+                continue
+            yield im, seg, records
+    finally:
+        pool.shutdown(wait=False)

@@ -195,3 +195,31 @@ def test_batched_engine_uint8_transfer(resources, overfit_line, bl_seg, box_seg)
     assert levenshtein(rec.prediction, BL_GOLD) <= 1
     rec = list(vmodel.predict(overfit_line, box_seg))[0]
     assert levenshtein(rec.prediction, BBOX_GOLD) <= 1
+
+
+def test_process_pages_streaming(resources, overfit_line, bl_seg):
+    """kraken_tpu.pipeline overlaps segmentation and recognition and yields
+    per-page results in order, skipping failed pages."""
+    from kraken_tpu.pipeline import process_pages
+
+    vmodel = load_models(resources / 'overfit.mlmodel')[0]
+    vmodel.prepare_for_inference(RecognitionInferenceConfig(
+        batch_size=4, num_line_workers=0, padding=1))
+
+    def segmenter(im):
+        return bl_seg
+
+    pages = [overfit_line] * 3
+    out = list(process_pages(pages, vmodel, segmenter))
+    assert len(out) == 3
+    for _im, seg, records in out:
+        assert len(records) == len(seg.lines)
+        assert records[0].prediction == BL_GOLD
+
+    def broken_segmenter(im):
+        raise RuntimeError('boom')
+
+    assert list(process_pages(pages, vmodel, broken_segmenter)) == []
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        list(process_pages(pages, vmodel, broken_segmenter, raise_on_error=True))
