@@ -92,6 +92,11 @@ class RecognitionInferenceConfig(Config):
         # 'uint8' ships line batches as bytes, rescaled on device (halves the
         # host->device upload on remote TPUs); 'float' is parity-exact
         self.input_transfer = kwargs.pop('input_transfer', 'float')
+        # exact conv+maxpool space-to-depth phase fusion
+        # (nn.layers.FusedConvPool). Measured 12% SLOWER than XLA's native
+        # conv schedule on v5e (docs/architecture.md), so off by default;
+        # kept selectable for other TPU generations.
+        self.fuse_conv_pools = kwargs.pop('fuse_conv_pools', False)
         super().__init__(**kwargs)
 
 

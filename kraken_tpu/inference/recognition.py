@@ -109,6 +109,11 @@ def prepare_recognition(model: 'VGSLModel', config) -> None:
     model._inf_params = jax.tree.map(cast, model.params)
     if getattr(model, '_rec_fwd', None) is None:
         net = model.net
+        if getattr(config, 'fuse_conv_pools', True):
+            # exact conv+maxpool phase fusion: widens C_out 4x onto the MXU
+            # (see nn.layers.FusedConvPool); parameter tree is unchanged
+            from kraken_tpu.nn.layers import fuse_conv_pools
+            net = fuse_conv_pools(net)
         # 'uint8' ships line batches as bytes and rescales on device —
         # pixels are natively 8-bit, so the upload halves (vs bf16) or
         # quarters (vs fp32) with at most 1/255 quantization on dewarped

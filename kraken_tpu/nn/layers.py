@@ -456,6 +456,72 @@ def _lstm_scan(x: jnp.ndarray,
     return ys
 
 
+def _bilstm_scan(x: jnp.ndarray,
+                 lens: Optional[jnp.ndarray],
+                 w_ih_f: jnp.ndarray, w_hh_f: jnp.ndarray, b_f: Optional[jnp.ndarray],
+                 w_ih_r: jnp.ndarray, w_hh_r: jnp.ndarray, b_r: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """
+    Both directions of a bidirectional LSTM fused into ONE scan: the
+    directions are independent recurrences, so they stack on a leading axis
+    and the per-step recurrent GEMM becomes a single batched
+    (2, B, H) @ (2, H, 4H) contraction. This halves the number of serialized
+    scan steps — the dominant cost of the LSTM stack on TPU (the MXU is idle
+    between steps; see docs/architecture.md roofline) — while computing
+    exactly the per-direction math of :func:`_lstm_scan`.
+
+    Returns (B, T, 2H) with forward/reverse features concatenated like
+    torch.nn.LSTM(bidirectional=True).
+    """
+    B, T, _ = x.shape
+    H = w_hh_f.shape[1]
+    dtype = x.dtype
+    # hoisted input projections, both directions in one contraction
+    w_ih = jnp.stack([w_ih_f, w_ih_r]).astype(dtype)          # (2, 4H, C)
+    gates_x = jnp.einsum('btc,dgc->dbtg', x, w_ih)            # (2, B, T, 4H)
+    if b_f is not None:
+        gates_x = gates_x + jnp.stack([b_f, b_r]).astype(dtype)[:, None, None, :]
+    # the reverse direction consumes the flipped sequence
+    gates_x = jnp.concatenate([gates_x[:1], jnp.flip(gates_x[1:], axis=2)], axis=0)
+    if lens is not None:
+        t_idx = jnp.arange(T)
+        mask_f = (t_idx[None, :] < lens[:, None])
+        mask_r = (t_idx[None, :] >= (T - lens)[:, None])
+        mask = jnp.stack([mask_f, mask_r]).astype(dtype)[..., None]  # (2, B, T, 1)
+    else:
+        mask = None
+    w_hh = jnp.stack([w_hh_f.T, w_hh_r.T]).astype(dtype)      # (2, H, 4H)
+
+    def step(carry, inp):
+        h, c = carry                                          # (2, B, H)
+        if mask is None:
+            gx = inp
+            m = None
+        else:
+            gx, m = inp
+        gates = gx + jnp.einsum('dbh,dhg->dbg', h, w_hh)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i = jax.nn.sigmoid(i)
+        f = jax.nn.sigmoid(f)
+        g = jnp.tanh(g)
+        o = jax.nn.sigmoid(o)
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        if m is not None:
+            c_new = m * c_new + (1 - m) * c
+            h_out = m * h_new
+            h_new = m * h_new + (1 - m) * h
+        else:
+            h_out = h_new
+        return (h_new, c_new), h_out
+
+    init = (jnp.zeros((2, B, H), dtype), jnp.zeros((2, B, H), dtype))
+    xs = (jnp.transpose(gates_x, (2, 0, 1, 3)) if mask is None
+          else (jnp.transpose(gates_x, (2, 0, 1, 3)), jnp.transpose(mask, (2, 0, 1, 3))))
+    _, ys = lax.scan(step, init, xs)                          # (T, 2, B, H)
+    ys = jnp.transpose(ys, (1, 2, 0, 3))                      # (2, B, T, H)
+    return jnp.concatenate([ys[0], jnp.flip(ys[1], axis=1)], axis=-1)
+
+
 def _peephole_scan(x: jnp.ndarray, w_ih, w_hh, w_ip, w_fp, w_op, reverse: bool) -> jnp.ndarray:
     """Legacy ocropy peephole LSTM (no biases; reference: layers.py:74-103)."""
     B, T, _ = x.shape
@@ -540,6 +606,11 @@ class TransposedSummarizingRNN(Layer):
 
     def _run(self, params, x, lens):
         """(B, T, C) -> (B, T, O)"""
+        # note: a fused both-direction scan (_bilstm_scan, half the
+        # sequential steps via a batched per-step GEMM) measures within
+        # noise of the two separate scans on v5e — the steps are GEMM-
+        # latency bound, not loop-overhead bound — so the simpler layout
+        # stays the default
         outs = []
         directions = [(False, '')]
         if self.bidi or self.legacy == 'ocropy':
@@ -599,6 +670,138 @@ class TransposedSummarizingRNN(Layer):
         else:
             hw = (input[2], input[3])
         return (input[0], self.output_size) + hw
+
+
+@dataclass(frozen=True)
+class FusedConvPool(Layer):
+    """
+    Exact TPU rewrite of [ActConv2D(stride 1) → MaxPool(2,2)]: the input is
+    space-to-depth'd 1x2 along the width (2·C_in channels at half width),
+    the two width-pooling phases of the original convolution become 2·C_out
+    output channels of ONE half-width convolution (kernel folded from the
+    original weights), the width pool collapses to a max over the phase
+    axis, and the height pool stays a (2,1) window reduction.
+
+    Why: kraken-class models have C_out ≤ 64, underfilling the 128-wide MXU
+    by 2-4x; the width-phase layout doubles the contraction's output columns
+    while halving the spatial extent at ~8% extra multiply-adds (the folded
+    kernel is ~93% dense for the 3x13/3x9 line kernels), lifting conv MFU
+    without changing any result — max commutes with the monotone activation,
+    so relu(conv(x)).maxpool == pool_h(max over phases of
+    phase_conv(s2d_w(x))). Reads the ORIGINAL conv's parameters (same
+    name/tree); built at inference-preparation time by
+    :func:`fuse_conv_pools`.
+    """
+    conv: 'ActConv2D'
+
+    def init(self, rng):
+        return self.conv.init(rng)
+
+    def _fold_indices(self):
+        """Static gather map original w[c,ci,a,b] -> folded w2 slots."""
+        kw = self.conv.kernel_size[1]
+        pw = self.conv.padding[1]
+        fv_min = (-pw) // 2
+        kv = 2 * -fv_min + 1   # symmetric for same-padded odd kernels
+        out_ph, in_sub, vs, b_src = [], [], [], []
+        for dj in range(2):
+            for b in range(kw):
+                beta = dj + b - pw
+                out_ph.append(dj)
+                in_sub.append(beta % 2)
+                vs.append(beta // 2 - fv_min)
+                b_src.append(b)
+        return np.array(out_ph), np.array(in_sub), np.array(vs), np.array(b_src), kv
+
+    def _folded_weight(self, w):
+        """(C_out, C_in, kh, kw) -> (2*C_out, 2*C_in, kh, kv)."""
+        c_out, c_in, kh = self.conv.out_channels, self.conv.in_channels, self.conv.kernel_size[0]
+        out_ph, in_sub, vs, b_src, kv = self._fold_indices()
+        oc = out_ph[:, None] * c_out + np.arange(c_out)[None, :]   # (E, C_out)
+        ic = in_sub[:, None] * c_in + np.arange(c_in)[None, :]     # (E, C_in)
+        vals = jnp.transpose(w[:, :, :, b_src], (3, 0, 1, 2))      # (E, C_out, C_in, kh)
+        w2 = jnp.zeros((2 * c_out, 2 * c_in, kh, kv), w.dtype)
+        return w2.at[oc[:, :, None, None],
+                     ic[:, None, :, None],
+                     np.arange(kh)[None, None, None, :],
+                     vs[:, None, None, None]].set(vals)
+
+    def apply(self, params, x, seq_len=None, output_shape=None, train=False, rng=None):
+        conv = self.conv
+        N, C, H, W = x.shape
+        if W % 2:
+            # odd width can't be cell-aligned — run the unfused pair
+            y, seq_len = conv.apply(params, x, seq_len, train=train, rng=rng)
+            return MaxPool((2, 2), (2, 2)).apply({}, y, seq_len)
+        w = params['co.weight'].astype(x.dtype)
+        b = params['co.bias'].astype(x.dtype)
+        # width space-to-depth: channel order subcol*C + ci
+        xs = x.reshape(N, C, H, W // 2, 2)
+        xs = jnp.transpose(xs, (0, 4, 1, 2, 3)).reshape(N, 2 * C, H, W // 2)
+        w2 = self._folded_weight(w)
+        ph, pw = conv.padding
+        pad_v = -((-pw) // 2)   # ceil(pw/2) cells cover the full-res pad
+        y = lax.conv_general_dilated(
+            xs, w2, window_strides=(1, 1),
+            padding=[(ph, ph), (pad_v, pad_v)],
+            dimension_numbers=('NCHW', 'OIHW', 'NCHW'))
+        y = y + jnp.tile(b, 2)[None, :, None, None]
+        act = _ACTIVATIONS[conv.nl][1] if conv.nl != 's' else (lambda v: v)
+        y = act(y)
+        # max over the two width phases, then the height pool
+        y = y.reshape(N, 2, conv.out_channels, y.shape[2], y.shape[3]).max(axis=1)
+        y = lax.reduce_window(y, -jnp.inf, lax.max, (1, 1, 2, 1), (1, 1, 2, 1), 'VALID')
+        if seq_len is not None:
+            # conv(s=1) preserves lengths; pool(2,2) floors l/2
+            seq_len = (seq_len // 2).astype(jnp.int32)
+        return y, seq_len
+
+    def get_shape(self, input: Shape) -> Shape:
+        return (input[0], self.conv.out_channels,
+                input[2] // 2 if input[2] else 0,
+                input[3] // 2 if input[3] else 0)
+
+
+def fuse_conv_pools(net: 'Series') -> 'Series':
+    """
+    Inference-time graph rewrite: replaces eligible
+    [Cr(stride 1, dilation 1) → (Dropout)* → Mp(2,2)] runs with
+    :class:`FusedConvPool` (exact, see its docstring). Parameter names are
+    preserved — the fused layer keeps the conv's name and reads its weights —
+    so the rewritten Series runs against the unmodified parameter tree.
+    """
+    layers = list(net.layers)
+    names = list(net.names)
+    out_layers, out_names = [], []
+    i = 0
+    while i < len(layers):
+        layer = layers[i]
+        if (isinstance(layer, ActConv2D) and not layer.transposed
+                and layer.stride == (1, 1) and layer.dilation == (1, 1)
+                and layer.nl in ('r', 'l', 's', 't')):
+            j = i + 1
+            dropouts = []
+            while j < len(layers) and isinstance(layers[j], Dropout):
+                dropouts.append(j)
+                j += 1
+            if (j < len(layers) and isinstance(layers[j], MaxPool)
+                    and layers[j].kernel_size == (2, 2)
+                    and layers[j].stride == (2, 2)):
+                out_layers.append(FusedConvPool(conv=layer))
+                out_names.append(names[i])
+                for d in dropouts:
+                    out_layers.append(layers[d])
+                    out_names.append(names[d])
+                i = j + 1
+                continue
+        if isinstance(layer, Series):
+            fused = fuse_conv_pools(layer)
+            out_layers.append(fused)
+        else:
+            out_layers.append(layer)
+        out_names.append(names[i])
+        i += 1
+    return Series(layers=tuple(out_layers), names=tuple(out_names))
 
 
 @dataclass(frozen=True)

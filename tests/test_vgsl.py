@@ -233,3 +233,67 @@ def test_legacy_ocropy_peephole_lstm():
     y, lens = m(x, jnp.asarray([32, 20]))
     assert y.shape == (2, 5, 1, 32)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_bilstm_fused_scan_equivalence():
+    """The fused both-direction scan computes exactly the two separate
+    directional scans (kept as a tuning option for other TPU generations)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from kraken_tpu.nn.layers import _bilstm_scan, _lstm_scan
+
+    rng = np.random.RandomState(0)
+    B, T, C, H = 4, 13, 10, 6
+    x = jnp.asarray(rng.randn(B, T, C).astype(np.float32))
+    lens = jnp.asarray(np.array([13, 2, 7, 1], np.int32))
+    wf_ih, wr_ih = (jnp.asarray(rng.randn(4 * H, C).astype(np.float32)) for _ in range(2))
+    wf_hh, wr_hh = (jnp.asarray(rng.randn(4 * H, H).astype(np.float32)) for _ in range(2))
+    bf, br = (jnp.asarray(rng.randn(4 * H).astype(np.float32)) for _ in range(2))
+    for L in (None, lens):
+        sep = np.concatenate([np.asarray(_lstm_scan(x, L, wf_ih, wf_hh, bf, False)),
+                              np.asarray(_lstm_scan(x, L, wr_ih, wr_hh, br, True))], -1)
+        fused = np.asarray(_bilstm_scan(x, L, wf_ih, wf_hh, bf, wr_ih, wr_hh, br))
+        np.testing.assert_allclose(sep, fused, atol=1e-6)
+
+
+def test_fused_conv_pool_exactness():
+    """fuse_conv_pools produces the same outputs and seq_lens as the literal
+    [conv -> dropout -> maxpool] graph, including ragged batches."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from kraken_tpu.nn.layers import fuse_conv_pools, FusedConvPool
+    from kraken_tpu.vgsl import VGSLModel
+
+    spec = '[1,32,0,1 Cr3,13,16 Do0.1,2 Mp2,2 Cr3,9,24 Mp2,2 S1(1x0)1,3 O1c8]'
+    model = VGSLModel(vgsl=spec, rng=jax.random.PRNGKey(1))
+    fused = fuse_conv_pools(model.net)
+    assert any(isinstance(l, FusedConvPool) for l in fused.layers)
+    x = jnp.asarray(np.random.RandomState(0).rand(3, 1, 32, 96).astype(np.float32))
+    lens = jnp.asarray(np.array([96, 40, 17], np.int32))
+    y1, l1 = model.net.apply(model.params, x, lens)
+    y2, l2 = fused.apply(model.params, x, lens)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+
+
+def test_fused_conv_pool_inference_flag(resources):
+    """fuse_conv_pools=True runs the rewritten graph through the engine with
+    unchanged predictions."""
+    from PIL import Image
+    from kraken_tpu.configs import RecognitionInferenceConfig
+    from kraken_tpu.models import load_models
+
+    im = Image.open(resources / '000236.png')
+    from kraken_tpu.containers import BaselineLine, Segmentation
+    seg = Segmentation(type='baselines', imagename='x', text_direction='horizontal-lr',
+                       script_detection=False,
+                       lines=[BaselineLine(id='foo', baseline=[[0, 10], [2543, 10]],
+                                           boundary=[[0, 0], [2543, 0], [2543, 155], [0, 155]])])
+    preds = []
+    for flag in (False, True):
+        vmodel = load_models(resources / 'overfit.mlmodel')[0]
+        vmodel.prepare_for_inference(RecognitionInferenceConfig(
+            batch_size=4, num_line_workers=0, padding=1, fuse_conv_pools=flag))
+        preds.append(next(vmodel.predict(im, seg)).prediction)
+    assert preds[0] == preds[1]
