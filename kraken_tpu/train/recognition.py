@@ -67,7 +67,12 @@ class RecognitionDataModule:
         if cfg.format_type == 'binary':
             return ArrowIPCRecognitionDataset(split_filter=split_filter, **kwargs)
         if cfg.format_type in ('xml', 'alto', 'page'):
-            return PolygonGTDataset(**kwargs)
+            # the extraction method must follow the configured flag — models
+            # trained/evaluated with --legacy-polygons really extract with
+            # the legacy warper (reference: train/vgsl.py wires
+            # legacy_polygons into PolygonGTDataset)
+            return PolygonGTDataset(legacy_polygons=getattr(cfg, 'legacy_polygons', False),
+                                    **kwargs)
         if cfg.format_type == 'path':
             return GroundTruthDataset(**kwargs)
         raise ValueError(f'Invalid format type {cfg.format_type}')
