@@ -39,10 +39,13 @@ logger = logging.getLogger('kraken')
 @click.option('--augment/--no-augment', default=False)
 @click.option('--resume', default=None, type=click.Path(exists=True),
               help='Resume training from a checkpoint.')
+@click.option('--devices', type=int, default=1,
+              help='Number of devices for data-parallel training.')
 @click.argument('ground_truth', nargs=-1, type=click.Path(exists=True, dir_okay=False))
 def pretrain(ctx, output, spec, load, batch_size, freq, quit, epochs, lag, lrate,
              warmup, partition, mask_prob, mask_width, num_negatives, logit_temp,
-             training_files, evaluation_files, format_type, augment, resume, ground_truth):
+             training_files, evaluation_files, format_type, augment, resume,
+             devices, ground_truth):
     """
     Unsupervised pretraining of recognition models.
     """
@@ -86,6 +89,7 @@ def pretrain(ctx, output, spec, load, batch_size, freq, quit, epochs, lag, lrate
     dm = _PretrainDataModule(data_config)
     module = (RecognitionPretrainModel.load_from_weights(config, load) if load
               else RecognitionPretrainModel(config))
-    trainer = KrakenTrainer(config)
+    from kraken_tpu.ketos.util import build_device_mesh
+    trainer = KrakenTrainer(config, mesh=build_device_mesh(devices))
     trainer.fit(module, dm, resume=resume)
     message(f'Pretraining complete. Checkpoints under {output}_*.safetensors')

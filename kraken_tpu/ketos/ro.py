@@ -33,10 +33,12 @@ logger = logging.getLogger('kraken')
               help='Compute reading order on line or region level.')
 @click.option('--reading-order', default=None,
               help='Name of the reading order to train on.')
+@click.option('--devices', type=int, default=1,
+              help='Number of devices for data-parallel training.')
 @click.argument('ground_truth', nargs=-1, type=click.Path(exists=True, dir_okay=False))
 def rotrain(ctx, output, batch_size, freq, quit, epochs, lag, lrate, partition,
             training_files, evaluation_files, format_type, level, reading_order,
-            ground_truth):
+            devices, ground_truth):
     """
     Trains a reading order determination model.
     """
@@ -77,7 +79,8 @@ def rotrain(ctx, output, batch_size, freq, quit, epochs, lag, lrate, partition,
     data_config.reading_order = reading_order
     dm = RODataModule(data_config, class_mapping=class_mapping, level=level)
     module = ROModel(config, level=level)
-    trainer = KrakenTrainer(config)
+    from kraken_tpu.ketos.util import build_device_mesh
+    trainer = KrakenTrainer(config, mesh=build_device_mesh(devices))
     trainer.fit(module, dm)
     message(f'Training complete. Best epoch: {trainer.best_epoch} '
             f'(metric {trainer.best_metric:.4f})')

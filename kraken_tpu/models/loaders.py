@@ -26,7 +26,19 @@ logger = logging.getLogger(__name__)
 
 _T_tasks = NewType('_T_tasks', Literal['segmentation', 'recognition', 'reading_order'])
 
-__all__ = ['load_models', 'load_safetensors', 'load_coreml']
+__all__ = ['load_models', 'load_safetensors', 'load_coreml', 'KRAKEN_COMPAT_VERSION']
+
+# newest reference model-format generation this loader understands; files
+# declaring a higher `_kraken_min_version` are skipped with a warning
+KRAKEN_COMPAT_VERSION = '7.0.0'
+
+
+def _version_tuple(v: str) -> tuple:
+    parts = []
+    for tok in str(v).split('.'):
+        digits = ''.join(ch for ch in tok if ch.isdigit())
+        parts.append(int(digits) if digits else 0)
+    return tuple(parts)
 
 
 def load_models(path: Union[str, 'PathLike'], tasks: Optional[Sequence[_T_tasks]] = None) -> list:
@@ -120,6 +132,14 @@ def load_safetensors(path: Union[str, PathLike], tasks: Optional[Sequence[_T_tas
             model = create_model(model_name, **model_args)
         except Exception as e:
             raise ValueError(f'Failed to create model {model_name} (prefix {prefix}) from {path}: {e}') from e
+        # minimum-version gate: models written for a newer kraken format are
+        # skipped with a warning (reference: models/loaders.py:114-119)
+        min_ver = getattr(model, '_kraken_min_version', '5.0.0')
+        if _version_tuple(min_ver) > _version_tuple(KRAKEN_COMPAT_VERSION):
+            logger.warning(f'Model {prefix} in model file {path} requires minimum '
+                           f'kraken version {min_ver} (supported {KRAKEN_COMPAT_VERSION})')
+            skipped.append(prefix)
+            continue
         models[prefix] = model
 
     state_dict = load_file(path)

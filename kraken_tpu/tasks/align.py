@@ -60,17 +60,24 @@ class ForcedAlignmentTaskModel:
 
         base_dir = config.bidi_reordering if config.bidi_reordering in ('L', 'R') else None
         records = []
+        n_text_lines = 0
+        n_unencodable = 0
         for idx, record in enumerate(self.net.predict(im, segmentation)):
             line = segmentation.lines[idx]
             if record.logits is None or not line.text:
                 records.append(record.__class__('', [], [], line))
                 continue
-            # completely unencodable transcriptions are a hard error
-            # (reference: tasks/align.py backtrack 'Failed to align')
+            n_text_lines += 1
             if len(self.net.codec.encode(line.text)) == 0:
-                raise ValueError(f'Failed to align: transcription of line {idx} '
-                                 f'({line.text!r}) shares no code points with the '
-                                 f'model codec.')
+                # single unencodable lines (page numbers, tags) degrade to
+                # empty records; a codec that can't encode ANY line is a
+                # hard error (reference: tasks/align.py backtrack
+                # 'Failed to align')
+                n_unencodable += 1
+                logger.warning(f'Line {idx} transcription {line.text!r} shares '
+                               f'no code points with the model codec.')
+                records.append(record.__class__('', [], [], line))
+                continue
             result = align_line(record.logits, self.net.codec, line.text, base_dir)
             if result is None:
                 logger.warning(f'Could not align line {idx}: output too short for '
@@ -96,6 +103,9 @@ class ForcedAlignmentTaskModel:
             # display-order output
             rec = BaselineOCRRecord(pred, pos, conf, line, display_order=True)
             records.append(rec)
+        if n_text_lines and n_unencodable == n_text_lines:
+            raise ValueError('Failed to align: no transcription shares any '
+                             'code points with the model codec.')
         return replace(segmentation, lines=records)
 
     @classmethod

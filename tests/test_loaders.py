@@ -98,3 +98,104 @@ def test_load_invalid(tmp_path):
     bogus.write_bytes(b'not a model')
     with pytest.raises(ValueError):
         load_models(bogus)
+
+
+# ---- reference edge-case matrix (reference tests/test_loaders.py) ----
+
+import json
+
+
+def test_load_models_nonexistent_file():
+    with pytest.raises(ValueError, match='not a regular file'):
+        load_models('/nonexistent/path/model.mlmodel')
+
+
+def test_load_models_task_filter_mismatch(resources):
+    assert load_models(resources / 'overfit.mlmodel', tasks=['segmentation']) == []
+    assert len(load_models(resources / 'overfit.mlmodel', tasks=['recognition'])) == 1
+
+
+def test_load_safetensors_invalid_tasks_metadata(resources, tmp_path):
+    """Invalid _tasks type in safetensors metadata raises ValueError."""
+    from safetensors import safe_open
+    from safetensors.numpy import load_file, save_file
+
+    src = resources / 'overfit_bl.safetensors'
+    tensors = load_file(src)
+    with safe_open(src, framework='np') as f:
+        metadata = json.loads(f.metadata()['kraken_meta'])
+    for rec in metadata.values():
+        rec['_tasks'] = {'recognition': True}
+    bad = tmp_path / 'bad_tasks.safetensors'
+    save_file(tensors, bad, metadata={'kraken_meta': json.dumps(metadata)})
+    with pytest.raises(ValueError, match='_tasks'):
+        load_safetensors(bad)
+
+
+def test_load_safetensors_invalid_meta_json(resources, tmp_path):
+    from safetensors.numpy import load_file, save_file
+    tensors = load_file(resources / 'overfit_bl.safetensors')
+    bad = tmp_path / 'bad_json.safetensors'
+    save_file(tensors, bad, metadata={'kraken_meta': '{not json'})
+    with pytest.raises(ValueError, match='kraken_meta'):
+        load_safetensors(bad)
+
+
+def test_load_safetensors_version_gate(resources, monkeypatch):
+    """Model classes demanding a newer kraken than supported are skipped
+    with a warning — the class property is the single source of truth
+    (reference: models/loaders.py:114-119)."""
+    from kraken_tpu.vgsl import VGSLModel
+
+    monkeypatch.setattr(VGSLModel, '_kraken_min_version', '99.0.0',
+                        raising=False)
+    assert load_safetensors(resources / 'overfit_bl.safetensors') == []
+    monkeypatch.setattr(VGSLModel, '_kraken_min_version', '5.0.0',
+                        raising=False)
+    assert len(load_safetensors(resources / 'overfit_bl.safetensors')) == 1
+
+
+def test_load_coreml_missing_model_type(resources, tmp_path):
+    """kraken_meta present but without a valid model_type raises
+    ValueError (legacy files WITHOUT kraken_meta still default to
+    recognition)."""
+    from kraken_tpu.models import write_models
+
+    model = load_models(resources / 'overfit.mlmodel')[0]
+    good = tmp_path / 'good.mlmodel'
+    write_models([model], good, format='coreml')
+    # length-preserving in-place rename of the model_type key inside the
+    # embedded kraken_meta JSON keeps the protobuf wire format intact
+    raw = good.read_bytes()
+    assert b'"model_type"' in raw
+    bad = tmp_path / 'missing_model_type.mlmodel'
+    bad.write_bytes(raw.replace(b'"model_type"', b'"model_typ_"'))
+    with pytest.raises(ValueError, match='model_type'):
+        load_coreml(bad)
+
+
+def test_write_read_multi_model_roundtrip(resources, tmp_path):
+    """Two models in one safetensors container round-trip independently."""
+    m1 = load_models(resources / 'overfit_bl.safetensors')[0]
+    m2 = load_models(resources / 'overfit_bl_newpoly.safetensors')[0]
+    out = tmp_path / 'multi.safetensors'
+    write_safetensors([m1, m2], out)
+    back = load_models(out)
+    assert len(back) == 2
+    # kraken_meta preserves insertion order, so models come back in order
+    for orig, twin in zip((m1, m2), back):
+        assert twin.spec == orig.spec
+        for k, v in orig.state_dict().items():
+            np.testing.assert_array_equal(np.asarray(v), np.asarray(twin.state_dict()[k]))
+
+
+def test_load_fp16_variants_forward(resources):
+    """fp16/mixed weight files load into float params and run the forward."""
+    import jax
+    for name in ('model_small_fp16.safetensors', 'model_small_mixed.safetensors'):
+        models = load_safetensors(resources / name)
+        assert len(models) == 1
+        m = models[0]
+        x = jnp.asarray(np.random.RandomState(0).rand(1, 1, 48, 64), jnp.float32)
+        y, _ = m.net.apply(m.params, x, jnp.asarray([64], jnp.int32))
+        assert np.isfinite(np.asarray(y)).all()
