@@ -330,3 +330,119 @@ def test_segmentation_vertical_rl_cast():
                                        text_direction='vertical-rl')])
     out = seg.to_baselines(topline=False)
     assert [tuple(p) for p in out.lines[0].baseline] == [(85, 20), (85, 70)]
+
+
+# ---- exact-value record matrix (reference tests/test_rpred.py:35-265) ----
+
+@pytest.fixture(scope='module')
+def arabic_bbox_rec(arabic_bbox):
+    return arabic_bbox[0]
+
+
+@pytest.fixture(scope='module')
+def arabic_bl_raw(resources):
+    return load_ref_pickle(resources / 'arabic_bl_records.pkl')
+
+
+@pytest.fixture(scope='module')
+def latin_bl_rec(resources):
+    return load_ref_pickle(resources / 'bl_rec.pkl').lines[5]
+
+
+def test_arabic_bbox_cut_count(arabic_bbox_rec):
+    assert len(arabic_bbox_rec.cuts) == 52
+
+
+def test_arabic_bbox_display_conversion(arabic_bbox_rec):
+    do = arabic_bbox_rec.display_order()
+    assert do == do.display_order()
+    assert do.prediction == 'مذا ذا درع نلاهو زکذل انبا ملةدیس هىک ماف نابصل ممهع'
+    assert do[:][2] == pytest.approx(0.7227956, abs=1e-4)
+
+
+def test_arabic_bbox_logical_preserves(arabic_bbox_rec):
+    assert arabic_bbox_rec == arabic_bbox_rec.logical_order()
+    lo = arabic_bbox_rec.logical_order()
+    assert lo.prediction == 'عهمم لصبان فام کىه سیدةلم ابنا لذکز وهالن عرد اذ اذم'
+
+
+def test_arabic_bbox_slicing_exact(arabic_bbox_rec):
+    pred, cut, conf = arabic_bbox_rec[1:8]
+    assert pred == 'همم لصب'
+    assert tuple(tuple(p) for p in cut) == ((861, 245), (980, 245), (980, 325), (861, 325))
+    assert conf == pytest.approx(0.7444813, abs=1e-4)
+
+
+def test_arabic_bbox_step_slicing_exact(arabic_bbox_rec):
+    pred, cut, conf = arabic_bbox_rec[1:5:2]
+    assert pred == 'هم'
+    assert tuple(tuple(p) for p in cut) == ((936, 245), (980, 245), (980, 325), (936, 325))
+    assert conf == pytest.approx(0.8795802, abs=1e-4)
+
+
+_ARABIC_LOGICAL = ('عند عدم الع'
+                   'صبات اذا لم '
+                   'يكن للصغير'
+                   'ة أم أيضا'
+                   'ً لماذ كر. . و'
+                   'لنا أن نقو'
+                   'ل ان الآم')
+
+
+def test_arabic_bl_display_to_logical_exact(arabic_bl_raw):
+    record = containers.BaselineOCRRecord(**arabic_bl_raw[0], display_order=True)
+    assert record == record.display_order()
+    lo = record.logical_order()
+    assert lo.prediction == _ARABIC_LOGICAL
+    assert lo[:][2] == pytest.approx(0.9746356, abs=1e-4)
+
+
+def test_arabic_bl_logical_to_display_exact(arabic_bl_raw):
+    record = containers.BaselineOCRRecord(**arabic_bl_raw[0], display_order=False)
+    assert record == record.logical_order()
+    do = record.display_order()
+    # the bidi toggle is symmetric, both directions produce the same text
+    assert do.prediction == _ARABIC_LOGICAL
+    assert do[:][2] == pytest.approx(0.9746356, abs=1e-4)
+
+
+def test_arabic_bl_roundtrip(arabic_bl_raw):
+    record = containers.BaselineOCRRecord(**arabic_bl_raw[0], display_order=True)
+    assert record.logical_order().display_order().prediction == record.prediction
+
+
+def test_arabic_bl_short_record_logical(arabic_bl_raw):
+    record = containers.BaselineOCRRecord(**arabic_bl_raw[6], display_order=True)
+    assert record.logical_order().prediction == 'يتناولها .'
+
+
+def test_arabic_bl_slicing_exact(arabic_bl_raw):
+    record = containers.BaselineOCRRecord(**arabic_bl_raw[0], display_order=True)
+    pred, cut, conf = record[2:8]
+    assert pred == 'الا نا'
+    assert conf == pytest.approx(0.9937494, abs=1e-4)
+    record6 = containers.BaselineOCRRecord(**arabic_bl_raw[6], display_order=True)
+    pred, cut, conf = record6[1:5:2]
+    assert pred == ' ه'
+    assert conf == pytest.approx(0.9366213, abs=1e-4)
+
+
+def test_arabic_bl_logical_order_slicing(arabic_bl_raw):
+    record = containers.BaselineOCRRecord(**arabic_bl_raw[0], display_order=True)
+    pred, cut, conf = record.logical_order()[2:8]
+    assert pred == 'د عدم '
+    assert conf == pytest.approx(0.9969620, abs=1e-4)
+
+
+def test_latin_bl_identities_and_slicing(latin_bl_rec):
+    rec = latin_bl_rec
+    assert rec == rec.display_order()
+    assert rec == rec.logical_order()
+    pred, cut, conf = rec[1:8]
+    assert pred == 'i quelq'
+    assert [list(p) for p in cut] == [[320, 373], [320, 419], [424, 420], [424, 368]]
+    assert conf == pytest.approx(0.9996614, abs=1e-4)
+    pred, cut, conf = rec[1:5:2]
+    assert pred == 'iq'
+    assert [list(p) for p in cut] == [[320, 373], [320, 419], [346, 423], [346, 375]]
+    assert conf == pytest.approx(0.9998304, abs=1e-4)

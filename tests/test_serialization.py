@@ -186,3 +186,97 @@ def test_serialization_deterministic(bl_seg):
         a = serialization.serialize(bl_seg, image_size=(1000, 800), template=tpl)
         b = serialization.serialize(bl_seg, image_size=(1000, 800), template=tpl)
         assert strip_ts(a) == strip_ts(b), f'{tpl} serialization is not deterministic'
+
+
+# ---- no-boundary / vertical / abbyy-XSD matrix (reference
+# tests/test_serialization.py:121-368) ----
+
+def _validate_abbyy(text, resources):
+    doc = etree.fromstring(text.encode('utf-8'))
+    with open(resources / 'FineReader10-schema-v1.xml') as fp:
+        schema = etree.XMLSchema(etree.parse(fp))
+    schema.assertValid(doc)
+
+
+@pytest.fixture(scope='module')
+def no_boundary_seg():
+    return containers.Segmentation(
+        type='baselines', imagename='foo.png', text_direction='horizontal-lr',
+        script_detection=False, regions={},
+        lines=[containers.BaselineLine(id='line_no_boundary',
+                                       baseline=[(10, 50), (200, 50)],
+                                       boundary=None, text='test text'),
+               containers.BaselineLine(id='line_normal',
+                                       baseline=[(10, 100), (200, 100)],
+                                       boundary=[(10, 80), (200, 80), (200, 120), (10, 120)],
+                                       text='normal text')])
+
+
+def test_box_vertical_hocr(box_seg):
+    out = serialization.serialize(_segmentation(box_seg), image_size=(2000, 2000),
+                                  writing_mode='vertical-lr', template='hocr')
+    doc = etree.fromstring(out.encode('utf-8'))
+    assert 'writing-mode: vertical-lr' in out
+    ids = [x.get('id') for x in doc.findall('.//*[@id]')]
+    assert Counter(ids).most_common(1)[0][1] == 1
+
+
+def test_box_abbyy_schema_validation(box_seg, resources):
+    out = serialization.serialize(_segmentation(box_seg), image_size=(2544, 156),
+                                  template='abbyyxml')
+    _validate_abbyy(out, resources)
+
+
+def test_bl_abbyy_schema_validation(bl_seg, resources):
+    out = serialization.serialize(_segmentation(bl_seg), image_size=(2000, 2000),
+                                  template='abbyyxml')
+    _validate_abbyy(out, resources)
+
+
+def test_bl_region_abbyy_schema_validation(bl_seg, resources):
+    out = serialization.serialize(_segmentation(bl_seg, with_regions=True),
+                                  image_size=(2000, 2000), template='abbyyxml')
+    _validate_abbyy(out, resources)
+
+
+def test_no_boundary_alto(no_boundary_seg, resources):
+    out = serialization.serialize(no_boundary_seg, image_size=(2000, 2000),
+                                  template='alto')
+    _validate_alto(out, resources)
+    # bare BaselineLines have no `prediction`, so CONTENT stays empty —
+    # reference-faithful (kraken/serialization.py:235 getattr default)
+    assert 'line_no_boundary' in out and 'line_normal' in out
+
+
+def test_no_boundary_pagexml(no_boundary_seg, resources):
+    out = serialization.serialize(no_boundary_seg, image_size=(2000, 2000),
+                                  template='pagexml')
+    _validate_page(out, resources)
+
+
+def test_no_boundary_abbyy(no_boundary_seg, resources):
+    out = serialization.serialize(no_boundary_seg, image_size=(2000, 2000),
+                                  template='abbyyxml')
+    _validate_abbyy(out, resources)
+
+
+def test_no_boundary_hocr(no_boundary_seg):
+    out = serialization.serialize(no_boundary_seg, image_size=(2000, 2000),
+                                  template='hocr')
+    doc = etree.fromstring(out.encode('utf-8'))
+    ids = [x.get('id') for x in doc.findall('.//*[@id]')]
+    assert not ids or Counter(ids).most_common(1)[0][1] == 1
+
+
+def test_region_only_all_formats(bl_seg, resources):
+    """Segmentations with regions but no lines serialize in all formats."""
+    seg = containers.Segmentation(type='baselines', imagename='foo.png',
+                                  text_direction='horizontal-lr',
+                                  script_detection=False, lines=[],
+                                  regions=_segmentation(bl_seg, with_regions=True).regions)
+    _validate_alto(serialization.serialize(seg, image_size=(2000, 2000),
+                                           template='alto'), resources)
+    _validate_page(serialization.serialize(seg, image_size=(2000, 2000),
+                                           template='pagexml'), resources)
+    _validate_abbyy(serialization.serialize(seg, image_size=(2000, 2000),
+                                            template='abbyyxml'), resources)
