@@ -223,3 +223,64 @@ def test_process_pages_streaming(resources, overfit_line, bl_seg):
     import pytest as _pytest
     with _pytest.raises(RuntimeError):
         list(process_pages(pages, vmodel, broken_segmenter, raise_on_error=True))
+
+
+# ---- remaining mm_rpred matrix (reference tests/test_rpred.py:368-462) ----
+
+from collections import defaultdict
+
+
+@pytest.fixture
+def tagged_bl_seg(resources):
+    return Segmentation(type='baselines', imagename=resources / 'bw.png',
+                        text_direction='horizontal-lr', script_detection=True,
+                        lines=[BaselineLine(id='foo',
+                                            baseline=[[0, 10], [2543, 10]],
+                                            boundary=[[0, 0], [2543, 0], [2543, 155], [0, 155]],
+                                            tags={'type': [{'type': 'foobar'}]}),
+                               BaselineLine(id='bar',
+                                            baseline=[[0, 10], [2543, 10]],
+                                            boundary=[[0, 0], [2543, 0], [2543, 155], [0, 155]],
+                                            tags={'type': [{'type': 'default'}]})])
+
+
+def test_mm_rpred_bl_missing_tags(model, overfit_line, bl_seg):
+    with pytest.raises(ValueError):
+        mm_rpred({('type', 'default'): model}, overfit_line, bl_seg, True)
+
+
+def test_mm_rpred_bl_ignore_tags(model, overfit_line, tagged_bl_seg):
+    pred = mm_rpred({'default': model}, overfit_line, tagged_bl_seg, True,
+                    tags_ignore=['foobar'])
+    assert next(pred).prediction == ''
+    assert next(pred).prediction == BL_GOLD
+
+
+def test_mm_rpred_bl_default_tags(model, overfit_line, tagged_bl_seg):
+    pred = mm_rpred(defaultdict(lambda: model), overfit_line, tagged_bl_seg, True)
+    assert next(pred).prediction == BL_GOLD
+    assert next(pred).prediction == BL_GOLD
+
+
+def test_mm_rpred_bbox_default_tags(model, overfit_line, resources):
+    seg = Segmentation(type='bbox', imagename=resources / 'bw.png',
+                       text_direction='horizontal-lr', script_detection=True,
+                       lines=[BBoxLine(id='foo', bbox=[0, 0, 2544, 156],
+                                       tags={'type': [{'type': 'foobar'}]}),
+                              BBoxLine(id='bar', bbox=[0, 0, 2544, 156],
+                                       tags={'type': [{'type': 'default'}]})])
+    pred = mm_rpred(defaultdict(lambda: model), overfit_line, seg, True)
+    assert next(pred).prediction == BBOX_GOLD
+    assert next(pred).prediction == BBOX_GOLD
+
+
+def test_mm_rpred_bbox_nobidi(model, overfit_line, box_seg):
+    pred = mm_rpred(defaultdict(lambda: model), overfit_line, box_seg,
+                    bidi_reordering=False)
+    assert next(pred).prediction == 'ܕܗܣܐܕ ܪܝ .ܡܡ ܐܠܠ ܗܠ ܐܘܗ ܟܘܗܢ ܡܡ ܐܠ'
+
+
+def test_mm_rpred_bl_nobidi(model, overfit_line, bl_seg):
+    pred = mm_rpred(defaultdict(lambda: model), overfit_line, bl_seg,
+                    bidi_reordering=False)
+    assert next(pred).prediction == BL_GOLD_NOBIDI
