@@ -171,6 +171,9 @@ class SegmentationTrainingDataConfig(TrainingDataConfig):
         self.region_class_mapping = kwargs.pop('region_class_mapping', defaultdict(counter))
         self.topline = kwargs.pop('topline', False)
         self.line_width = kwargs.pop('line_width', 4)
+        # (left/right, top/bottom) padding around the page image
+        # (reference: ketos/segmentation.py --pad)
+        self.padding = kwargs.pop('padding', (0, 0))
         super().__init__(**kwargs)
 
 

@@ -43,7 +43,7 @@ class BaselineSet:
     def __init__(self,
                  class_mapping: dict[str, dict[str, int]],
                  line_width: int = 4,
-                 padding: tuple[int, int, int, int] = (0, 0, 0, 0),
+                 padding: tuple[int, int] = (0, 0),
                  im_transforms: Callable[[Any], np.ndarray] = lambda x: x,
                  augmentation: bool = False) -> None:
         required = {'aux', 'baselines', 'regions'}

@@ -52,7 +52,7 @@ def _common_train_options(f):
                       type=click.Choice(['constant', '1cycle', 'exponential', 'cosine',
                                          'step', 'reduceonplateau'])),
         click.option('-g', '--gamma', default=0.1, type=float),
-        click.option('--step-size', default=10, type=int),
+        click.option('-ss', '--step-size', default=10, type=int),
         click.option('--sched-patience', 'rop_patience', default=5, type=int),
         click.option('--cos-max', 'cos_t_max', default=10, type=int),
         click.option('--cos-min-lr', default=1e-6, type=float),

@@ -53,6 +53,16 @@ def _print_class_stats(dataset):
 @click.option('--schedule', default='constant',
               type=click.Choice(['constant', '1cycle', 'exponential', 'cosine', 'step',
                                  'reduceonplateau']))
+@click.option('-g', '--gamma', default=0.1, type=float,
+              help='Decay factor for exponential/step/reduceonplateau schedules')
+@click.option('-ss', '--step-size', default=10, type=int)
+@click.option('--sched-patience', 'rop_patience', default=5, type=int)
+@click.option('--cos-max', 'cos_t_max', default=10, type=int)
+@click.option('--cos-min-lr', default=1e-6, type=float)
+@click.option('--gradient-clip-val', default=1.0, type=float)
+@click.option('--accumulate-grad-batches', default=1, type=int)
+@click.option('--pad', 'padding', type=(int, int), default=(0, 0),
+              help='Padding (left/right, top/bottom) around the page image')
 @click.option('-p', '--partition', default=0.9, type=float)
 @click.option('-t', '--training-data', '--training-files', 'training_files', multiple=True, callback=expand_manifests,
               type=click.Path(exists=True))
@@ -84,14 +94,18 @@ def _print_class_stats(dataset):
 @click.option('--logger', 'loggers', default=None,
               type=click.Choice(['tensorboard', 'wandb']),
               help='Experiment logger backend.')
+@click.option('--line-class-mapping', type=click.UNPROCESSED, hidden=True)
+@click.option('--region-class-mapping', type=click.UNPROCESSED, hidden=True)
 @click.argument('ground_truth', nargs=-1, type=click.Path(exists=True, dir_okay=False))
 def segtrain(ctx, output, spec, load, line_width, dice_weight, bl_tol,
              weights_format, log_dir, batch_size, freq, quit, epochs, min_epochs,
              lag, min_delta, optimizer, lrate, momentum, weight_decay, warmup,
-             schedule, partition, training_files, evaluation_files, format_type,
+             schedule, gamma, step_size, rop_patience, cos_t_max, cos_min_lr,
+             gradient_clip_val, accumulate_grad_batches, padding,
+             partition, training_files, evaluation_files, format_type,
              augment, resize, topline, valid_regions, valid_baselines,
              merge_regions, merge_baselines, remat, devices, resume, loggers,
-             ground_truth):
+             line_class_mapping, region_class_mapping, ground_truth):
     """
     Trains a baseline/region segmentation model.
     """
@@ -112,6 +126,10 @@ def segtrain(ctx, output, spec, load, line_width, dice_weight, bl_tol,
                   min_epochs=min_epochs, lag=lag, min_delta=min_delta,
                   optimizer=optimizer, lrate=lrate, momentum=momentum,
                   weight_decay=weight_decay, warmup=warmup, schedule=schedule,
+                  gamma=gamma, step_size=step_size, rop_patience=rop_patience,
+                  cos_t_max=cos_t_max, cos_min_lr=cos_min_lr,
+                  gradient_clip_val=gradient_clip_val,
+                  accumulate_grad_batches=accumulate_grad_batches,
                   resize=resize, topline=topline, remat=remat, loggers=loggers,
                   dice_weight=dice_weight, bl_tol=bl_tol,
                   weights_format=weights_format,
@@ -121,8 +139,11 @@ def segtrain(ctx, output, spec, load, line_width, dice_weight, bl_tol,
     config = SegmentationTrainingConfig(**kwargs)
 
     counter = _Counter(start=1)
-    line_map = defaultdict(counter)
-    region_map = defaultdict(counter)
+    from kraken_tpu.ketos.util import create_class_map
+    line_map = (create_class_map(line_class_mapping) if line_class_mapping
+                else defaultdict(counter))
+    region_map = (create_class_map(region_class_mapping) if region_class_mapping
+                  else defaultdict(counter))
     merge_b = dict(m.split(':') for m in merge_baselines) if merge_baselines else {}
     merge_r = dict(m.split(':') for m in merge_regions) if merge_regions else {}
 
@@ -157,6 +178,7 @@ def segtrain(ctx, output, spec, load, line_width, dice_weight, bl_tol,
         augment=augment,
         topline=topline,
         line_width=line_width,
+        padding=padding,
         line_class_mapping=_FilteredMap(line_map, valid_baselines, merge_b),
         region_class_mapping=_FilteredMap(region_map, valid_regions, merge_r),
         batch_size=batch_size,
@@ -188,8 +210,17 @@ def segtrain(ctx, output, spec, load, line_width, dice_weight, bl_tol,
               type=click.Choice(['xml', 'alto', 'page']))
 @click.option('--bl-tol', default=25.0, type=float,
               help='Baseline-detection matching tolerance in pixels.')
+@click.option('--test-class-mapping-mode', default='full', show_default=True,
+              type=click.Choice(['full', 'canonical', 'custom']),
+              help='Which model class mapping to evaluate against: the full '
+                   'mapping with merge aliases, the canonical mapping, or the '
+                   'dataset-provided custom mapping.')
+@click.option('--line-class-mapping', type=click.UNPROCESSED, hidden=True)
+@click.option('--region-class-mapping', type=click.UNPROCESSED, hidden=True)
 @click.argument('test_data', nargs=-1, type=click.Path(exists=True, dir_okay=False))
-def segtest(ctx, model, evaluation_files, format_type, bl_tol, test_data):
+def segtest(ctx, model, evaluation_files, format_type, bl_tol,
+            test_class_mapping_mode, line_class_mapping, region_class_mapping,
+            test_data):
     """
     Evaluates segmentation model(s) on a test set.
     """
@@ -207,7 +238,17 @@ def segtest(ctx, model, evaluation_files, format_type, bl_tol, test_data):
         config = SegmentationTrainingConfig(device=ctx.meta['device'],
                                             precision=ctx.meta['precision'])
         module = SegmentationModel.load_from_weights(config, m)
-        cm = module.net.user_metadata.get('class_mapping', {})
+        # mapping selection (reference: ketos/segmentation.py:471-477)
+        if test_class_mapping_mode == 'custom' and (line_class_mapping
+                                                    or region_class_mapping):
+            from kraken_tpu.ketos.util import create_class_map
+            cm = {'baselines': create_class_map(line_class_mapping or []),
+                  'regions': create_class_map(region_class_mapping or [])}
+        elif (test_class_mapping_mode == 'full'
+                and '_full_class_mapping' in module.net.user_metadata):
+            cm = module.net.user_metadata['_full_class_mapping']
+        else:
+            cm = module.net.user_metadata.get('class_mapping', {})
         data_config = SegmentationTrainingDataConfig(
             test_data=files, format_type=format_type,
             line_class_mapping=cm.get('baselines', {}),

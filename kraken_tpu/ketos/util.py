@@ -6,7 +6,8 @@ import logging
 
 logger = logging.getLogger('kraken')
 
-__all__ = ['_load_yaml_config', 'expand_manifests', 'build_device_mesh']
+__all__ = ['_load_yaml_config', 'expand_manifests', 'build_device_mesh',
+           'create_class_map']
 
 
 def _load_yaml_config(ctx, param, value):
@@ -70,3 +71,23 @@ def build_device_mesh(n_devices):
             f'--devices {n_devices} requested but only {len(available)} '
             f'jax device(s) are visible.')
     return make_mesh(available[:n_devices])
+
+
+def create_class_map(cls_map):
+    """
+    Converts a config-file class mapping — a dict or a list of
+    (class, label) pairs, optionally with a '*' wildcard default — into the
+    mapping consumed by the segmentation datasets (reference:
+    kraken/ketos/util.py _create_class_map).
+    """
+    from collections import defaultdict
+    if isinstance(cls_map, dict):
+        return dict(cls_map)
+    pairs = [tuple(p) for p in cls_map]
+    default = None
+    for idx, (cls, label) in enumerate(pairs):
+        if '*' in cls:
+            default = (lambda lab: (lambda: lab))(label)
+            pairs.pop(idx)
+            break
+    return defaultdict(default, pairs)

@@ -80,6 +80,20 @@ class ROModel:
         self.net = net
         self.trainer = None
 
+    @classmethod
+    def load_from_weights(cls, config, path, level: str = 'baselines'):
+        """Warm-starts from a weights file containing an ROMLP (reference:
+        --load/-i on rotrain)."""
+        from kraken_tpu.models import load_models
+        nets = [m for m in load_models(path)
+                if 'reading_order' in getattr(m, 'model_type', [])
+                or isinstance(m, ROMLP)]
+        if not nets:
+            raise ValueError(f'No reading-order model found in {path}.')
+        return cls(config, net=nets[0],
+                   class_mapping=getattr(nets[0], 'class_mapping', None),
+                   level=level)
+
     def setup(self, stage, datamodule):
         if self.net is None:
             self.net = ROMLP(class_mapping=datamodule.class_mapping,

@@ -49,8 +49,11 @@ class SegmentationDataModule:
         class_mapping = {'aux': {'_start_separator': 0, '_end_separator': 1},
                          'baselines': cfg.line_class_mapping,
                          'regions': cfg.region_class_mapping}
+        # CLI --pad is (left/right, top/bottom); BaselineSet pads (rows, cols)
+        lr, tb = getattr(cfg, 'padding', (0, 0))
         ds = BaselineSet(class_mapping=class_mapping, augmentation=cfg.augment,
-                         line_width=getattr(cfg, 'line_width', 4))
+                         line_width=getattr(cfg, 'line_width', 4),
+                         padding=(tb, lr))
         for f in files:
             try:
                 ds.add(XMLPage(f, filetype=cfg.format_type

@@ -337,3 +337,40 @@ def test_ocr_xml_bbox_linetype(runner, resources, tmp_path):
                                         '--num-line-workers', '0'])
     assert result.exit_code == 0, result.output
     assert len(out.read_text().splitlines()) == 44
+
+
+def test_ketos_segtrain_class_mapping_config(runner, resources, tmp_path):
+    """Explicit class mappings flow from a YAML experiment file through the
+    hidden --line-class-mapping passthrough (reference:
+    kraken/ketos/segmentation.py:226-252)."""
+    import yaml
+    cfg = tmp_path / 'exp.yaml'
+    cfg.write_text(yaml.safe_dump({
+        'segtrain': {'line_class_mapping': [['default', 2], ['*', 2]],
+                     'region_class_mapping': [['*', 3]]}}))
+    result = runner.invoke(ketos_cli, ['segtrain', '--config', str(cfg),
+                                       '-N', '1', '-o', str(tmp_path / 'seg'),
+                                       '-s', '[1,64,0,3 Cr3,3,4,2,2 Gn2]',
+                                       str(resources / '170025120000003,0074.xml')])
+    assert result.exit_code == 0, result.output
+    from kraken_tpu.models import load_models
+    net = load_models(tmp_path / 'seg_best.safetensors')[0]
+    cm = net.user_metadata['class_mapping']
+    assert set(cm['baselines'].values()) == {2}
+    assert set(cm['regions'].values()) == {3}
+
+
+def test_ketos_rotrain_class_mapping_from_ckpt(runner, resources, tmp_path):
+    """rotrain can lift its class mapping from a segmentation checkpoint."""
+    result = runner.invoke(ketos_cli, ['segtrain', '-N', '1',
+                                       '-o', str(tmp_path / 'seg'),
+                                       '-s', '[1,64,0,3 Cr3,3,4,2,2 Gn2]',
+                                       str(resources / '170025120000003,0074.xml')])
+    assert result.exit_code == 0, result.output
+    ckpt = next(tmp_path.glob('seg_0.safetensors'))
+    result = runner.invoke(ketos_cli, ['rotrain', '-N', '1',
+                                       '-o', str(tmp_path / 'ro'),
+                                       '--class-mapping-from-ckpt', str(ckpt),
+                                       str(resources / '170025120000003,0074.xml')])
+    assert result.exit_code == 0, result.output
+    assert (tmp_path / 'ro_best.safetensors').exists()
