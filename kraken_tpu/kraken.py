@@ -405,7 +405,9 @@ def binarize(ctx, threshold, zoom, escale, border, perc, range, low, high, accel
               help='Sets principal text direction')
 @click.option('--scale', 'legacy_scale', type=float, default=None)
 @click.option('-m', '--maxcolseps', 'legacy_maxcolseps', type=int, default=2)
-@click.option('-b/-w', '--black-colseps/--white-colseps', 'legacy_black_colseps', default=False)
+@click.option('-b/-w', '--black-colseps/--white-colseps',
+              '--black_colseps/--white_colseps',  # reference spelling
+              'legacy_black_colseps', default=False)
 @click.option('-r/-l', '--remove-hlines/--hlines', 'legacy_no_hlines', default=True)
 @click.option('-p', '--pad', 'bbox_line_padding', type=int, default=0,
               help='Left and right padding around lines (bbox segmenter only).')
