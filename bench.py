@@ -174,6 +174,73 @@ def _page_pipeline(torch_backend: bool, n_pages: int = 5, flagship: bool = False
     return n_pages / elapsed, texts
 
 
+def _neural_page_pipeline(torch_backend: bool, n_pages: int = 3):
+    """
+    Modern production pipeline: neural BLLA segmentation (the frozen
+    blla_small fixture, docs/SEG_PARITY.md) + flagship recognition on the
+    annotated test page. Host vectorization/polygonization is identical for
+    both backends; the U-Net and CNN+BiLSTM forwards run on the TPU or as
+    the weight-identical torch CPU mirror.
+    """
+    import os
+    import sys
+    from PIL import Image
+    from kraken_tpu.configs import (RecognitionInferenceConfig,
+                                    SegmentationInferenceConfig)
+    from kraken_tpu.models import load_models
+    from kraken_tpu.inference.segmentation import (prepare_segmentation,
+                                                   segmentation_pred)
+    from kraken_tpu.pipeline import process_pages
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    im = Image.open(os.path.join(repo, 'tests/resources/170025120000003,0074.jpg'))
+    im.load()
+    seg_model = load_models(os.path.join(repo, 'tests/resources/blla_small.safetensors'))[0]
+    # uint8 transfer options: production config for remote/tunneled TPU
+    # links (quantizes heatmaps and line batches on device; parity-tested)
+    prepare_segmentation(seg_model, SegmentationInferenceConfig(
+        precision='32-true' if torch_backend else 'bf16',
+        heatmap_precision='float32' if torch_backend else 'uint8'))
+    rec_model = _flagship_model()
+    rec_model.prepare_for_inference(RecognitionInferenceConfig(
+        batch_size=32, num_line_workers=2,
+        precision='32-true' if torch_backend else 'bf16',
+        input_transfer='float' if torch_backend else 'uint8'))
+    if torch_backend:
+        import torch
+        sys.path.insert(0, os.path.join(repo, 'scripts'))
+        from torch_ref import TorchVGSLRef, torch_recognizer
+
+        seg_ref = TorchVGSLRef(seg_model).eval()
+
+        def seg_fwd(params, x, out_h, out_w):
+            with torch.inference_mode():
+                logits = seg_ref(torch.from_numpy(np.ascontiguousarray(x, np.float32)))
+                probs = torch.sigmoid(torch.nn.functional.interpolate(
+                    logits.float(), size=(out_h, out_w), mode='bilinear',
+                    align_corners=False))
+            return probs.numpy()
+        seg_model._seg_fwd = seg_fwd
+
+        torch_fwd = torch_recognizer(rec_model)
+
+        def rec_fwd(params, x, seq_lens, temperature):
+            return torch_fwd(np.asarray(x), np.asarray(seq_lens), float(temperature))
+        rec_model._rec_fwd = rec_fwd
+
+    def segmenter(page):
+        return segmentation_pred(seg_model, page)
+
+    seg = segmenter(im)
+    list(rec_model.predict(im, seg))  # warm
+    start = time.perf_counter()
+    total_lines = 0
+    for _im, _seg, recs in process_pages([im] * n_pages, rec_model, segmenter):
+        total_lines += len(recs)
+    elapsed = time.perf_counter() - start
+    return n_pages / elapsed, total_lines // n_pages
+
+
 def _cer(texts: dict, golden: dict) -> float:
     from kraken_tpu.train.metrics import levenshtein
     errs = sum(levenshtein(texts.get(int(k), ''), v) for k, v in golden.items())
@@ -194,8 +261,11 @@ def e2e_torch_child():
         golden = json.load(fp)
     pps_flag, _ = _page_pipeline(torch_backend=True, n_pages=3,
                                  flagship=True)
+    pps_neural, lines = _neural_page_pipeline(torch_backend=True)
     print(json.dumps({'pages_per_sec': pps, 'cer': _cer(texts, golden),
-                      'flagship_pages_per_sec': pps_flag}))
+                      'flagship_pages_per_sec': pps_flag,
+                      'neural_pages_per_sec': pps_neural,
+                      'neural_lines_per_page': lines}))
 
 
 def make_golden():
@@ -219,6 +289,7 @@ def bench_e2e():
     cer_tpu = _cer(texts, golden)
     pps_flag, _ = _page_pipeline(torch_backend=False, n_pages=3,
                                  flagship=True)
+    pps_neural, neural_lines = _neural_page_pipeline(torch_backend=False)
 
     env = dict(os.environ)
     env['JAX_PLATFORMS'] = 'cpu'
@@ -239,6 +310,12 @@ def bench_e2e():
                 'tpu_pages_per_sec': round(pps_flag, 3),
                 'torch_cpu_pages_per_sec': round(child['flagship_pages_per_sec'], 3),
                 'vs_baseline': round(pps_flag / child['flagship_pages_per_sec'], 2)},
+            'neural': {
+                'metric': 'BLLA U-Net segment + CNN+3xBiLSTM-200 ocr '
+                          f'({neural_lines} lines/page)',
+                'tpu_pages_per_sec': round(pps_neural, 3),
+                'torch_cpu_pages_per_sec': round(child['neural_pages_per_sec'], 3),
+                'vs_baseline': round(pps_neural / child['neural_pages_per_sec'], 2)},
             'note': ('single stream on a 1-core dev host behind a TPU tunnel: '
                      'the TPU page budget is ~0.8s host segmentation (overlapped '
                      'via kraken_tpu.pipeline) + ~1.4s fixed per-dispatch tunnel '

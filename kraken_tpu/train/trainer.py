@@ -192,8 +192,53 @@ class KrakenTrainer:
         lag_counter = 0
         rop_counter = 0
         rop_scale = 1.0
+        # fractional freq validates several times per epoch (reference:
+        # Lightning val_check_interval, kraken/ketos/recognition.py:192-195)
+        val_interval = (max(1, int(steps_per_epoch * config.freq))
+                        if 0 < config.freq < 1 else None)
+
+        def run_validation(tag, avg_loss, opt_state):
+            """Validation + checkpointing + early-stop/ROP bookkeeping.
+            Returns True when training should stop."""
+            nonlocal lag_counter, rop_counter, rop_scale
+            epoch = self.current_epoch
+            val_metrics = module.validate(module.net.params, datamodule)
+            val_metrics['loss'] = avg_loss
+            val_metrics['epoch'] = epoch
+            self.metrics_history.append(val_metrics)
+            module.net.user_metadata.setdefault('metrics', []).append(
+                (epoch, {k: float(v) if isinstance(v, (int, float, np.floating)) else v
+                         for k, v in val_metrics.items()}))
+            metric = val_metrics.get('val_metric', -avg_loss)
+            exp_logger.log_scalars(val_metrics, epoch)
+            logger.info(f'validation @{tag}: ' + ' '.join(
+                f'{k}={v:.4f}' for k, v in val_metrics.items()
+                if isinstance(v, (int, float, np.floating))))
+            self._checkpoint(module, opt_state, tag, metric)
+            if metric > self.best_metric + config.min_delta:
+                self.best_metric = metric
+                self.best_epoch = epoch
+                lag_counter = 0
+                rop_counter = 0
+            else:
+                lag_counter += 1
+                rop_counter += 1
+            if (config.quit == 'early' and epoch >= config.min_epochs
+                    and lag_counter >= config.lag):
+                logger.info(f'Early stopping after {config.lag} validations '
+                            'without improvement.')
+                return True
+            if config.schedule == 'reduceonplateau' and rop_counter >= config.rop_patience:
+                # only the applied-update multiplier changes — the jitted
+                # step, optimizer state, and Adam moments all carry over
+                rop_scale *= config.rop_factor
+                rop_counter = 0
+                logger.info(f'Reducing learning rate by {config.rop_factor} '
+                            f'(scale now {rop_scale}).')
+            return False
 
         profiling = False
+        stop = False
         try:
             for epoch in range(config.completed_epochs, epochs):
                 self.current_epoch = epoch
@@ -213,6 +258,13 @@ class KrakenTrainer:
                     self.global_step += 1
                     epoch_loss += float(loss)
                     n_batches += 1
+                    if (val_interval and not self.fast_dev_run
+                            and self.global_step % val_interval == 0):
+                        module.net.params = params
+                        stop = run_validation(f'{epoch}_s{self.global_step}',
+                                              epoch_loss / n_batches, opt_state)
+                        if stop:
+                            break
                     if self.fast_dev_run:
                         break
                 module.net.params = params
@@ -225,42 +277,19 @@ class KrakenTrainer:
                 exp_logger.log_scalars({'train_loss': avg_loss,
                                         'lr': float(self._lr_schedule(self.global_step)) * rop_scale},
                                        epoch)
-
-                # validation + checkpointing at `freq` epoch granularity
-                run_val = (config.freq >= 1 and (epoch + 1) % int(config.freq) == 0) or config.freq < 1
-                val_metrics = {}
+                if stop:
+                    break
+                # epoch-granular validation for integer freq; fractional freq
+                # validated inside the batch loop and also closes the epoch
+                # when the interval does not divide steps_per_epoch evenly
+                run_val = ((config.freq >= 1 and (epoch + 1) % int(config.freq) == 0)
+                           or (val_interval is not None
+                               and (self.fast_dev_run
+                                    or self.global_step % val_interval != 0)))
                 if run_val:
-                    val_metrics = module.validate(params, datamodule)
-                    val_metrics['loss'] = avg_loss
-                    val_metrics['epoch'] = epoch
-                    self.metrics_history.append(val_metrics)
-                    module.net.user_metadata.setdefault('metrics', []).append(
-                        (epoch, {k: float(v) if isinstance(v, (int, float, np.floating)) else v
-                                 for k, v in val_metrics.items()}))
-                    metric = val_metrics.get('val_metric', -avg_loss)
-                    exp_logger.log_scalars(val_metrics, epoch)
-                    logger.info(f'epoch {epoch}: ' + ' '.join(f'{k}={v:.4f}' for k, v in val_metrics.items()
-                                                              if isinstance(v, (int, float, np.floating))))
-                    self._checkpoint(module, opt_state, epoch, metric)
-                    if metric > self.best_metric + config.min_delta:
-                        self.best_metric = metric
-                        self.best_epoch = epoch
-                        lag_counter = 0
-                        rop_counter = 0
-                    else:
-                        lag_counter += 1
-                        rop_counter += 1
-                    if config.quit == 'early' and epoch >= config.min_epochs and lag_counter >= config.lag:
-                        logger.info(f'Early stopping after {config.lag} epochs without improvement.')
+                    stop = run_validation(str(epoch), avg_loss, opt_state)
+                    if stop:
                         break
-                    if config.schedule == 'reduceonplateau' and rop_counter >= config.rop_patience:
-                        # only the applied-update multiplier changes — the
-                        # jitted step, optimizer state, and Adam moments all
-                        # carry over untouched
-                        rop_scale *= config.rop_factor
-                        rop_counter = 0
-                        logger.info(f'Reducing learning rate by {config.rop_factor} '
-                                    f'(scale now {rop_scale}).')
                 if self.fast_dev_run:
                     break
         except KeyboardInterrupt:
