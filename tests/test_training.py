@@ -422,3 +422,27 @@ def test_reduce_on_plateau_keeps_optimizer_state(resources, tmp_path):
     # on the same jitted step with live optimizer state
     assert trainer.current_epoch == 3
     assert trainer.global_step == 8
+
+
+def test_fractional_freq_sub_epoch_validation(resources, tmp_path):
+    """freq < 1 validates multiple times per epoch (reference: Lightning
+    val_check_interval) and writes step-tagged checkpoints."""
+    config = RecognitionTrainingConfig(spec=TINY_REC_SPEC, epochs=1, lrate=1e-3,
+                                       freq=0.5,
+                                       checkpoint_path=str(tmp_path / 'model'))
+    data_config = RecognitionTrainingDataConfig(
+        format_type='path',
+        training_data=[str(resources / '000236.png'),
+                       str(resources / 'merge_tests' / '0006.jpg'),
+                       str(resources / 'merge_tests' / '0007.jpg'),
+                       str(resources / 'merge_tests' / '0008.jpg')],
+        evaluation_data=[str(resources / 'merge_tests' / '0021.jpg')],
+        batch_size=1)
+    dm = RecognitionDataModule(data_config)
+    module = RecognitionModel(config)
+    trainer = KrakenTrainer(config)
+    trainer.fit(module, dm)
+    # 4 steps/epoch at freq 0.5 -> validations at steps 2 and 4
+    assert len(trainer.metrics_history) == 2
+    names = sorted(p.name for p in tmp_path.glob('model_0*.safetensors'))
+    assert any('_s2' in n for n in names), names
