@@ -243,10 +243,15 @@ def _dispatch_batch(model: 'VGSLModel', lines: list):
     max_w = width_bucket(max(widths))
     c, h = lines[0][0].shape[0], lines[0][0].shape[1]
     n = len(lines)
+    # pad the batch count onto a power-of-two ladder so ragged final batches
+    # (the last lines of every page) reuse compiled shapes instead of
+    # retracing; decode ignores the tail since it only walks the real `lines`
+    n = min(1 << (n - 1).bit_length() if n > 1 else 1, config.batch_size) \
+        if config.batch_size > 1 else n
+    n = max(n, len(lines))
     mesh = getattr(model, '_mesh', None)
     if mesh is not None:
-        # pad the batch count up to mesh divisibility; decode ignores the
-        # tail since it only walks the real `lines`
+        # additionally pad up to mesh divisibility
         n = -(-n // mesh.devices.size) * mesh.devices.size
     batch = np.zeros((n, c, h, max_w), np.float32)
     for i, (ts, *_) in enumerate(lines):
