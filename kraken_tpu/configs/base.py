@@ -239,13 +239,28 @@ class TrainingConfig(Config):
         super().__init__(**kwargs)
 
 
+# named VGSL presets accepted anywhere a spec string is (`-s tpu`):
+# 'default' is the reference's CNN+3xBiLSTM-200 architecture; 'tpu' replaces
+# the narrow conv stack with MXU-width (128-channel) strided convolutions —
+# measured 78.6 TF/s sustained (40% of v5e bf16 peak) vs the default's
+# 49 TF/s at the same latency, i.e. ~1.7x the model compute per line
+# (docs/architecture.md MFU experiments)
+RECOGNITION_SPEC_PRESETS = {
+    'default': ('[1,120,0,1 Cr3,13,32 Do0.1,2 Mp2,2 Cr3,13,32 Do0.1,2 Mp2,2 '
+                'Cr3,9,64 Do0.1,2 Mp2,2 Cr3,9,64 Do0.1,2 S1(1x0)1,3 Lbx200 '
+                'Do0.1,2 Lbx200 Do0.1,2 Lbx200 Do]'),
+    'tpu': ('[1,120,0,1 Cr3,7,128,2,2 Gn32 Cr3,7,128,2,2 Gn32 '
+            'Cr3,7,128,2,2 Gn32 S1(1x0)1,3 Lbx200 Do0.1,2 Lbx200 Do0.1,2 '
+            'Lbx200 Do]'),
+}
+
+
 class RecognitionTrainingConfig(TrainingConfig):
     """Recognition-specific training configuration."""
 
     def __init__(self, **kwargs):
-        self.spec = kwargs.pop('spec', '[1,120,0,1 Cr3,13,32 Do0.1,2 Mp2,2 Cr3,13,32 Do0.1,2 Mp2,2 '
-                                       'Cr3,9,64 Do0.1,2 Mp2,2 Cr3,9,64 Do0.1,2 S1(1x0)1,3 Lbx200 '
-                                       'Do0.1,2 Lbx200 Do0.1,2 Lbx200 Do]')
+        spec = kwargs.pop('spec', 'default')
+        self.spec = RECOGNITION_SPEC_PRESETS.get(spec, spec)
         self.append = kwargs.pop('append', None)
         self.resize = kwargs.pop('resize', 'fail')
         # keep all but the output layer frozen for the first N steps

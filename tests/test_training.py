@@ -446,3 +446,20 @@ def test_fractional_freq_sub_epoch_validation(resources, tmp_path):
     assert len(trainer.metrics_history) == 2
     names = sorted(p.name for p in tmp_path.glob('model_0*.safetensors'))
     assert any('_s2' in n for n in names), names
+
+
+def test_tpu_spec_preset_trains(resources, tmp_path):
+    """The MXU-width 'tpu' spec preset resolves and trains end to end."""
+    from kraken_tpu.configs.base import RECOGNITION_SPEC_PRESETS
+    config = RecognitionTrainingConfig(spec='tpu', epochs=1, lrate=1e-3,
+                                       checkpoint_path=str(tmp_path / 'model'))
+    assert config.spec == RECOGNITION_SPEC_PRESETS['tpu']
+    data_config = RecognitionTrainingDataConfig(
+        format_type='path',
+        training_data=[str(resources / '000236.png')],
+        evaluation_data=[str(resources / 'merge_tests' / '0021.jpg')],
+        batch_size=1)
+    dm = RecognitionDataModule(data_config)
+    module = RecognitionModel(config)
+    KrakenTrainer(config, fast_dev_run=True).fit(module, dm)
+    assert module.net.output[1] > 0
