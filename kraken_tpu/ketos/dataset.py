@@ -27,10 +27,13 @@ logger = logging.getLogger('kraken')
 @click.option('--skip-empty-lines/--keep-empty-lines', default=True)
 @click.option('--recordbatch-size', default=100, type=int)
 @click.option('--legacy-polygons', is_flag=True, default=False)
+@click.option('--linetype', type=click.Choice(['baselines', 'bbox']), default=None,
+              help='Line data extracted from XML sources: polygon-dewarped '
+                   'baselines (default) or plain bounding-box crops.')
 @click.argument('ground_truth', nargs=-1, type=click.Path(exists=True, dir_okay=False))
 def compile(ctx, output, format_type, files, random_split, force_type,
             save_splits, skip_empty_lines, recordbatch_size, legacy_polygons,
-            ground_truth):
+            linetype, ground_truth):
     """
     Compiles datasets into a binary Arrow format.
     """
@@ -57,5 +60,6 @@ def compile(ctx, output, format_type, files, random_split, force_type,
                              recordbatch_size=recordbatch_size,
                              skip_empty_lines=skip_empty_lines,
                              callback=_update,
+                             linetype=linetype,
                              legacy_polygons=legacy_polygons)
     message(f'Output file written to {output}')

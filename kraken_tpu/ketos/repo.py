@@ -15,10 +15,12 @@ logger = logging.getLogger('kraken')
               help='JSON file with model metadata (model card).')
 @click.option('-a', '--access-token', required=True,
               help='Repository access token.')
+@click.option('-d', '--doi', default=None,
+              help='DOI of an existing record to update.')
 @click.option('-p', '--private/--public', default=False,
               help='Upload as a private (invisible) record.')
 @click.argument('model', nargs=1, type=click.Path(exists=True, dir_okay=False))
-def publish(ctx, metadata, access_token, private, model):
+def publish(ctx, metadata, access_token, doi, private, model):
     """
     Publishes a model on the model repository.
     """
@@ -39,8 +41,13 @@ def publish(ctx, metadata, access_token, private, model):
     card.setdefault('model_type', types)
     from kraken_tpu.exceptions import KrakenRepoException
     try:
-        doi = repo.publish_model(card, model, access_token, private=private)
+        if doi:
+            new_doi = repo.update_model(doi, card, model, access_token,
+                                        private=private)
+        else:
+            new_doi = repo.publish_model(card, model, access_token,
+                                         private=private)
     except KrakenRepoException as e:
         message(str(e), fg='red')
         ctx.exit(1)
-    message(f'model published under DOI: {doi}')
+    message(f'model published under DOI: {new_doi}')

@@ -88,3 +88,14 @@ def publish_model(model_card: dict, model_path, access_token: str,
     mopo = _htrmopo()
     return mopo.publish_model(model_path, model_card, access_token,
                               private=private, callback=callback)
+
+
+def update_model(doi: str, model_card: dict, model_path, access_token: str,
+                 private: bool = False, callback=lambda total, advance: None) -> str:
+    """
+    Updates an existing repository record, returning the new version DOI
+    (reference: ketos/repo.py --doi → htrmopo.update_model).
+    """
+    mopo = _htrmopo()
+    return mopo.update_model(model_path, model_card, access_token,
+                             model_id=doi, private=private, callback=callback)
