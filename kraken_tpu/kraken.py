@@ -565,8 +565,31 @@ def ocr(ctx, model, batch_size, pad, temperature, num_line_workers, devices,
 @click.argument('model_id')
 def show(ctx, metadata_version, model_id):
     """
-    Retrieves model metadata from the repository.
+    Retrieves model metadata from the repository, or — when the argument is
+    a local model file — displays its embedded metadata directly.
     """
+    import os
+    if os.path.isfile(model_id):
+        from kraken_tpu.models import load_models
+        from kraken_tpu.lib.util import make_printable
+        for m in load_models(model_id):
+            message(f'model class: {type(m).__name__}')
+            message(f'model type: {", ".join(m.model_type or ["unknown"])}')
+            message(f'spec: {m.spec}')
+            if m.seg_type:
+                message(f'segmentation type: {m.seg_type}')
+            if m.one_channel_mode:
+                message(f'one channel mode: {m.one_channel_mode}')
+            if getattr(m, 'codec', None) is not None:
+                chars = sorted(m.codec.c2l)
+                message('alphabet: ' + ' '.join(make_printable(c) for c in chars))
+            metrics = m.user_metadata.get('accuracy') or m.user_metadata.get('metrics')
+            if metrics:
+                last = metrics[-1]
+                message(f'metrics (epoch {last[0]}): ' +
+                        ' '.join(f'{k}={v:.4f}' for k, v in last[1].items()
+                                 if isinstance(v, (int, float))))
+        return
     from kraken_tpu import repo
     from kraken_tpu.exceptions import KrakenRepoException
     try:

@@ -374,3 +374,11 @@ def test_ketos_rotrain_class_mapping_from_ckpt(runner, resources, tmp_path):
                                        str(resources / '170025120000003,0074.xml')])
     assert result.exit_code == 0, result.output
     assert (tmp_path / 'ro_best.safetensors').exists()
+
+
+def test_show_local_model_file(runner, resources):
+    """kraken show on a local file prints the embedded metadata offline."""
+    result = runner.invoke(kraken_cli, ['show', str(resources / 'overfit.mlmodel')])
+    assert result.exit_code == 0, result.output
+    assert 'model type: recognition' in result.output
+    assert 'alphabet:' in result.output
