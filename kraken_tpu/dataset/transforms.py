@@ -117,6 +117,14 @@ class ImageInputTransforms:
                 im = im.resize((self._scale[1], self._scale[0]), Image.Resampling.LANCZOS)
             else:
                 im = _fixed_resize(im, self._scale)
+        return self.tail(im)
+
+    def tail(self, im: Image.Image) -> np.ndarray:
+        """
+        Pad/to-array/normalize stages only, for callers that already hold the
+        mode-converted and resized image (e.g. the segmentation path, which
+        needs the scaled grayscale page anyway and avoids resizing twice).
+        """
         if self._pad:
             pad = self._pad
             if isinstance(pad, numbers.Number):

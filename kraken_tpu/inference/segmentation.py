@@ -148,7 +148,10 @@ def _compute_segmentation_map(model: 'VGSLModel', im: 'Image.Image') -> dict[str
             scal = _fixed_resize(scal, transforms.scale)
     scal_im = np.array(scal.convert('L'))
 
-    tensor_im = transforms(im)
+    # `scal` already is the mode-converted + resized page, so only the
+    # pad/tensor tail of the transform pipeline remains (skips a second
+    # Lanczos resize of the full page)
+    tensor_im = transforms.tail(scal)
     padded_h = scal_im.shape[0] + padding[2] + padding[3]
     padded_w = scal_im.shape[1] + padding[0] + padding[1]
     bucket_extra = 0

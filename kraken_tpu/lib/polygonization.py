@@ -56,15 +56,11 @@ def _interpolate_polyline(line: np.ndarray, step: float = 10.0) -> np.ndarray:
     dists = polyline_dists(line)
     total = dists[-1]
     targets = np.arange(step, total, step)
-    pts = [line[0]]
-    for t in targets:
-        seg = int(np.searchsorted(dists, t))
-        seg = min(max(seg, 1), len(line) - 1)
-        denom = dists[seg] - dists[seg - 1]
-        frac = (t - dists[seg - 1]) / denom if denom > 0 else 0
-        pts.append(line[seg - 1] + frac * (line[seg] - line[seg - 1]))
-    pts.append(line[-1])
-    return np.array(pts)
+    segs = np.clip(np.searchsorted(dists, targets), 1, len(line) - 1)
+    denom = dists[segs] - dists[segs - 1]
+    frac = np.where(denom > 0, (targets - dists[segs - 1]) / np.where(denom > 0, denom, 1), 0)
+    mids = line[segs - 1] + frac[:, None] * (line[segs] - line[segs - 1])
+    return np.concatenate([line[:1], mids, line[-1:]])
 
 
 def _offset_polyline(line: np.ndarray, offset: float, side: str) -> np.ndarray:
@@ -154,27 +150,51 @@ def _calc_roi(line: np.ndarray, bounds: np.ndarray,
         seg_starts = np.zeros((0, 2))
         seg_ends = np.zeros((0, 2))
 
-    env_up = []
-    env_bottom = []
-    for point in ip_line:
-        for direction, env in ((up_dir, env_up), (down_dir, env_bottom)):
-            bound_pt = _ray_to_bounds(point, direction, bounds + 1)
-            limit = bound_pt
-            if len(seg_starts):
-                hits = _segments_intersections(point, bound_pt, seg_starts, seg_ends)
-                if len(hits):
-                    d = np.linalg.norm(hits - point, axis=1)
-                    nearest = hits[np.argmin(d)]
-                    # 1px pull-back towards the baseline (reference buffers
-                    # adjacent lines by 1)
-                    vec = nearest - point
-                    vlen = np.linalg.norm(vec)
-                    if vlen > 1:
-                        nearest = point + vec * ((vlen - 1) / vlen)
-                    limit = nearest
-            env.append(limit)
-    return (np.array(env_up).astype('int').clip(0),
-            np.array(env_bottom).astype('int').clip(0))
+    def _env(direction: np.ndarray) -> np.ndarray:
+        # ray/AABB exit distance for every interpolated point at once
+        # (same candidate selection as _ray_to_bounds)
+        frac = np.where(direction == 0.0, np.inf,
+                        np.divide(1.0, np.where(direction == 0, 1, direction)))
+        t1 = (-ip_line[:, 0]) * frac[0]
+        t2 = (bounds[0] + 1 - ip_line[:, 0]) * frac[0]
+        t3 = (-ip_line[:, 1]) * frac[1]
+        t4 = (bounds[1] + 1 - ip_line[:, 1]) * frac[1]
+        tmin = np.maximum(np.minimum(t1, t2), np.minimum(t3, t4))
+        tmax = np.minimum(np.maximum(t1, t2), np.maximum(t3, t4))
+        cands = np.stack([tmin, tmax])
+        nonneg = cands >= 0
+        if not nonneg.any(axis=0).all():
+            raise ValueError('Ray misses the image bounds')
+        tt = np.where(nonneg, cands, np.inf).min(axis=0)
+        bound_pts = ip_line + direction * tt[:, None]
+        if not len(seg_starts):
+            return bound_pts
+        # segment intersections, batched (P points × S neighbor segments)
+        r = bound_pts - ip_line                                   # (P, 2)
+        s = seg_ends - seg_starts                                 # (S, 2)
+        denom = r[:, 0, None] * s[None, :, 1] - r[:, 1, None] * s[None, :, 0]
+        ok = np.abs(denom) > 1e-12
+        diff = seg_starts[None, :, :] - ip_line[:, None, :]       # (P, S, 2)
+        with np.errstate(divide='ignore', invalid='ignore'):
+            t = (diff[..., 0] * s[None, :, 1] - diff[..., 1] * s[None, :, 0]) / denom
+            u = (diff[..., 0] * r[:, 1, None] - diff[..., 1] * r[:, 0, None]) / denom
+            valid = ok & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+            hits = ip_line[:, None, :] + t[..., None] * r[:, None, :]
+            d = np.linalg.norm(hits - ip_line[:, None, :], axis=2)
+        has_hit = valid.any(axis=1)
+        j = np.argmin(np.where(valid, d, np.inf), axis=1)
+        nearest = hits[np.arange(len(ip_line)), j]
+        # 1px pull-back towards the baseline (reference buffers adjacent
+        # lines by 1)
+        vec = nearest - ip_line
+        vlen = np.linalg.norm(vec, axis=1)
+        pull = vlen > 1
+        scale = np.where(pull, (vlen - 1) / np.where(vlen > 0, vlen, 1), 1.0)
+        nearest = np.where(pull[:, None], ip_line + vec * scale[:, None], nearest)
+        return np.where(has_hit[:, None], nearest, bound_pts)
+
+    return (_env(up_dir).astype('int').clip(0),
+            _env(down_dir).astype('int').clip(0))
 
 
 def _rasterize_polygon(polygon: np.ndarray, shape: tuple[int, int]) -> np.ndarray:
