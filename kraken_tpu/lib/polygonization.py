@@ -290,10 +290,14 @@ def _seam_prepare(baseline: np.ndarray, polygon: np.ndarray, angle: float,
     bl = np.round(np.asarray(baseline) - (c_min, r_min)).astype(np.int32)
     cv2.polylines(mask, [bl.reshape(-1, 1, 2)], False, 0, 1)
     dist_bias = distance_transform_cdt(mask)
-    # mask outside ROI polygon (eroded slightly to survive rotation aliasing)
+    # mask outside ROI polygon. The valid region is dilated by 2px
+    # (4-connected, matching the reference's binary_erosion of the outside
+    # mask with border_value=True, segmentation.py:583-584) so that thin
+    # ROIs survive rotation aliasing instead of vanishing entirely.
     roi_mask = _rasterize_polygon(polygon - (c_min, r_min), patch.shape)
-    roi_mask = cv2.erode(roi_mask, np.ones((3, 3), np.uint8), iterations=2,
-                         borderType=cv2.BORDER_CONSTANT, borderValue=1)
+    cross = cv2.getStructuringElement(cv2.MORPH_CROSS, (3, 3))
+    roi_mask = cv2.dilate(roi_mask, cross, iterations=2,
+                          borderType=cv2.BORDER_CONSTANT, borderValue=0)
     outside = roi_mask == 0
     patch[outside] = _MASK_VAL
     valid_mean = patch[~outside].mean() if (~outside).any() else 1.0

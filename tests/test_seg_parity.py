@@ -37,9 +37,9 @@ def test_baseline_detection_floor(gt_seg, pred_seg):
     pred_pl = [interpolate_polyline(np.array(l.baseline, float)) for l in pred_seg.lines]
     gt_pl = [interpolate_polyline(np.array(l.baseline, float)) for l in gt_seg.lines]
     det = compute_detection_metrics(pred_pl, gt_pl, tol=25.0)
-    assert det['f1'] >= 0.80, det
-    assert det['precision'] >= 0.75, det
-    assert det['recall'] >= 0.75, det
+    assert det['f1'] >= 0.88, det
+    assert det['precision'] >= 0.80, det
+    assert det['recall'] >= 0.95, det
 
 
 def test_region_iu_floor(resources, gt_seg, pred_seg):

@@ -103,6 +103,21 @@ def test_polygonal_environment_topline():
     assert arr[:, 1].max() >= 50  # extends downward over the text
 
 
+def test_polygonal_environment_tight_line_spacing():
+    """Baselines ~10px apart leave only a sliver of ROI between the offset
+    baseline and the neighbor's envelope; the valid region must be dilated
+    (not eroded) before seam carving or such lines vanish (reference
+    kraken/lib/segmentation.py:583-584 semantics)."""
+    H, W = 60, 300
+    img = np.full((H, W), 255, np.uint8)
+    for y0 in (12, 22, 32, 42):
+        img[y0:y0 + 6, 10:290] = 60
+    im = Image.fromarray(img)
+    baselines = [[[10, y], [290, y]] for y in (18, 28, 38, 48)]
+    pols = calculate_polygonal_environment(im, baselines)
+    assert all(p is not None for p in pols), pols
+
+
 def test_polygonal_environment_failure_returns_none():
     im = Image.fromarray(np.full((50, 50), 255, np.uint8))
     # degenerate single-point baseline
