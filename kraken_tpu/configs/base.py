@@ -129,6 +129,13 @@ class SegmentationInferenceConfig(Config):
         # 'uint8' quantizes heatmaps on device before the host transfer
         # (4x less data over remote-TPU links); 'float32' is parity-exact
         self.heatmap_precision = kwargs.pop('heatmap_precision', 'float32')
+        # run the baseline-vectorization hot spots on the accelerator: the
+        # Sato ridge filter as fused XLA convolutions (ops/ridge.py) and all
+        # of a page's seam-carve DPs batched into one scan (ops/seam.py).
+        # Results match the host path; worthwhile when host cores are scarce
+        # relative to the accelerator (off by default — each map/batch is an
+        # extra device round trip, which a remote TPU tunnel makes costly)
+        self.device_vectorize = kwargs.pop('device_vectorize', False)
         super().__init__(**kwargs)
 
 

@@ -91,13 +91,25 @@ def vec_lines(heatmap: np.ndarray,
               suppl_obj: list = None,
               topline: bool = False,
               raise_on_error: bool = False,
+              device_vectorize: bool = False,
               **kwargs) -> list[dict[str, Any]]:
     """
     Vectorizes and polygonizes all baseline classes of the heatmap stack.
 
+    Args:
+        device_vectorize: run the Sato ridge filter and the seam-carve DPs
+            on the accelerator (ops/ridge.py, ops/seam.py) instead of the
+            host; identical results, fewer host cycles per page.
+
     Returns:
         list of dicts with tags/baseline/boundary per line.
     """
+    ridge_fn = None
+    seam_carver = 'host'
+    if device_vectorize:
+        from kraken_tpu.ops.ridge import sato_ridge_device
+        ridge_fn = sato_ridge_device
+        seam_carver = 'device'
     st_sep = cls_map['aux']['_start_separator']
     end_sep = cls_map['aux']['_end_separator']
     baselines = []
@@ -105,20 +117,28 @@ def vec_lines(heatmap: np.ndarray,
         logger.debug(f'Vectorizing lines of type {bl_type}')
         baselines.extend((bl_type, bl) for bl in
                          vectorize_lines(heatmap[(st_sep, end_sep, idx), :, :],
-                                         text_direction=text_direction[:-3]))
+                                         text_direction=text_direction[:-3],
+                                         ridge_fn=ridge_fn))
     im_feats = gradient_feature_map(scal_im)
     regions = regions or []
-    lines = []
+    jobs = []
     for idx, (bl_type, bl) in enumerate(baselines):
         other = [b for _, b in baselines[:idx] + baselines[idx + 1:]]
         for reg in regions:
             if is_in_region(bl, reg):
                 other.append(reg)
-        pol = calculate_polygonal_environment(baselines=[bl], im_feats=im_feats,
-                                              suppl_obj=other, topline=topline,
-                                              raise_on_error=raise_on_error)
-        if pol[0] is not None:
-            lines.append((bl_type, bl, pol[0]))
+        jobs.append((bl, other))
+    if seam_carver == 'device':
+        from kraken_tpu.lib.polygonization import polygonize_page
+        pols = polygonize_page(jobs, im_feats, topline=topline,
+                               raise_on_error=raise_on_error)
+    else:
+        pols = [calculate_polygonal_environment(baselines=[bl], im_feats=im_feats,
+                                                suppl_obj=other, topline=topline,
+                                                raise_on_error=raise_on_error)[0]
+                for bl, other in jobs]
+    lines = [(bl_type, bl, pol)
+             for (bl_type, bl), pol in zip(baselines, pols) if pol is not None]
     scaled = scale_polygonal_lines([x[1:] for x in lines], scale)
     return [{'tags': {'type': [{'type': bl_type}]}, 'baseline': bl, 'boundary': pl}
             for (bl_type, _, _), (bl, pl) in zip(lines, scaled)]
@@ -205,7 +225,8 @@ def segmentation_pred(model: 'VGSLModel', im: 'Image.Image') -> Segmentation:
                       text_direction=config.text_direction,
                       suppl_obj=suppl_obj,
                       topline=bool(model.user_metadata.get('topline', False)),
-                      raise_on_error=config.raise_on_error)
+                      raise_on_error=config.raise_on_error,
+                      device_vectorize=getattr(config, 'device_vectorize', False))
 
     script_detection = len(rets['cls_map']['baselines']) > 1
 

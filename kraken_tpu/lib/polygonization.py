@@ -340,13 +340,16 @@ def _calc_seam(baseline: np.ndarray, polygon: np.ndarray, angle: float,
     return finish(_carve_seam(cropped))
 
 
-def _fuse_polygon(env_up: np.ndarray, env_bottom: np.ndarray,
-                  baseline: np.ndarray, offset_baseline: np.ndarray,
-                  end_points, topline: Optional[bool], offset: int,
-                  im_feats: np.ndarray) -> np.ndarray:
+def _prepare_seams(env_up: np.ndarray, env_bottom: np.ndarray,
+                   baseline: np.ndarray, offset_baseline: np.ndarray,
+                   end_points, topline: Optional[bool], offset: int,
+                   im_feats: np.ndarray):
     """
-    Builds the final bounding polygon from the two carved seams, clipped to
-    the ROI (rasterized boolean intersection instead of shapely ops).
+    Builds the two seam-carve energy patches for a line and returns
+    ``(upper patch, bottom patch, complete)`` where ``complete(rows_u,
+    rows_b)`` turns the carved seam rows into the final bounding polygon.
+    Splitting preparation from carving lets callers batch the DP across all
+    of a page's patches (ops/seam.py).
     """
     upper_polygon = np.concatenate((baseline, env_up[::-1]))
     bottom_polygon = np.concatenate((baseline, env_bottom[::-1]))
@@ -360,34 +363,139 @@ def _fuse_polygon(env_up: np.ndarray, env_bottom: np.ndarray,
     angle = np.arctan2(p_dir[1], p_dir[0])
 
     if topline:
-        upper_seam = _calc_seam(baseline, upper_polygon, angle, im_feats)
-        bottom_seam = _calc_seam(offset_baseline, bottom_offset_polygon, angle, im_feats)
+        patch_u, finish_u = _seam_prepare(baseline, upper_polygon, angle, im_feats)
+        patch_b, finish_b = _seam_prepare(offset_baseline, bottom_offset_polygon, angle, im_feats)
     else:
-        upper_seam = _calc_seam(offset_baseline, upper_offset_polygon, angle, im_feats)
-        bottom_seam = _calc_seam(baseline, bottom_polygon, angle, im_feats)
-    upper_seam = douglas_peucker(upper_seam.astype(float), 5).astype(int)
-    bottom_seam = douglas_peucker(bottom_seam.astype(float), 5).astype(int)
-    if offset:
-        upper_seam = np.round(_offset_polyline(upper_seam.astype(float), offset // 2, 'right')).astype(int)[::1]
-        bottom_seam = np.round(_offset_polyline(bottom_seam.astype(float), offset // 2, 'left')).astype(int)
+        patch_u, finish_u = _seam_prepare(offset_baseline, upper_offset_polygon, angle, im_feats)
+        patch_b, finish_b = _seam_prepare(baseline, bottom_polygon, angle, im_feats)
 
-    polygon = np.concatenate(([end_points[0]], upper_seam, [end_points[-1]], bottom_seam[::-1]))
-    # clip to ROI: rasterize candidate polygon and ROI union, intersect, trace
-    all_pts = np.concatenate([polygon, upper_polygon, bottom_polygon])
-    c0, r0 = np.floor(all_pts.min(0)).astype(int) - 1
-    c1, r1 = np.ceil(all_pts.max(0)).astype(int) + 2
-    shape = (r1 - r0, c1 - c0)
-    roi = _rasterize_polygon(upper_polygon - (c0, r0), shape) | \
-        _rasterize_polygon(bottom_polygon - (c0, r0), shape)
-    cand = _rasterize_polygon(polygon - (c0, r0), shape)
-    inter = (roi & cand).astype(np.uint8)
-    contours, _ = cv2.findContours(inter, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
-    if not contours:
-        raise ValueError('Empty ROI/seam polygon intersection')
-    boundary = max(contours, key=cv2.contourArea).squeeze(1)
-    if boundary.ndim != 2 or len(boundary) < 3:
-        raise ValueError('Degenerate bounding polygon')
-    return (boundary + (c0, r0)).astype(int)
+    def complete(rows_u: np.ndarray, rows_b: np.ndarray) -> np.ndarray:
+        upper_seam = douglas_peucker(finish_u(rows_u).astype(float), 5).astype(int)
+        bottom_seam = douglas_peucker(finish_b(rows_b).astype(float), 5).astype(int)
+        if offset:
+            upper_seam = np.round(_offset_polyline(upper_seam.astype(float), offset // 2, 'right')).astype(int)[::1]
+            bottom_seam = np.round(_offset_polyline(bottom_seam.astype(float), offset // 2, 'left')).astype(int)
+
+        polygon = np.concatenate(([end_points[0]], upper_seam, [end_points[-1]], bottom_seam[::-1]))
+        # clip to ROI: rasterize candidate polygon and ROI union, intersect, trace
+        all_pts = np.concatenate([polygon, upper_polygon, bottom_polygon])
+        c0, r0 = np.floor(all_pts.min(0)).astype(int) - 1
+        c1, r1 = np.ceil(all_pts.max(0)).astype(int) + 2
+        shape = (r1 - r0, c1 - c0)
+        roi = _rasterize_polygon(upper_polygon - (c0, r0), shape) | \
+            _rasterize_polygon(bottom_polygon - (c0, r0), shape)
+        cand = _rasterize_polygon(polygon - (c0, r0), shape)
+        inter = (roi & cand).astype(np.uint8)
+        contours, _ = cv2.findContours(inter, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
+        if not contours:
+            raise ValueError('Empty ROI/seam polygon intersection')
+        boundary = max(contours, key=cv2.contourArea).squeeze(1)
+        if boundary.ndim != 2 or len(boundary) < 3:
+            raise ValueError('Degenerate bounding polygon')
+        return (boundary + (c0, r0)).astype(int)
+
+    return patch_u, patch_b, complete
+
+
+def _fuse_polygon(env_up: np.ndarray, env_bottom: np.ndarray,
+                  baseline: np.ndarray, offset_baseline: np.ndarray,
+                  end_points, topline: Optional[bool], offset: int,
+                  im_feats: np.ndarray) -> np.ndarray:
+    """
+    Builds the final bounding polygon from the two carved seams, clipped to
+    the ROI (rasterized boolean intersection instead of shapely ops).
+    """
+    patch_u, patch_b, complete = _prepare_seams(env_up, env_bottom, baseline,
+                                                offset_baseline, end_points,
+                                                topline, offset, im_feats)
+    return complete(_carve_seam(patch_u), _carve_seam(patch_b))
+
+
+def _prepare_line(line, neighbors: list, bounds: np.ndarray,
+                  topline: Optional[bool], im_feats: np.ndarray):
+    """ROI + seam-patch preparation for one baseline against its neighbor
+    polylines; returns (patch_u, patch_b, complete)."""
+    line_arr = np.array(line, float)
+    end_points = (line_arr[0].astype(int), line_arr[-1].astype(int))
+    offset = 8 if topline is not None else 0
+    offset_line = _offset_polyline(line_arr, offset, 'left' if topline else 'right')
+    diffs = np.diff(line_arr, axis=0)
+    lengths = np.linalg.norm(diffs, axis=1)
+    p_dir = (diffs * (lengths / lengths.sum())[:, None]).sum(0)
+    p_dir /= np.linalg.norm(p_dir)
+    env_up, env_bottom = _calc_roi(line_arr, bounds, neighbors, p_dir)
+    return _prepare_seams(env_up, env_bottom,
+                          line_arr.astype(int), offset_line.astype(int),
+                          end_points, topline, offset, im_feats)
+
+
+def polygonize_page(jobs: Sequence, im_feats: np.ndarray,
+                    topline: Optional[bool] = False,
+                    raise_on_error: bool = False) -> list:
+    """
+    Page-level batched polygonization: every entry of `jobs` is a
+    ``(baseline, suppl_obj)`` pair with its own boundary set (the other
+    lines plus any containing regions, as vec_lines builds them). All
+    2·len(jobs) seam-carve DPs of the page run as ONE jitted XLA scan.
+    Results are identical to per-line calculate_polygonal_environment calls.
+    """
+    bounds = np.array(im_feats.shape[::-1], dtype=float) - 1
+
+    def prepare_one(idx, line):
+        neighbors = [np.asarray(o, float) for o in jobs[idx][1]]
+        return _prepare_line(line, neighbors, bounds, topline, im_feats)
+
+    return _polygonize_batched([j[0] for j in jobs], prepare_one, raise_on_error)
+
+
+def _polygonize_batched(baselines, prepare_one, raise_on_error: bool) -> list:
+    """
+    Device-batched polygonization: prepares every line's two seam patches on
+    the host, carves all seams in one jitted XLA scan (ops/seam.py), then
+    completes each polygon. Row/width +inf padding keeps results identical
+    to the per-line host DP.
+    """
+    from kraken_tpu.ops.seam import carve_seams_device
+
+    preps = []
+    for idx, line in enumerate(baselines):
+        try:
+            preps.append(prepare_one(idx, line))
+        except Exception as e:
+            if raise_on_error:
+                raise
+            logger.warning(f'Polygonizer failed on line {idx}: {e}')
+            preps.append(None)
+
+    padded = [np.pad(p, ((1, 1), (0, 0)), mode='constant', constant_values=np.inf)
+              for pr in preps if pr is not None for p in pr[:2]]
+    if not padded:
+        return [None] * len(preps)
+    h = max(p.shape[0] for p in padded)
+    w = max(p.shape[1] for p in padded)
+    batch = np.full((len(padded), h, w), np.inf, np.float32)
+    widths = np.array([p.shape[1] for p in padded], np.int32)
+    for i, p in enumerate(padded):
+        batch[i, :p.shape[0], :p.shape[1]] = p
+    rows = carve_seams_device(batch, widths)
+
+    polygons = []
+    k = 0
+    for idx, pr in enumerate(preps):
+        if pr is None:
+            polygons.append(None)
+            continue
+        rows_u = rows[k, :widths[k]] - 1
+        rows_b = rows[k + 1, :widths[k + 1]] - 1
+        k += 2
+        try:
+            polygons.append(pr[2](rows_u, rows_b).tolist())
+        except Exception as e:
+            if raise_on_error:
+                raise
+            logger.warning(f'Polygonizer failed on line {idx}: {e}')
+            polygons.append(None)
+    return polygons
 
 
 def calculate_polygonal_environment(im=None,
@@ -396,7 +504,8 @@ def calculate_polygonal_environment(im=None,
                                     im_feats: np.ndarray = None,
                                     scale: tuple[int, int] = None,
                                     topline: Optional[bool] = False,
-                                    raise_on_error: bool = False) -> list:
+                                    raise_on_error: bool = False,
+                                    seam_carver: str = 'host') -> list:
     """
     Computes a bounding polygon for every baseline.
 
@@ -409,6 +518,10 @@ def calculate_polygonal_environment(im=None,
         topline: baseline position: False = bottom, True = top,
                  None = centerline (no offset).
         raise_on_error: raise instead of emitting None for failed lines.
+        seam_carver: 'host' runs the per-line seam DP on the host
+                 (native C++ / numpy); 'device' batches every patch of the
+                 call into one jitted XLA scan (ops/seam.py) — same results,
+                 one device dispatch per page.
 
     Returns:
         One polygon (list of (x, y)) or None per baseline.
@@ -436,40 +549,35 @@ def calculate_polygonal_environment(im=None,
 
     suppl_obj = list(suppl_obj) if suppl_obj is not None else []
 
+    def _prepare_one(idx: int, line):
+        """ROI + seam-patch preparation; returns (patch_u, patch_b, complete)."""
+        neighbors = [np.asarray(b, float) for b in baselines[:idx] + baselines[idx + 1:]] + \
+                    [np.asarray(o, float) for o in suppl_obj]
+        return _prepare_line(line, neighbors, bounds, topline, im_feats)
+
     def _polygonize_one(idx: int, line):
         try:
-            line_arr = np.array(line, float)
-            end_points = (line_arr[0].astype(int), line_arr[-1].astype(int))
-            offset = 8 if topline is not None else 0
-            offset_line = _offset_polyline(line_arr, offset, 'left' if topline else 'right')
-            diffs = np.diff(line_arr, axis=0)
-            lengths = np.linalg.norm(diffs, axis=1)
-            p_dir = (diffs * (lengths / lengths.sum())[:, None]).sum(0)
-            p_dir /= np.linalg.norm(p_dir)
-            neighbors = [np.asarray(b, float) for b in baselines[:idx] + baselines[idx + 1:]] + \
-                        [np.asarray(o, float) for o in suppl_obj]
-            env_up, env_bottom = _calc_roi(line_arr, bounds, neighbors, p_dir)
-            polygon = _fuse_polygon(env_up, env_bottom,
-                                    line_arr.astype(int),
-                                    offset_line.astype(int),
-                                    end_points, topline, offset, im_feats)
-            return polygon.tolist()
+            patch_u, patch_b, complete = _prepare_one(idx, line)
+            return complete(_carve_seam(patch_u), _carve_seam(patch_b)).tolist()
         except Exception as e:
             if raise_on_error:
                 raise
             logger.warning(f'Polygonizer failed on line {idx}: {e}')
             return None
 
-    # lines are independent; scipy/cv2 release the GIL so a thread pool
-    # scales the per-line rotation + seam DP across cores
-    import os
-    from concurrent.futures import ThreadPoolExecutor
-    n_workers = min(len(baselines), max(1, (os.cpu_count() or 2) - 1))
-    if n_workers > 1 and len(baselines) > 1 and not raise_on_error:
-        with ThreadPoolExecutor(max_workers=n_workers) as pool:
-            polygons = list(pool.map(_polygonize_one, range(len(baselines)), baselines))
+    if seam_carver == 'device':
+        polygons = _polygonize_batched(baselines, _prepare_one, raise_on_error)
     else:
-        polygons = [_polygonize_one(i, line) for i, line in enumerate(baselines)]
+        # lines are independent; scipy/cv2 release the GIL so a thread pool
+        # scales the per-line rotation + seam DP across cores
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+        n_workers = min(len(baselines), max(1, (os.cpu_count() or 2) - 1))
+        if n_workers > 1 and len(baselines) > 1 and not raise_on_error:
+            with ThreadPoolExecutor(max_workers=n_workers) as pool:
+                polygons = list(pool.map(_polygonize_one, range(len(baselines)), baselines))
+        else:
+            polygons = [_polygonize_one(i, line) for i, line in enumerate(baselines)]
 
     if scale_f is not None:
         polygons = [(np.array(p) / scale_f).astype('uint').tolist() if p is not None else None

@@ -263,10 +263,16 @@ def _extend_to_blob_boundary(lines: list, bin_bl_map: np.ndarray) -> list:
 
 def vectorize_lines(im: np.ndarray, threshold: float = 0.17, min_length: int = 5,
                     text_direction: str = 'horizontal',
-                    max_endpoints: int = 400) -> list:
+                    max_endpoints: int = 400,
+                    ridge_fn=None) -> list:
     """
     Vectorizes baselines from a (3, H, W) probability stack of
     (start_separator, end_separator, baseline) maps.
+
+    Args:
+        ridge_fn: alternative Sato ridge filter implementation (e.g. the
+            jitted device kernel ops.ridge.sato_ridge_device); defaults to
+            the host filter.
 
     Returns:
         A list of [(x, y), ...] baseline polylines, oriented by the
@@ -275,7 +281,7 @@ def vectorize_lines(im: np.ndarray, threshold: float = 0.17, min_length: int = 5
     if text_direction not in ('horizontal', 'vertical'):
         raise ValueError(f'Invalid text direction "{text_direction}"')
     st_map, end_map, bl_map = im[0], im[1], im[2]
-    ridge = sato_ridge(bl_map, black_ridges=False)
+    ridge = (ridge_fn or sato_ridge)(bl_map, black_ridges=False)
     bin_bl_map = ridge > threshold
     skel = skeletonize(bin_bl_map)
     extrema = _endpoints(skel)

@@ -113,9 +113,11 @@ void carve_seam(const float *patch, int h, int w, int32_t *out_rows) {
     for (int y = 0; y < h; ++y) prev[y] = patch[static_cast<size_t>(y) * w];
     for (int x = 1; x < w; ++x) {
         for (int y = 1; y < h - 1; ++y) {
-            float best = prev[y];
-            int32_t arg = y;
-            if (prev[y - 1] < best) { best = prev[y - 1]; arg = y - 1; }
+            // tie priority up > center > down, matching np.argmin over the
+            // stacked [up, center, down] rows (first minimum wins)
+            float best = prev[y - 1];
+            int32_t arg = y - 1;
+            if (prev[y] < best) { best = prev[y]; arg = y; }
             if (prev[y + 1] < best) { best = prev[y + 1]; arg = y + 1; }
             cost[y] = patch[static_cast<size_t>(y) * w + x] + best;
             back[static_cast<size_t>(y) * w + x] = arg;

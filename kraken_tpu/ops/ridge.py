@@ -39,12 +39,16 @@ def _sep_conv(im: jnp.ndarray, kr: np.ndarray, kc: np.ndarray) -> jnp.ndarray:
     rr = len(kr) // 2
     rc = len(kc) // 2
     x = im[None, None]
+    # full f32 accumulation: TPU convs default to bf16 passes, which shifts
+    # near-threshold ridge responses relative to the host filter
     x = jax.lax.conv_general_dilated(x, jnp.asarray(kr)[None, None, :, None],
                                      (1, 1), [(rr, rr), (0, 0)],
-                                     dimension_numbers=('NCHW', 'OIHW', 'NCHW'))
+                                     dimension_numbers=('NCHW', 'OIHW', 'NCHW'),
+                                     precision=jax.lax.Precision.HIGHEST)
     x = jax.lax.conv_general_dilated(x, jnp.asarray(kc)[None, None, None, :],
                                      (1, 1), [(0, 0), (rc, rc)],
-                                     dimension_numbers=('NCHW', 'OIHW', 'NCHW'))
+                                     dimension_numbers=('NCHW', 'OIHW', 'NCHW'),
+                                     precision=jax.lax.Precision.HIGHEST)
     return x[0, 0]
 
 

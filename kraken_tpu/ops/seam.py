@@ -74,9 +74,12 @@ def carve_seams_device(patches: np.ndarray, widths=None) -> np.ndarray:
     seams = np.zeros((n, w), np.int32)
     idx = np.arange(n)
     # per-patch start at its true last column (width-1 patches degenerate to
-    # a per-column argmin of the raw energy)
-    seams[idx, widths - 1] = np.argmin(costs[idx, np.maximum(widths - 2, 0)], axis=1)
-    seams[widths == 1, 0] = np.argmin(arr[widths == 1, :, 0], axis=1)
+    # a per-column argmin of the raw energy). Rows 0 and H-1 are the +inf
+    # pad rows — excluded from the start selection like the host DP, which
+    # matters only when a patch's entire last column is masked.
+    seams[idx, widths - 1] = np.argmin(costs[idx, np.maximum(widths - 2, 0), 1:h - 1], axis=1) + 1
+    if (widths == 1).any():
+        seams[widths == 1, 0] = np.argmin(arr[widths == 1, 1:h - 1, 0], axis=1) + 1
     # host backtrace: tiny O(N*W) loop over int8 offsets
     for j in range(w - 2, -1, -1):
         active = j + 1 <= widths - 1

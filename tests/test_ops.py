@@ -132,21 +132,25 @@ def test_sato_device_parity():
 
 
 def test_device_seam_parity():
-    """Batched lax.scan seam carve matches the host DP on random patches."""
+    """Batched lax.scan seam carve matches the host DP on random patches
+    (kernel contract: callers hand in the +inf row-padded patches, exactly
+    as lib.polygonization._polygonize_batched builds them)."""
     from kraken_tpu.lib.polygonization import _carve_seam
     from kraken_tpu.ops.seam import carve_seams_device
 
     rng = np.random.RandomState(0)
     shapes = [(40, 120), (17, 60), (64, 200)]
-    H = max(s[0] for s in shapes)
-    W = max(s[1] for s in shapes)
-    patches = np.full((len(shapes), H, W), np.inf, np.float32)
-    host = []
-    for i, (h, w) in enumerate(shapes):
-        p = rng.rand(h, w).astype(np.float32)
-        patches[i, :h, :w] = p
-        host.append(_carve_seam(p))
-    seams = carve_seams_device(patches, widths=[s[1] for s in shapes])
-    for i, (h, w) in enumerate(shapes):
-        np.testing.assert_array_equal(seams[i, :w], host[i],
+    raw = [rng.rand(h, w).astype(np.float32) for h, w in shapes]
+    # ties are the dangerous case for DP argmin priority — quantize one
+    # patch coarsely so equal-cost paths are plentiful
+    raw[1] = np.round(raw[1] * 4) / 4
+    padded = [np.pad(p, ((1, 1), (0, 0)), constant_values=np.inf) for p in raw]
+    H = max(p.shape[0] for p in padded)
+    W = max(p.shape[1] for p in padded)
+    patches = np.full((len(padded), H, W), np.inf, np.float32)
+    for i, p in enumerate(padded):
+        patches[i, :p.shape[0], :p.shape[1]] = p
+    seams = carve_seams_device(patches, widths=[p.shape[1] for p in padded])
+    for i, p in enumerate(raw):
+        np.testing.assert_array_equal(seams[i, :p.shape[1]] - 1, _carve_seam(p),
                                       err_msg=f'patch {i} mismatch')

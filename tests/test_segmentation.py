@@ -118,6 +118,43 @@ def test_polygonal_environment_tight_line_spacing():
     assert all(p is not None for p in pols), pols
 
 
+def test_polygonize_page_matches_per_line():
+    """The device-batched page polygonizer (one XLA seam scan per page)
+    returns exactly the per-line host results, including per-line
+    supplementary boundary sets."""
+    from kraken_tpu.lib.polygonization import gradient_feature_map, polygonize_page
+    H, W = 200, 400
+    img = np.full((H, W), 255, np.uint8)
+    for y0 in (38, 78, 108, 148):
+        img[y0:y0 + 14, 30:370] = 60
+    im = Image.fromarray(img)
+    baselines = [[[30, y + 14], [370, y + 14]] for y in (38, 78, 108, 148)]
+    host = calculate_polygonal_environment(im, baselines)
+    im_feats = gradient_feature_map(np.asarray(im))
+    jobs = [(bl, baselines[:i] + baselines[i + 1:]) for i, bl in enumerate(baselines)]
+    dev = polygonize_page(jobs, im_feats)
+    assert dev == host
+
+
+def test_device_vectorize_segmentation_equivalence():
+    """SegmentationInferenceConfig(device_vectorize=True) produces the same
+    Segmentation as the host path (bit-exact on matching backends)."""
+    from kraken_tpu.configs import SegmentationInferenceConfig
+    from kraken_tpu.inference.segmentation import prepare_segmentation, segmentation_pred
+    from kraken_tpu.models import load_models
+    model = load_models('tests/resources/blla_small.safetensors')[0]
+    im = Image.open('tests/resources/170025120000003,0074.jpg')
+    prepare_segmentation(model, SegmentationInferenceConfig(precision='32-true'))
+    host = segmentation_pred(model, im)
+    prepare_segmentation(model, SegmentationInferenceConfig(precision='32-true',
+                                                            device_vectorize=True))
+    dev = segmentation_pred(model, im)
+    assert len(host.lines) == len(dev.lines)
+    for a, b in zip(host.lines, dev.lines):
+        assert a.baseline == b.baseline
+        assert a.boundary == b.boundary
+
+
 def test_polygonal_environment_failure_returns_none():
     im = Image.fromarray(np.full((50, 50), 255, np.uint8))
     # degenerate single-point baseline
