@@ -223,6 +223,9 @@ def recognizer(model, no_segmentation, config, linetype, input, output) -> None:
 @click.option('-y', '--abbyy', 'serializer', flag_value='abbyyxml')
 @click.option('-x', '--pagexml', 'serializer', flag_value='pagexml')
 @click.option('-n', '--native', 'serializer', flag_value='native', default=True)
+@click.option('--layout', 'serializer', flag_value='layout',
+              help='Serialize as a self-contained HTML proofing view '
+                   '(facsimile overlay + editable transcription).')
 @click.option('-t', '--template', type=click.Path(exists=True, dir_okay=False),
               help='Custom serialization template.')
 @click.option('-d', '--device', default='auto',

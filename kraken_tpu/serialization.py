@@ -513,11 +513,102 @@ def _render_abbyyxml(page, metadata) -> str:
                           pretty_print=True).decode('utf-8')
 
 
+# ------------------------------------------------------------- layout HTML
+_LAYOUT_CSS = """
+body { margin: 0; font-family: sans-serif; display: flex; height: 100vh; }
+#facsimile { position: relative; flex: 1; overflow: auto; background: #222; }
+#facsimile img { display: block; width: 100%; }
+#facsimile a.line-box { position: absolute; border: 1px solid rgba(220,40,40,.8);
+  background: rgba(220,40,40,.08); }
+#facsimile a.line-box:hover, #facsimile a.line-box.active {
+  background: rgba(220,40,40,.35); }
+#transcription { flex: 1; overflow: auto; padding: 1em; }
+#transcription li { padding: .2em .4em; border-left: 3px solid transparent; }
+#transcription li:focus, #transcription li.active {
+  border-left-color: #dc2828; background: #f6f6f6; outline: none; }
+#toolbar { position: fixed; bottom: 1em; right: 1em; }
+""".strip()
+
+_LAYOUT_JS = """
+function hl(id, on) {
+  document.querySelectorAll('[data-line="' + id + '"]').forEach(function (el) {
+    el.classList.toggle('active', on);
+  });
+}
+document.querySelectorAll('[data-line]').forEach(function (el) {
+  el.addEventListener('mouseenter', function () { hl(el.dataset.line, true); });
+  el.addEventListener('mouseleave', function () { hl(el.dataset.line, false); });
+});
+document.getElementById('download').addEventListener('click', function () {
+  var text = Array.from(document.querySelectorAll('#transcription li'))
+    .map(function (li) { return li.textContent.trim(); }).join('\\n');
+  var a = document.createElement('a');
+  a.href = URL.createObjectURL(new Blob([text], {type: 'text/plain'}));
+  a.download = 'transcription.txt';
+  a.click();
+});
+""".strip()
+
+
+def _render_layout(page, metadata) -> str:
+    """
+    Self-contained HTML proofing view (inventory counterpart of the
+    reference's templates/layout.html): the page facsimile with
+    percent-positioned line overlays next to a per-line contenteditable
+    transcription column, with hover cross-highlighting and plain-text
+    download. Own markup/CSS/JS, not the reference template.
+    """
+    from xml.sax.saxutils import escape, quoteattr
+    w, h = page['size']
+    rtl = str(page.get('writing_mode', '')).endswith('rl')
+    lines = []
+    for entity in page['entities']:
+        if entity['type'] == 'region':
+            lines.extend(entity['lines'])
+        else:
+            lines.append(entity)
+
+    def line_text(line):
+        if line.get('text'):
+            return line['text']
+        return ''.join(seg['text'] for seg in line['recognition'])
+
+    out = ['<!DOCTYPE html>',
+           f'<html{" dir=\"rtl\"" if rtl else ""}>', '<head>',
+           '<meta charset="utf-8"/>',
+           f'<meta name="ocr-system" content="kraken_tpu {metadata["version"]}"/>',
+           f'<title>{escape(str(page["name"] or "kraken_tpu layout"))}</title>',
+           f'<style>{_LAYOUT_CSS}</style>', '</head>', '<body>',
+           '<div id="facsimile">',
+           f'<img src={quoteattr(str(page["name"] or ""))} alt="page facsimile"/>']
+    for line in lines:
+        if not line['bbox'] or not w or not h:
+            continue
+        x0, y0, x1, y1 = line['bbox']
+        style = (f'left: {100 * x0 / w:.2f}%; top: {100 * y0 / h:.2f}%; '
+                 f'width: {100 * (x1 - x0) / w:.2f}%; height: {100 * (y1 - y0) / h:.2f}%;')
+        out.append(f'<a class="line-box" data-line="{line["id"]}" '
+                   f'style={quoteattr(style)} '
+                   f'title={quoteattr(line_text(line))}></a>')
+    out += ['</div>', '<div id="transcription">', '<ol>']
+    for line in lines:
+        bbox = ' '.join(str(int(v)) for v in line['bbox']) if line['bbox'] else ''
+        out.append(f'<li data-line="{line["id"]}" data-bbox="{bbox}" '
+                   f'contenteditable="true" spellcheck="true">'
+                   f'{escape(line_text(line))}</li>')
+    out += ['</ol>', '</div>',
+            '<div id="toolbar"><button id="download">Download text</button></div>',
+            f'<script>{_LAYOUT_JS}</script>',
+            '</body>', '</html>']
+    return '\n'.join(out)
+
+
 _NATIVE_RENDERERS = {'alto': _render_alto,
                      'page': _render_pagexml,
                      'pagexml': _render_pagexml,
                      'hocr': _render_hocr,
-                     'abbyyxml': _render_abbyyxml}
+                     'abbyyxml': _render_abbyyxml,
+                     'layout': _render_layout}
 
 
 def serialize(results: 'Segmentation',
@@ -537,7 +628,8 @@ def serialize(results: 'Segmentation',
         image_size: (width, height) of the source image.
         writing_mode: principal line layout for formats that record it.
         scripts: scripts contained in the OCR records.
-        template: 'alto', 'page'/'pagexml', 'hocr', 'abbyyxml', or a path to
+        template: 'alto', 'page'/'pagexml', 'hocr', 'abbyyxml', 'layout'
+                  (self-contained HTML proofing view), or a path to
                   a custom Jinja template when template_source='custom'.
         template_source: 'native' builders or 'custom' Jinja template.
         processing_steps: provenance records embedded in the output.

@@ -280,3 +280,31 @@ def test_region_only_all_formats(bl_seg, resources):
                                            template='pagexml'), resources)
     _validate_abbyy(serialization.serialize(seg, image_size=(2000, 2000),
                                             template='abbyyxml'), resources)
+
+
+def test_layout_html(bl_seg):
+    """The 'layout' proofing view renders parseable HTML with one overlay
+    box and one editable transcription entry per line."""
+    seg = _segmentation(bl_seg)
+    out = serialization.serialize(seg, image_size=(2000, 2000), template='layout')
+    doc = etree.fromstring(out.encode('utf-8'), etree.HTMLParser())
+    boxes = doc.findall('.//a[@class="line-box"]')
+    entries = doc.findall('.//li')
+    assert len(boxes) == len(seg.lines)
+    assert len(entries) == len(seg.lines)
+    for li, line in zip(entries, seg.lines):
+        assert li.get('contenteditable') == 'true'
+        assert li.get('data-line') == line.id
+    # predictions appear in the transcription column
+    text = ' '.join((li.text or '') for li in entries)
+    for line in seg.lines:
+        assert line.prediction.split()[0] in text
+
+
+def test_layout_html_rtl():
+    seg = containers.Segmentation(type='bbox', imagename='x.png',
+                                  text_direction='horizontal-rl',
+                                  script_detection=False, lines=[], regions={})
+    out = serialization.serialize(seg, image_size=(100, 100), template='layout',
+                                  writing_mode='vertical-rl')
+    assert 'dir="rtl"' in out
