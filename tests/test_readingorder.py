@@ -59,6 +59,21 @@ def test_order_simple_right_left():
     assert list(reading_order([bbox_from_polygon(p) for p in (p0, p1)], 'rl')) == [1, 0]
 
 
+def test_order_simple_left_right_touching():
+    """Horizontally touching extents order correctly (xfail in the
+    reference test suite, tests/test_readingorder.py:103-117 — the
+    half-open slice comparison here resolves the shared edge)."""
+    p0 = [[10, 10], [10, 20], [100, 20], [100, 10], [10, 10]]
+    p1 = [[100, 10], [100, 20], [250, 20], [250, 10], [100, 10]]
+    assert list(reading_order([bbox_from_polygon(p) for p in (p0, p1)])) == [0, 1]
+
+
+def test_order_simple_right_left_touching():
+    p0 = [[10, 10], [10, 20], [100, 20], [100, 10], [10, 10]]
+    p1 = [[100, 10], [100, 20], [250, 20], [250, 10], [100, 10]]
+    assert list(reading_order([bbox_from_polygon(p) for p in (p0, p1)], 'rl')) == [1, 0]
+
+
 def test_order_real_reverse():
     """Real example with lines listed in reverse vertical order."""
     p0 = [[474, 2712], [466, 2669], [1741, 2655], [1749, 2696], [1746, 2709], [474, 2725]]
