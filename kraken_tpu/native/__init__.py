@@ -70,6 +70,12 @@ def _load() -> Optional[ctypes.CDLL]:
                                    ctypes.c_int, ctypes.c_int,
                                    ctypes.POINTER(ctypes.c_int32)]
         lib.carve_seam.restype = None
+        lib.line_seeds.argtypes = [ctypes.POINTER(ctypes.c_uint8),
+                                   ctypes.POINTER(ctypes.c_uint8),
+                                   ctypes.c_int, ctypes.c_int,
+                                   ctypes.c_int, ctypes.c_float,
+                                   ctypes.POINTER(ctypes.c_uint8)]
+        lib.line_seeds.restype = None
         _LIB = lib
     except Exception as e:
         logger.warning(f'Failed to build/load native helpers: {e}')
@@ -110,6 +116,26 @@ def carve_seam_native(padded: np.ndarray) -> Optional[np.ndarray]:
                    buf.shape[0], buf.shape[1],
                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     return out
+
+
+def line_seeds_native(bmarked: np.ndarray, tmarked: np.ndarray,
+                      delta: int, limit: float) -> Optional[np.ndarray]:
+    """
+    Seed bands between matched baseline/topline transition marks (the
+    per-column loop of pageseg.compute_line_seeds). Returns an int32 seed
+    map or None when the library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    bm = np.ascontiguousarray(bmarked != 0, np.uint8)
+    tm = np.ascontiguousarray(tmarked != 0, np.uint8)
+    out = np.zeros(bm.shape, np.uint8)
+    lib.line_seeds(bm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                   tm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                   bm.shape[0], bm.shape[1], int(delta), float(limit),
+                   out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out.astype('i')
 
 
 def endpoints_native(skel: np.ndarray, max_pts: int = 100000) -> Optional[np.ndarray]:

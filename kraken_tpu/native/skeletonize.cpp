@@ -138,4 +138,36 @@ void carve_seam(const float *patch, int h, int w, int32_t *out_rows) {
     }
 }
 
+// Line-seed band marking for the legacy page segmenter: per column, walk
+// the baseline (s=1) / topline (s=0) transition marks top-down from the
+// bottom edge and fill the band above each baseline mark plus the span to
+// the next topline mark within `limit` rows. Exact port of the per-column
+// python loop in pageseg.compute_line_seeds (ocropy semantics, including
+// the empty fill when y0 < delta from numpy's negative slice start).
+void line_seeds(const uint8_t *bm, const uint8_t *tm, int h, int w,
+                int delta, float limit, uint8_t *seeds) {
+    std::vector<std::pair<int, int>> tr;
+    for (int x = 0; x < w; ++x) {
+        tr.clear();
+        // descending y; at equal y the baseline mark sorts first, matching
+        // reversed ascending (y, s) tuple order
+        for (int y = h - 1; y >= 0; --y) {
+            if (bm[static_cast<size_t>(y) * w + x]) tr.emplace_back(y, 1);
+            if (tm[static_cast<size_t>(y) * w + x]) tr.emplace_back(y, 0);
+        }
+        tr.emplace_back(0, 0);
+        for (size_t ls = 0; ls + 1 < tr.size(); ++ls) {
+            const int y0 = tr[ls].first;
+            if (tr[ls].second == 0) continue;
+            if (y0 - delta >= 0)
+                for (int y = y0 - delta; y < y0; ++y)
+                    seeds[static_cast<size_t>(y) * w + x] = 1;
+            const int y1 = tr[ls + 1].first;
+            if (tr[ls + 1].second == 0 && static_cast<float>(y0 - y1) < limit)
+                for (int y = y1; y < y0; ++y)
+                    seeds[static_cast<size_t>(y) * w + x] = 1;
+        }
+    }
+}
+
 }  // extern "C"

@@ -140,20 +140,23 @@ def compute_line_seeds(binary: np.ndarray, bottom: np.ndarray, top: np.ndarray,
     tmarked = maximum_filter(top == maximum_filter(top, (vrange, 0)), (2, 2))
     tmarked = tmarked * (top > threshold * np.amax(top) * threshold / 2) * (1 - colseps)
     tmarked = maximum_filter(tmarked, (1, 20))
-    seeds = np.zeros(binary.shape, 'i')
     delta = max(3, int(scale / 2))
-    for x in range(bmarked.shape[1]):
-        transitions = sorted([(y, 1) for y in np.nonzero(bmarked[:, x])[0]] +
-                             [(y, 0) for y in np.nonzero(tmarked[:, x])[0]])[::-1]
-        transitions.append((0, 0))
-        for ls in range(len(transitions) - 1):
-            y0, s0 = transitions[ls]
-            if s0 == 0:
-                continue
-            seeds[y0 - delta:y0, x] = 1
-            y1, s1 = transitions[ls + 1]
-            if s1 == 0 and (y0 - y1) < 5 * scale:
-                seeds[y1:y0, x] = 1
+    from kraken_tpu import native
+    seeds = native.line_seeds_native(bmarked, tmarked, delta, 5 * scale)
+    if seeds is None:
+        seeds = np.zeros(binary.shape, 'i')
+        for x in range(bmarked.shape[1]):
+            transitions = sorted([(y, 1) for y in np.nonzero(bmarked[:, x])[0]] +
+                                 [(y, 0) for y in np.nonzero(tmarked[:, x])[0]])[::-1]
+            transitions.append((0, 0))
+            for ls in range(len(transitions) - 1):
+                y0, s0 = transitions[ls]
+                if s0 == 0:
+                    continue
+                seeds[y0 - delta:y0, x] = 1
+                y1, s1 = transitions[ls + 1]
+                if s1 == 0 and (y0 - y1) < 5 * scale:
+                    seeds[y1:y0, x] = 1
     seeds = maximum_filter(seeds, (1, int(1 + scale)))
     seeds = seeds * (1 - colseps)
     seeds, _ = morph.label(seeds)

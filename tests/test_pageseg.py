@@ -75,3 +75,36 @@ def test_segment_text_directions(resources):
             x0, y0, x1, y1 = line.bbox
             assert 0 <= x0 <= x1 <= im.width
             assert 0 <= y0 <= y1 <= im.height
+
+
+def test_line_seeds_native_parity():
+    """C++ line-seed marking is bit-identical to the per-column python
+    loop (including the empty fill when a baseline mark sits closer than
+    delta to the top edge)."""
+    import numpy as np
+    from kraken_tpu import native
+    if not native.available():
+        import pytest
+        pytest.skip('no C++ compiler available')
+    rng = np.random.RandomState(42)
+    for _ in range(5):
+        h, w = rng.randint(30, 80), rng.randint(30, 80)
+        bmarked = rng.rand(h, w) < 0.05
+        tmarked = rng.rand(h, w) < 0.05
+        scale = rng.uniform(2, 12)
+        delta = max(3, int(scale / 2))
+        ref = np.zeros((h, w), 'i')
+        for x in range(w):
+            transitions = sorted([(y, 1) for y in np.nonzero(bmarked[:, x])[0]] +
+                                 [(y, 0) for y in np.nonzero(tmarked[:, x])[0]])[::-1]
+            transitions.append((0, 0))
+            for ls in range(len(transitions) - 1):
+                y0, s0 = transitions[ls]
+                if s0 == 0:
+                    continue
+                ref[y0 - delta:y0, x] = 1
+                y1, s1 = transitions[ls + 1]
+                if s1 == 0 and (y0 - y1) < 5 * scale:
+                    ref[y1:y0, x] = 1
+        out = native.line_seeds_native(bmarked, tmarked, delta, 5 * scale)
+        np.testing.assert_array_equal(out, ref)
