@@ -77,12 +77,15 @@ def _resolve_device(config):
 def prepare_recognition(model: 'VGSLModel', config) -> None:
     """
     Configures a recognition model for inference: precision cast, device (or
-    device-mesh) placement, line-extraction pool, and jit cache. With
+    device-mesh) placement, line-extraction pool, and jit cache (persistent
+    across processes via lib.util.enable_xla_cache). With
     `config.devices > 1` the forward runs SPMD over a 1-D mesh — parameters
     replicated, the bucketed line batch sharded on its leading dim (the
     TPU-native replacement of the reference's Fabric device placement,
     kraken/lib/vgsl/model.py:518-525).
     """
+    from kraken_tpu.lib.util import enable_xla_cache
+    enable_xla_cache()
     model._inf_config = config
     dtype = _PRECISION_DTYPES.get(getattr(config, 'precision', '32-true'), jnp.float32)
     model._m_dtype = dtype

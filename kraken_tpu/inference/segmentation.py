@@ -42,6 +42,8 @@ __all__ = ['prepare_segmentation', 'segmentation_pred', 'vec_regions', 'vec_line
 def prepare_segmentation(model: 'VGSLModel', config) -> None:
     """Sets up device placement and the jitted forward+upsample+sigmoid."""
     from kraken_tpu.inference.recognition import _PRECISION_DTYPES, _resolve_device
+    from kraken_tpu.lib.util import enable_xla_cache
+    enable_xla_cache()
     model._inf_config = config
     dtype = _PRECISION_DTYPES.get(getattr(config, 'precision', '32-true'), jnp.float32)
     model._m_dtype = dtype

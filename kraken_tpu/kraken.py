@@ -264,20 +264,8 @@ def cli(input, batch_input, suffix, verbose, format_type, pdf_format,
 
 
 def _enable_xla_cache() -> None:
-    """
-    Persists compiled XLA programs across CLI invocations so repeated runs
-    skip the cold compile of each (model, width-bucket) pair.
-    """
-    import os
-    try:
-        import jax
-        cache = os.environ.get('KRAKEN_TPU_XLA_CACHE',
-                               os.path.expanduser('~/.cache/kraken_tpu/xla'))
-        if cache and cache != '0':
-            jax.config.update('jax_compilation_cache_dir', cache)
-            jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
-    except Exception as e:
-        logger.debug(f'Persistent XLA cache unavailable: {e}')
+    from kraken_tpu.lib.util import enable_xla_cache
+    enable_xla_cache()
 
 
 @cli.result_callback()
@@ -416,8 +404,13 @@ def binarize(ctx, threshold, zoom, escale, border, perc, range, low, high, accel
               help='Left and right padding around lines (bbox segmenter only).')
 @click.option('--input-pad', 'input_padding', type=int, default=0,
               help='Padding to add around the input image.')
+@click.option('--device-vectorize/--host-vectorize', default=False,
+              help='Run the ridge filter and batched seam carving on the '
+                   'accelerator instead of the host (identical results; '
+                   'useful when host cores are scarce).')
 def segment(ctx, model, boxes, text_direction, legacy_scale, legacy_maxcolseps,
-            legacy_black_colseps, legacy_no_hlines, bbox_line_padding, input_padding):
+            legacy_black_colseps, legacy_no_hlines, bbox_line_padding, input_padding,
+            device_vectorize):
     """
     Segments page images into text lines.
     """
@@ -430,6 +423,7 @@ def segment(ctx, model, boxes, text_direction, legacy_scale, legacy_maxcolseps,
                                          legacy_no_hlines=legacy_no_hlines,
                                          bbox_line_padding=bbox_line_padding,
                                          input_padding=input_padding,
+                                         device_vectorize=device_vectorize,
                                          device=ctx.meta['device'],
                                          precision=ctx.meta['precision'],
                                          raise_on_error=ctx.meta['raise_failed'])

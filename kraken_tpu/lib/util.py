@@ -110,3 +110,30 @@ def parse_gt_path(path: Union[str, PathLike],
                     base_dir=base_dir,
                     imagename=path,
                     text_direction=text_direction)
+
+
+_XLA_CACHE_SET = False
+
+
+def enable_xla_cache() -> None:
+    """
+    Persists compiled XLA programs across processes so repeated
+    inference/training runs skip the cold compile of each
+    (model, width-bucket) pair. Directory from ``KRAKEN_TPU_XLA_CACHE``
+    (set to ``0`` to disable), default ``~/.cache/kraken_tpu/xla``.
+    """
+    global _XLA_CACHE_SET
+    if _XLA_CACHE_SET:
+        return
+    _XLA_CACHE_SET = True
+    import os
+    try:
+        import jax
+        cache = os.environ.get('KRAKEN_TPU_XLA_CACHE',
+                               os.path.expanduser('~/.cache/kraken_tpu/xla'))
+        if cache and cache != '0':
+            jax.config.update('jax_compilation_cache_dir', cache)
+            jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+        import logging
+        logging.getLogger(__name__).debug('Persistent XLA cache unavailable')

@@ -81,6 +81,8 @@ class KrakenTrainer:
 
     def __init__(self, config, mesh=None, progress: bool = True,
                  fast_dev_run: bool = False, log_dir: Optional[str] = None):
+        from kraken_tpu.lib.util import enable_xla_cache
+        enable_xla_cache()
         self.config = config
         self.mesh = mesh
         self.progress = progress
