@@ -49,12 +49,14 @@ def bench_jax():
     jfwd = jax.jit(fwd)
     out = jfwd(params, x, lens)
     _ = np.asarray(out[0])
-    start = time.perf_counter()
-    outs = [jfwd(params, x, lens) for _ in range(N_ITER)]
-    for o in outs:
-        _ = np.asarray(o[0])
-    elapsed = time.perf_counter() - start
-    return BATCH * N_ITER / elapsed
+    best = float('inf')
+    for _ in range(3):
+        start = time.perf_counter()
+        outs = [jfwd(params, x, lens) for _ in range(N_ITER)]
+        for o in outs:
+            _ = np.asarray(o[0])
+        best = min(best, time.perf_counter() - start)
+    return BATCH * N_ITER / best
 
 
 def bench_torch_cpu():
@@ -96,10 +98,11 @@ def bench_torch_cpu():
     x = torch.rand(TORCH_BATCH, 1, HEIGHT, WIDTH)
     with torch.inference_mode():
         net(x[:2, :, :, :128])  # warmup
-        # best of 3: favors the baseline (conservative speedup claim) and
-        # shields the single-core host's scheduling noise
+        # best of 5: favors the baseline (conservative speedup claim) and
+        # shields the single-core host's scheduling noise, which swings 2x+
+        # between runs on this shared dev box
         best = float('inf')
-        for _ in range(3):
+        for _ in range(5):
             start = time.perf_counter()
             net(x)
             best = min(best, time.perf_counter() - start)
@@ -164,14 +167,18 @@ def _page_pipeline(torch_backend: bool, n_pages: int = 5, flagship: bool = False
     records = list(model.predict(im, seg))  # warm: compile/trace all buckets
     texts = {i: r.prediction for i, r in enumerate(records)}
     # steady-state streaming throughput: host segmentation of upcoming pages
-    # overlaps recognition of the current one (kraken_tpu.pipeline)
-    start = time.perf_counter()
-    done = 0
-    for _im, _seg, recs in process_pages([im] * n_pages, model, segment):
-        done += len(recs)
-    elapsed = time.perf_counter() - start
-    assert done == n_pages * len(texts)
-    return n_pages / elapsed, texts
+    # overlaps recognition of the current one (kraken_tpu.pipeline).
+    # Best of 2 passes: the shared dev host's CPU/tunnel latency swings 2x
+    # between minutes, and the driver records a single bench run.
+    best = float('inf')
+    for _ in range(2):
+        start = time.perf_counter()
+        done = 0
+        for _im, _seg, recs in process_pages([im] * n_pages, model, segment):
+            done += len(recs)
+        best = min(best, time.perf_counter() - start)
+        assert done == n_pages * len(texts)
+    return n_pages / best, texts
 
 
 def _neural_page_pipeline(torch_backend: bool, n_pages: int = 3):
@@ -233,12 +240,15 @@ def _neural_page_pipeline(torch_backend: bool, n_pages: int = 3):
 
     seg = segmenter(im)
     list(rec_model.predict(im, seg))  # warm
-    start = time.perf_counter()
+    best = float('inf')
     total_lines = 0
-    for _im, _seg, recs in process_pages([im] * n_pages, rec_model, segmenter):
-        total_lines += len(recs)
-    elapsed = time.perf_counter() - start
-    return n_pages / elapsed, total_lines // n_pages
+    for _ in range(2):
+        start = time.perf_counter()
+        total_lines = 0
+        for _im, _seg, recs in process_pages([im] * n_pages, rec_model, segmenter):
+            total_lines += len(recs)
+        best = min(best, time.perf_counter() - start)
+    return n_pages / best, total_lines // n_pages
 
 
 def _cer(texts: dict, golden: dict) -> float:
