@@ -59,8 +59,8 @@ def bench_jax():
     return BATCH * N_ITER / best
 
 
-def bench_torch_cpu():
-    """Reference-equivalent torch CPU forward on the same shapes."""
+def _torch_refnet():
+    """Architecturally identical torch module for the flagship spec."""
     import torch
 
     class RefNet(torch.nn.Module):
@@ -94,7 +94,14 @@ def bench_torch_cpu():
             x, _ = self.l3(x)
             return self.o(x)
 
-    net = RefNet().eval()
+    return RefNet()
+
+
+def bench_torch_cpu():
+    """Reference-equivalent torch CPU forward on the same shapes."""
+    import torch
+
+    net = _torch_refnet().eval()
     x = torch.rand(TORCH_BATCH, 1, HEIGHT, WIDTH)
     with torch.inference_mode():
         net(x[:2, :, :, :128])  # warmup
@@ -251,6 +258,80 @@ def _neural_page_pipeline(torch_backend: bool, n_pages: int = 3):
     return n_pages / best, total_lines // n_pages
 
 
+TRAIN_BATCH = 128
+TRAIN_LABELS = 40
+TORCH_TRAIN_BATCH = 8
+
+
+def bench_train_jax():
+    """
+    Jitted CTC training step (AdamW) of the flagship recognizer on the
+    current device — BASELINE config #5's recognition-training leg.
+    Returns lines/sec of training throughput.
+    """
+    import jax
+    import jax.numpy as jnp
+    from kraken_tpu.configs import RecognitionTrainingConfig
+    from kraken_tpu.parallel import make_train_step
+    from kraken_tpu.train.optim import build_optimizer
+    from kraken_tpu.vgsl import VGSLModel
+    from __graft_entry__ import FLAGSHIP_SPEC
+
+    model = VGSLModel(vgsl=FLAGSHIP_SPEC, rng=jax.random.PRNGKey(0))
+    tx = build_optimizer(RecognitionTrainingConfig(lrate=1e-4, warmup=0,
+                                                   optimizer='AdamW'))
+    step = make_train_step(model.net, tx, loss='ctc')  # jitted inside
+    rng = np.random.RandomState(0)
+    batch = {
+        'image': jnp.asarray(rng.rand(TRAIN_BATCH, 1, HEIGHT, WIDTH), jnp.float32),
+        'seq_lens': jnp.full((TRAIN_BATCH,), WIDTH, jnp.int32),
+        'target': jnp.asarray(rng.randint(1, CLASSES, (TRAIN_BATCH, TRAIN_LABELS)), jnp.int32),
+        'target_lens': jnp.full((TRAIN_BATCH,), TRAIN_LABELS, jnp.int32),
+    }
+    params = model.params
+    opt_state = tx.init(params)
+    key = jax.random.PRNGKey(1)
+    params, opt_state, loss = step(params, opt_state, batch, key)  # compile
+    float(loss)  # block_until_ready does not synchronize on the axon backend
+    best = float('inf')
+    for _ in range(3):
+        start = time.perf_counter()
+        params, opt_state, loss = step(params, opt_state, batch, key)
+        value = float(loss)
+        best = min(best, time.perf_counter() - start)
+    assert np.isfinite(value)
+    return TRAIN_BATCH / best
+
+
+def bench_train_torch():
+    """Reference-substrate baseline: one fwd+bwd+AdamW CTC training step of
+    the architecturally identical torch net on CPU."""
+    import torch
+    net = _torch_refnet()
+    opt = torch.optim.AdamW(net.parameters(), lr=1e-4)
+    crit = torch.nn.CTCLoss(zero_infinity=True)
+    x = torch.rand(TORCH_TRAIN_BATCH, 1, HEIGHT, WIDTH)
+    tgt = torch.randint(1, CLASSES, (TORCH_TRAIN_BATCH, TRAIN_LABELS))
+    in_lens = torch.full((TORCH_TRAIN_BATCH,), WIDTH // 8, dtype=torch.long)
+    tgt_lens = torch.full((TORCH_TRAIN_BATCH,), TRAIN_LABELS, dtype=torch.long)
+
+    def one_step():
+        opt.zero_grad()
+        logits = net(x)                       # (N, W/8, C)
+        logp = torch.nn.functional.log_softmax(logits, dim=2).permute(1, 0, 2)
+        loss = crit(logp, tgt, in_lens, tgt_lens)
+        loss.backward()
+        opt.step()
+
+    one_step()  # warm
+    best = float('inf')
+    for _ in range(2):
+        start = time.perf_counter()
+        one_step()
+        best = min(best, time.perf_counter() - start)
+    return TORCH_TRAIN_BATCH / best
+
+
 def _cer(texts: dict, golden: dict) -> float:
     from kraken_tpu.train.metrics import levenshtein
     errs = sum(levenshtein(texts.get(int(k), ''), v) for k, v in golden.items())
@@ -286,6 +367,22 @@ def make_golden():
     print(f'wrote {_golden_path()} ({len(texts)} lines)')
 
 
+def _tunnel_roundtrip_ms() -> float:
+    """Measured host→device→host latency of a tiny transfer (the fixed
+    per-dispatch cost every device call pays on this tunneled setup)."""
+    import jax
+    import jax.numpy as jnp
+    f = jax.jit(lambda x: x + 1)
+    x = np.zeros(8, np.float32)
+    np.asarray(f(jnp.asarray(x)))  # compile
+    best = float('inf')
+    for _ in range(5):
+        start = time.perf_counter()
+        np.asarray(f(jnp.asarray(x)))
+        best = min(best, time.perf_counter() - start)
+    return best * 1000
+
+
 def bench_e2e():
     """BASELINE.md headline: single-page segment+ocr, TPU vs torch CPU, at
     equal CER against the pinned golden transcription."""
@@ -300,6 +397,7 @@ def bench_e2e():
     pps_flag, _ = _page_pipeline(torch_backend=False, n_pages=3,
                                  flagship=True)
     pps_neural, neural_lines = _neural_page_pipeline(torch_backend=False)
+    rt_ms = _tunnel_roundtrip_ms()
 
     env = dict(os.environ)
     env['JAX_PLATFORMS'] = 'cpu'
@@ -308,15 +406,11 @@ def bench_e2e():
         [sys.executable, os.path.abspath(__file__), '--e2e-torch-child'],
         env=env, capture_output=True, text=True, timeout=3600)
     child = json.loads(proc.stdout.strip().splitlines()[-1])
-    return {'metric': 'single-page segment+ocr (30-line page, legacy segmenter)',
-            'tpu_pages_per_sec': round(pps_tpu, 3),
-            'torch_cpu_pages_per_sec': round(child['pages_per_sec'], 3),
-            'vs_baseline': round(pps_tpu / child['pages_per_sec'], 2),
-            'tpu_cer_vs_golden': round(cer_tpu, 4),
-            'torch_cer_vs_golden': round(child['cer'], 4),
-            'lines_per_page': len(golden),
+    return {'metric': 'single-page segment+ocr pages/sec, TPU vs torch-CPU '
+                      '(the reference substrate), identical host pipeline',
             'flagship': {
-                'metric': 'segment+ocr, CNN+3xBiLSTM-200 recognizer',
+                'metric': 'legacy segmenter + CNN+3xBiLSTM-200 recognizer '
+                          f'({len(golden)} lines/page)',
                 'tpu_pages_per_sec': round(pps_flag, 3),
                 'torch_cpu_pages_per_sec': round(child['flagship_pages_per_sec'], 3),
                 'vs_baseline': round(pps_flag / child['flagship_pages_per_sec'], 2)},
@@ -326,22 +420,43 @@ def bench_e2e():
                 'tpu_pages_per_sec': round(pps_neural, 3),
                 'torch_cpu_pages_per_sec': round(child['neural_pages_per_sec'], 3),
                 'vs_baseline': round(pps_neural / child['neural_pages_per_sec'], 2)},
+            'cer_parity': {
+                'metric': 'trained overfit model, CER vs pinned fp32 golden '
+                          '(equal-quality evidence; model is host-bound-small)',
+                'tpu_pages_per_sec': round(pps_tpu, 3),
+                'torch_cpu_pages_per_sec': round(child['pages_per_sec'], 3),
+                'vs_baseline': round(pps_tpu / child['pages_per_sec'], 2),
+                'tpu_cer_vs_golden': round(cer_tpu, 4),
+                'torch_cer_vs_golden': round(child['cer'], 4),
+                'lines_per_page': len(golden)},
+            'tunnel_roundtrip_ms': round(rt_ms, 1),
             'note': ('single stream on a 1-core dev host behind a TPU tunnel: '
-                     'the TPU page budget is ~0.8s host segmentation (overlapped '
-                     'via kraken_tpu.pipeline) + ~1.4s fixed per-dispatch tunnel '
-                     'latency; device compute itself is ~3ms/page. Equal-CER '
-                     'evidence is the trained-model leg (tpu_cer_vs_golden).')}
+                     'every device dispatch pays the measured '
+                     'tunnel_roundtrip_ms floor and the host segmentation '
+                     'stage shares one core with decode (overlapped via '
+                     'kraken_tpu.pipeline); device compute itself is ~3ms/page. '
+                     'The torch-CPU baseline swings 2-3x with host load; all '
+                     'legs report best-of-N. On a real TPU-VM (many host '
+                     'cores, PCIe-attached chips) the tunnel floor and the '
+                     'single-core segmentation serialization both vanish.')}
 
 
 def main():
     jax_lps = bench_jax()
     torch_lps = bench_torch_cpu()
+    train_lps = bench_train_jax()
+    train_torch_lps = bench_train_torch()
     e2e = bench_e2e()
     print(json.dumps({
         'metric': f'recognition lines/sec/chip (CNN+3xBiLSTM-200, 120x1024 lines, batch {BATCH}, pipelined)',
         'value': round(jax_lps, 2),
         'unit': 'lines/sec',
         'vs_baseline': round(jax_lps / torch_lps, 2),
+        'train': {
+            'metric': f'CTC training lines/sec (AdamW step, batch {TRAIN_BATCH})',
+            'tpu_lines_per_sec': round(train_lps, 2),
+            'torch_cpu_lines_per_sec': round(train_torch_lps, 2),
+            'vs_baseline': round(train_lps / train_torch_lps, 2)},
         'e2e': e2e,
     }))
 
