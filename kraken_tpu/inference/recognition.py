@@ -38,7 +38,8 @@ if TYPE_CHECKING:
 
 logger = logging.getLogger(__name__)
 
-__all__ = ['recognition_pred', 'prepare_recognition', 'width_bucket']
+__all__ = ['recognition_pred', 'recognition_stream', 'prepare_recognition',
+           'width_bucket']
 
 _PRECISION_DTYPES = {
     '32-true': jnp.float32, '32': jnp.float32,
@@ -155,17 +156,16 @@ def _extract_line(im, segmentation, line_idx: int, legacy: bool):
         return None, line_idx
 
 
-def recognition_pred(model: 'VGSLModel', im: 'Image.Image',
+def _produce_entries(model: 'VGSLModel', im: 'Image.Image',
                      segmentation: 'Segmentation'):
     """
-    Generator yielding one OCR record per line of `segmentation`, in order.
+    Per-page line producer shared by the single-page and streaming engines:
+    extracts (thread pool), transforms, and yields either
+    ``('empty', line_idx, record)`` for unrecognizable lines or
+    ``('line', line_idx, (ts_im, line_im, line_idx, segmentation))``.
     """
     config = model._inf_config
     n_lines = len(segmentation.lines)
-    results: list = [None] * n_lines
-    queue: list = []
-    next_emit = 0
-
     if segmentation.type == 'baselines':
         valid_norm = False
         empty_cls = BaselineOCRRecord
@@ -187,19 +187,6 @@ def recognition_pred(model: 'VGSLModel', im: 'Image.Image',
             logger.info('Using legacy polygon extractor (model trained with old method).')
             legacy = True
 
-    # one-deep batch pipeline: the newest batch computes on device while the
-    # previous batch's (already materialized) outputs decode on the host
-    pending: list = []
-
-    def _flush(drain: bool = False):
-        if queue:
-            pending.append(_dispatch_batch(model, list(queue)))
-            queue.clear()
-        while pending and (drain or len(pending) > 1):
-            outputs, lines = pending.pop(0)
-            for rec, idx in _decode_batch_results(model, outputs, lines, segmentation):
-                results[idx] = rec
-
     if config.num_line_workers and config.num_line_workers > 0 and n_lines > 1:
         im.load()  # force decode before sharing across extraction threads
         pool = ThreadPoolExecutor(max_workers=config.num_line_workers)
@@ -211,29 +198,120 @@ def recognition_pred(model: 'VGSLModel', im: 'Image.Image',
     try:
         for line_im, line_idx in extraction:
             if line_im is None or 0 in line_im.size:
-                results[line_idx] = empty_cls('', [], [], segmentation.lines[line_idx])
+                yield 'empty', line_idx, empty_cls('', [], [], segmentation.lines[line_idx])
+                continue
+            try:
+                ts_im = transforms(line_im)
+            except Exception:
+                yield 'empty', line_idx, empty_cls('', [], [], segmentation.lines[line_idx])
+                continue
+            if ts_im.max() == ts_im.min():
+                yield 'empty', line_idx, empty_cls('', [], [], segmentation.lines[line_idx])
             else:
-                try:
-                    ts_im = transforms(line_im)
-                except Exception:
-                    results[line_idx] = empty_cls('', [], [], segmentation.lines[line_idx])
-                else:
-                    if ts_im.max() == ts_im.min():
-                        results[line_idx] = empty_cls('', [], [], segmentation.lines[line_idx])
-                    else:
-                        queue.append((ts_im, line_im, line_idx))
-                        if len(queue) == config.batch_size:
-                            _flush()
-            while next_emit < n_lines and results[next_emit] is not None:
-                yield results[next_emit]
-                next_emit += 1
-        _flush(drain=True)
-        while next_emit < n_lines and results[next_emit] is not None:
-            yield results[next_emit]
-            next_emit += 1
+                yield 'line', line_idx, (ts_im, line_im, line_idx, segmentation)
     finally:
         if pool is not None:
             pool.shutdown(wait=False)
+
+
+def recognition_pred(model: 'VGSLModel', im: 'Image.Image',
+                     segmentation: 'Segmentation'):
+    """
+    Generator yielding one OCR record per line of `segmentation`, in order.
+    """
+    config = model._inf_config
+    n_lines = len(segmentation.lines)
+    results: list = [None] * n_lines
+    queue: list = []
+    next_emit = 0
+
+    # one-deep batch pipeline: the newest batch computes on device while the
+    # previous batch's (already materialized) outputs decode on the host
+    pending: list = []
+
+    def _flush(drain: bool = False):
+        if queue:
+            pending.append(_dispatch_batch(model, list(queue)))
+            queue.clear()
+        while pending and (drain or len(pending) > 1):
+            outputs, lines = pending.pop(0)
+            for rec, idx in _decode_batch_results(model, outputs, lines):
+                results[idx] = rec
+
+    for kind, line_idx, payload in _produce_entries(model, im, segmentation):
+        if kind == 'empty':
+            results[line_idx] = payload
+        else:
+            queue.append(payload)
+            if len(queue) == config.batch_size:
+                _flush()
+        while next_emit < n_lines and results[next_emit] is not None:
+            yield results[next_emit]
+            next_emit += 1
+    _flush(drain=True)
+    while next_emit < n_lines and results[next_emit] is not None:
+        yield results[next_emit]
+        next_emit += 1
+
+
+def recognition_stream(model: 'VGSLModel', pages):
+    """
+    Cross-page streaming recognition: line batches are filled ACROSS page
+    boundaries, so partial pages share dispatches instead of each paying a
+    ragged final batch, and the one-deep device pipeline never drains
+    between pages. Yields ``(im, segmentation, records)`` in page order with
+    records in line order — identical predictions and cut positions to
+    per-page :func:`recognition_pred`; confidences agree to float tolerance
+    (lines may execute in differently-shaped compiled batches). (No
+    reference equivalent: the reference processes files strictly serially,
+    kraken/kraken.py:341-433.)
+
+    Args:
+        pages: iterable of (PIL image, Segmentation) pairs.
+    """
+    from collections import deque
+    config = model._inf_config
+    queue: list = []        # line payloads awaiting dispatch
+    qstates: list = []      # page state per queued payload (parallel)
+    pending: list = []      # [( (outputs, lines), states ), ...]
+    order: deque = deque()  # page states in arrival order
+
+    def _decode_ready(drain: bool = False):
+        while pending and (drain or len(pending) > 1):
+            (outputs, lines), states = pending.pop(0)
+            for (rec, line_idx), st in zip(_decode_batch_results(model, outputs, lines),
+                                           states):
+                st['results'][line_idx] = rec
+                st['done'] += 1
+
+    def _flush(drain: bool = False):
+        if queue:
+            pending.append((_dispatch_batch(model, list(queue)), list(qstates)))
+            queue.clear()
+            qstates.clear()
+        _decode_ready(drain)
+
+    def _completed():
+        while order and order[0]['done'] == order[0]['n']:
+            st = order.popleft()
+            yield st['im'], st['seg'], st['results']
+
+    for im, seg in pages:
+        st = {'im': im, 'seg': seg, 'n': len(seg.lines),
+              'results': [None] * len(seg.lines), 'done': 0}
+        order.append(st)
+        for kind, line_idx, payload in _produce_entries(model, im, seg):
+            if kind == 'empty':
+                st['results'][line_idx] = payload
+                st['done'] += 1
+            else:
+                queue.append(payload)
+                qstates.append(st)
+                if len(queue) == config.batch_size:
+                    _flush()
+        yield from _completed()
+    _flush(drain=True)
+    yield from _completed()
 
 
 def _dispatch_batch(model: 'VGSLModel', lines: list):
@@ -274,11 +352,12 @@ def _dispatch_batch(model: 'VGSLModel', lines: list):
     return outputs, lines
 
 
-def _decode_batch_results(model: 'VGSLModel', outputs, lines: list,
-                          segmentation: 'Segmentation'):
+def _decode_batch_results(model: 'VGSLModel', outputs, lines: list):
     """
     Materializes a dispatched batch's outputs, decodes, and yields
-    (record, line_index) pairs.
+    (record, line_index) pairs. Each line entry carries its own
+    Segmentation so a batch may mix lines of different pages (the
+    cross-page streaming engine).
     """
     config = model._inf_config
     probs, labels, confs, olens = outputs
@@ -290,7 +369,7 @@ def _decode_batch_results(model: 'VGSLModel', outputs, lines: list,
     from kraken_tpu.ops.ctc import _group_runs, greedy_decoder
     use_fast_path = config.decoder is greedy_decoder
 
-    for idx, (ts_im, line_im, line_idx) in enumerate(lines):
+    for idx, (ts_im, line_im, line_idx, segmentation) in enumerate(lines):
         olen = int(olens[idx])
         if use_fast_path:
             locs = _group_runs(labels[idx, :olen], confs[idx, :olen])

@@ -23,7 +23,8 @@ def process_pages(images: Iterable,
                   model,
                   segmenter: Callable,
                   prefetch: int = 2,
-                  raise_on_error: bool = False):
+                  raise_on_error: bool = False,
+                  stream_batches: bool = True):
     """
     Generator yielding (image, segmentation, records) per page.
 
@@ -34,6 +35,13 @@ def process_pages(images: Iterable,
         segmenter: im -> Segmentation (host stage, runs in the prefetch pool).
         prefetch: number of pages segmented ahead of recognition.
         raise_on_error: raise instead of skipping failed pages.
+        stream_batches: fill recognition batches across page boundaries
+                (inference.recognition.recognition_stream) so partial pages
+                share device dispatches and the one-deep device pipeline
+                never drains between pages. Predictions/cuts are identical
+                to per-page prediction (confidences to float tolerance);
+                set False to force the page-at-a-time engine (e.g. for
+                models without a prepared recognition forward).
     """
     def _segment(item):
         im = item() if callable(item) else item
@@ -48,19 +56,32 @@ def process_pages(images: Iterable,
             queue.append(pool.submit(_segment, item))
             if len(queue) >= max(1, prefetch):
                 break
-        while queue:
-            future = queue.popleft()
-            nxt = next(iterator, None)
-            if nxt is not None:
-                queue.append(pool.submit(_segment, nxt))
-            try:
-                im, seg = future.result()
-                records = list(model.predict(im, seg))
-            except Exception:
-                if raise_on_error:
-                    raise
-                logger.warning('Skipping failed page.', exc_info=True)
-                continue
-            yield im, seg, records
+
+        def _pages():
+            while queue:
+                future = queue.popleft()
+                nxt = next(iterator, None)
+                if nxt is not None:
+                    queue.append(pool.submit(_segment, nxt))
+                try:
+                    yield future.result()
+                except Exception:
+                    if raise_on_error:
+                        raise
+                    logger.warning('Skipping failed page.', exc_info=True)
+
+        if stream_batches and getattr(model, '_rec_fwd', None) is not None:
+            from kraken_tpu.inference.recognition import recognition_stream
+            yield from recognition_stream(model, _pages())
+        else:
+            for im, seg in _pages():
+                try:
+                    records = list(model.predict(im, seg))
+                except Exception:
+                    if raise_on_error:
+                        raise
+                    logger.warning('Skipping failed page.', exc_info=True)
+                    continue
+                yield im, seg, records
     finally:
         pool.shutdown(wait=False)

@@ -225,6 +225,41 @@ def test_process_pages_streaming(resources, overfit_line, bl_seg):
         list(process_pages(pages, vmodel, broken_segmenter, raise_on_error=True))
 
 
+def test_recognition_stream_matches_per_page(resources, overfit_line, bl_seg):
+    """Cross-page batch streaming yields the same records as page-at-a-time
+    prediction: identical predictions and cuts, confidences to float
+    tolerance (batch shapes differ when batches span page boundaries)."""
+    from kraken_tpu.inference.recognition import recognition_stream
+
+    vmodel = load_models(resources / 'overfit.mlmodel')[0]
+    vmodel.prepare_for_inference(RecognitionInferenceConfig(
+        batch_size=4, num_line_workers=0, padding=1))
+    ref = [list(vmodel.predict(overfit_line, bl_seg)) for _ in range(3)]
+    out = list(recognition_stream(vmodel, [(overfit_line, bl_seg)] * 3))
+    assert len(out) == 3
+    for (im, seg, records), ref_records in zip(out, ref):
+        assert seg is bl_seg
+        assert len(records) == len(ref_records)
+        for a, b in zip(records, ref_records):
+            assert a.prediction == b.prediction
+            assert a.cuts == b.cuts
+            assert a.confidences == pytest.approx(b.confidences, abs=1e-4)
+
+
+def test_process_pages_nonstream_path(resources, overfit_line, bl_seg):
+    """stream_batches=False exercises the page-at-a-time fallback."""
+    from kraken_tpu.pipeline import process_pages
+
+    vmodel = load_models(resources / 'overfit.mlmodel')[0]
+    vmodel.prepare_for_inference(RecognitionInferenceConfig(
+        batch_size=4, num_line_workers=0, padding=1))
+    out = list(process_pages([overfit_line] * 2, vmodel, lambda im: bl_seg,
+                             stream_batches=False))
+    assert len(out) == 2
+    for _im, seg, records in out:
+        assert records[0].prediction == BL_GOLD
+
+
 # ---- remaining mm_rpred matrix (reference tests/test_rpred.py:368-462) ----
 
 from collections import defaultdict
