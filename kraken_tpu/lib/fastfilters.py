@@ -48,6 +48,36 @@ def _gauss_kernel1d(sigma: float, order: int) -> np.ndarray:
     raise NotImplementedError(order)
 
 
+# direct separable filtering is O(taps) per pixel; beyond this kernel width
+# an FFT overlap-add pass wins by an order of magnitude (pageseg's column
+# gradient maps use sigma = 6*scale ~ 100 -> 800-tap kernels)
+_FFT_TAPS = 255
+
+_NP_PAD = {'reflect': 'symmetric', 'mirror': 'reflect',
+           'nearest': 'edge', 'constant': 'constant'}
+
+
+def _fft_pass(src: np.ndarray, k: np.ndarray, axis: int, mode: str) -> np.ndarray:
+    """One 1-D correlation pass along `axis` via a full-length real FFT
+    (float64; deviation from the direct product ~1e-15 of the value range,
+    several times faster than direct filtering for many-hundred-tap
+    kernels)."""
+    import scipy.fft as sfft
+    if axis == 0:
+        return np.ascontiguousarray(
+            _fft_pass(np.ascontiguousarray(src.T), k, 1, mode).T)
+    r = len(k) // 2
+    padded = np.pad(src, ((0, 0), (r, r)), mode=_NP_PAD[mode])
+    kern = k[::-1]
+    n = padded.shape[1] + len(kern) - 1
+    nfast = sfft.next_fast_len(n, real=True)
+    freq = sfft.rfft(padded, nfast, axis=1)
+    kfreq = sfft.rfft(kern, nfast)
+    full = sfft.irfft(freq * kfreq[None, :], nfast, axis=1)
+    start = len(kern) - 1
+    return full[:, start:start + src.shape[1]]
+
+
 def gaussian_filter(input: np.ndarray, sigma, order=0, mode: str = 'reflect'):
     """
     2-D gaussian (derivatives up to order 2) filter matching
@@ -64,6 +94,17 @@ def gaussian_filter(input: np.ndarray, sigma, order=0, mode: str = 'reflect'):
     kx = _gauss_kernel1d(sigmas[1], orders[1])[::-1]
     dtype = np.float32 if input.dtype == np.float32 else np.float64
     src = np.ascontiguousarray(input, dtype)
+    if max(len(ky), len(kx)) > _FFT_TAPS and dtype == np.float64:
+        out = src
+        for axis, k in ((0, ky[::-1]), (1, kx[::-1])):
+            if len(k) > _FFT_TAPS:
+                out = _fft_pass(out, k, axis, mode)
+            elif len(k) > 1 or k[0] != 1.0:
+                kx1 = k[::-1] if axis == 1 else np.ones(1)
+                ky1 = k[::-1] if axis == 0 else np.ones(1)
+                out = cv2.sepFilter2D(np.ascontiguousarray(out), -1, kx1, ky1,
+                                      borderType=_BORDER[mode])
+        return out
     return cv2.sepFilter2D(src, -1, kx, ky, borderType=_BORDER[mode])
 
 

