@@ -254,7 +254,7 @@ def recognition_pred(model: 'VGSLModel', im: 'Image.Image',
         next_emit += 1
 
 
-def recognition_stream(model: 'VGSLModel', pages):
+def recognition_stream(model: 'VGSLModel', pages, raise_on_error: bool = False):
     """
     Cross-page streaming recognition: line batches are filled ACROSS page
     boundaries, so partial pages share dispatches instead of each paying a
@@ -268,6 +268,11 @@ def recognition_stream(model: 'VGSLModel', pages):
 
     Args:
         pages: iterable of (PIL image, Segmentation) pairs.
+        raise_on_error: raise instead of dropping pages whose production,
+            dispatch, or decode fails. With False (default) a failing page
+            — or, for a device-level batch failure, every page with lines
+            in that batch — is skipped and the stream continues, matching
+            the page-at-a-time engine's isolation semantics.
     """
     from collections import deque
     config = model._inf_config
@@ -279,36 +284,59 @@ def recognition_stream(model: 'VGSLModel', pages):
     def _decode_ready(drain: bool = False):
         while pending and (drain or len(pending) > 1):
             (outputs, lines), states = pending.pop(0)
-            for (rec, line_idx), st in zip(_decode_batch_results(model, outputs, lines),
-                                           states):
-                st['results'][line_idx] = rec
-                st['done'] += 1
+            try:
+                for (rec, line_idx), st in zip(_decode_batch_results(model, outputs, lines),
+                                               states):
+                    st['results'][line_idx] = rec
+                    st['done'] += 1
+            except Exception:
+                if raise_on_error:
+                    raise
+                logger.warning('Recognition batch decode failed; dropping '
+                               'affected pages.', exc_info=True)
+                for st in states:
+                    st['failed'] = True
 
     def _flush(drain: bool = False):
         if queue:
-            pending.append((_dispatch_batch(model, list(queue)), list(qstates)))
+            try:
+                pending.append((_dispatch_batch(model, list(queue)), list(qstates)))
+            except Exception:
+                if raise_on_error:
+                    raise
+                logger.warning('Recognition batch dispatch failed; dropping '
+                               'affected pages.', exc_info=True)
+                for st in qstates:
+                    st['failed'] = True
             queue.clear()
             qstates.clear()
         _decode_ready(drain)
 
     def _completed():
-        while order and order[0]['done'] == order[0]['n']:
+        while order and (order[0]['failed'] or order[0]['done'] == order[0]['n']):
             st = order.popleft()
-            yield st['im'], st['seg'], st['results']
+            if not st['failed']:
+                yield st['im'], st['seg'], st['results']
 
     for im, seg in pages:
         st = {'im': im, 'seg': seg, 'n': len(seg.lines),
-              'results': [None] * len(seg.lines), 'done': 0}
+              'results': [None] * len(seg.lines), 'done': 0, 'failed': False}
         order.append(st)
-        for kind, line_idx, payload in _produce_entries(model, im, seg):
-            if kind == 'empty':
-                st['results'][line_idx] = payload
-                st['done'] += 1
-            else:
-                queue.append(payload)
-                qstates.append(st)
-                if len(queue) == config.batch_size:
-                    _flush()
+        try:
+            for kind, line_idx, payload in _produce_entries(model, im, seg):
+                if kind == 'empty':
+                    st['results'][line_idx] = payload
+                    st['done'] += 1
+                else:
+                    queue.append(payload)
+                    qstates.append(st)
+                    if len(queue) == config.batch_size:
+                        _flush()
+        except Exception:
+            if raise_on_error:
+                raise
+            logger.warning('Skipping failed page.', exc_info=True)
+            st['failed'] = True
         yield from _completed()
     _flush(drain=True)
     yield from _completed()

@@ -95,13 +95,18 @@ def gaussian_filter(input: np.ndarray, sigma, order=0, mode: str = 'reflect'):
     dtype = np.float32 if input.dtype == np.float32 else np.float64
     src = np.ascontiguousarray(input, dtype)
     if max(len(ky), len(kx)) > _FFT_TAPS and dtype == np.float64:
+        # ky/kx are already the correlation kernels (scipy internally
+        # correlates with its REVERSED generated kernel, which is what the
+        # cv2 orientation above reproduces) — hand them to both passes
+        # unchanged; _fft_pass flips once to express correlation as
+        # convolution
         out = src
-        for axis, k in ((0, ky[::-1]), (1, kx[::-1])):
+        for axis, k in ((0, ky), (1, kx)):
             if len(k) > _FFT_TAPS:
                 out = _fft_pass(out, k, axis, mode)
             elif len(k) > 1 or k[0] != 1.0:
-                kx1 = k[::-1] if axis == 1 else np.ones(1)
-                ky1 = k[::-1] if axis == 0 else np.ones(1)
+                kx1 = k if axis == 1 else np.ones(1)
+                ky1 = k if axis == 0 else np.ones(1)
                 out = cv2.sepFilter2D(np.ascontiguousarray(out), -1, kx1, ky1,
                                       borderType=_BORDER[mode])
         return out

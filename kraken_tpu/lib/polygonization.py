@@ -87,40 +87,6 @@ def _offset_polyline(line: np.ndarray, offset: float, side: str) -> np.ndarray:
     return line + offset * normal
 
 
-def _ray_to_bounds(point: np.ndarray, direction: np.ndarray, bounds: np.ndarray) -> np.ndarray:
-    """
-    Intersection of a ray with the image AABB anchored at (0, 0)
-    (reference: _ray_intersect_boundaries, segmentation.py:540-558).
-    """
-    frac = np.where(direction == 0.0, np.inf, np.divide(1.0, np.where(direction == 0, 1, direction)))
-    t1 = (-point[0]) * frac[0]
-    t2 = (bounds[0] - point[0]) * frac[0]
-    t3 = (-point[1]) * frac[1]
-    t4 = (bounds[1] - point[1]) * frac[1]
-    tmin = max(min(t1, t2), min(t3, t4))
-    tmax = min(max(t1, t2), max(t3, t4))
-    t = min(x for x in (tmin, tmax) if x >= 0)
-    return point + direction * t
-
-
-def _segments_intersections(p: np.ndarray, q: np.ndarray,
-                            starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
-    """
-    Intersections of segment p→q with a batch of segments (starts→ends).
-    Returns the intersection points (possibly empty).
-    """
-    r = q - p
-    s = ends - starts
-    denom = r[0] * s[:, 1] - r[1] * s[:, 0]
-    ok = np.abs(denom) > 1e-12
-    diff = starts - p
-    with np.errstate(divide='ignore', invalid='ignore'):
-        t = (diff[:, 0] * s[:, 1] - diff[:, 1] * s[:, 0]) / denom
-        u = (diff[:, 0] * r[1] - diff[:, 1] * r[0]) / denom
-    valid = ok & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
-    return p + t[valid, None] * r
-
-
 def _calc_roi(line: np.ndarray, bounds: np.ndarray,
               neighbors: list[np.ndarray], p_dir: np.ndarray):
     """
@@ -152,7 +118,8 @@ def _calc_roi(line: np.ndarray, bounds: np.ndarray,
 
     def _env(direction: np.ndarray) -> np.ndarray:
         # ray/AABB exit distance for every interpolated point at once
-        # (same candidate selection as _ray_to_bounds)
+        # (candidate selection of the reference's _ray_intersect_boundaries,
+        # segmentation.py:540-558)
         frac = np.where(direction == 0.0, np.inf,
                         np.divide(1.0, np.where(direction == 0, 1, direction)))
         t1 = (-ip_line[:, 0]) * frac[0]

@@ -72,7 +72,8 @@ def process_pages(images: Iterable,
 
         if stream_batches and getattr(model, '_rec_fwd', None) is not None:
             from kraken_tpu.inference.recognition import recognition_stream
-            yield from recognition_stream(model, _pages())
+            yield from recognition_stream(model, _pages(),
+                                          raise_on_error=raise_on_error)
         else:
             for im, seg in _pages():
                 try:

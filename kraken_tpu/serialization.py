@@ -561,6 +561,7 @@ def _render_layout(page, metadata) -> str:
     from xml.sax.saxutils import escape, quoteattr
     w, h = page['size']
     rtl = str(page.get('writing_mode', '')).endswith('rl')
+    html_attrs = ' dir="rtl"' if rtl else ''
     lines = []
     for entity in page['entities']:
         if entity['type'] == 'region':
@@ -574,7 +575,7 @@ def _render_layout(page, metadata) -> str:
         return ''.join(seg['text'] for seg in line['recognition'])
 
     out = ['<!DOCTYPE html>',
-           f'<html{" dir=\"rtl\"" if rtl else ""}>', '<head>',
+           f'<html{html_attrs}>', '<head>',
            '<meta charset="utf-8"/>',
            f'<meta name="ocr-system" content="kraken_tpu {metadata["version"]}"/>',
            f'<title>{escape(str(page["name"] or "kraken_tpu layout"))}</title>',
@@ -587,13 +588,13 @@ def _render_layout(page, metadata) -> str:
         x0, y0, x1, y1 = line['bbox']
         style = (f'left: {100 * x0 / w:.2f}%; top: {100 * y0 / h:.2f}%; '
                  f'width: {100 * (x1 - x0) / w:.2f}%; height: {100 * (y1 - y0) / h:.2f}%;')
-        out.append(f'<a class="line-box" data-line="{line["id"]}" '
+        out.append(f'<a class="line-box" data-line={quoteattr(str(line["id"]))} '
                    f'style={quoteattr(style)} '
                    f'title={quoteattr(line_text(line))}></a>')
     out += ['</div>', '<div id="transcription">', '<ol>']
     for line in lines:
         bbox = ' '.join(str(int(v)) for v in line['bbox']) if line['bbox'] else ''
-        out.append(f'<li data-line="{line["id"]}" data-bbox="{bbox}" '
+        out.append(f'<li data-line={quoteattr(str(line["id"]))} data-bbox="{bbox}" '
                    f'contenteditable="true" spellcheck="true">'
                    f'{escape(line_text(line))}</li>')
     out += ['</ol>', '</div>',

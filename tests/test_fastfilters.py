@@ -65,7 +65,13 @@ def test_fallback_modes_delegate_to_scipy():
 
 @pytest.mark.parametrize('sigma,order', [((4.8, 96.0), (1, 0)),
                                          ((96.0, 4.8), (0, 1)),
-                                         ((70.0, 70.0), (0, 0))])
+                                         ((70.0, 70.0), (0, 0)),
+                                         # order-1 on the >255-tap axis:
+                                         # antisymmetric kernels catch any
+                                         # orientation flip in the FFT pass
+                                         ((4.8, 96.0), (0, 1)),
+                                         ((96.0, 4.8), (1, 0)),
+                                         ((96.0, 96.0), (1, 2))])
 def test_gaussian_fft_path_parity(sigma, order):
     """Kernels beyond _FFT_TAPS take the full-row rfft pass; deviation from
     scipy stays at float64 rounding (measured ~1e-15 of the value range)."""

@@ -246,6 +246,34 @@ def test_recognition_stream_matches_per_page(resources, overfit_line, bl_seg):
             assert a.confidences == pytest.approx(b.confidences, abs=1e-4)
 
 
+def test_recognition_stream_skips_failed_page(resources, overfit_line, bl_seg):
+    """A page whose line production blows up is dropped; later pages still
+    come through (the page-at-a-time engine's isolation semantics)."""
+    from kraken_tpu.inference.recognition import recognition_stream
+
+    vmodel = load_models(resources / 'overfit.mlmodel')[0]
+    vmodel.prepare_for_inference(RecognitionInferenceConfig(
+        batch_size=4, num_line_workers=1, padding=1))
+
+    class BoomImage:
+        size = (100, 100)
+
+        def load(self):
+            raise RuntimeError('boom')
+
+        @property
+        def mode(self):
+            raise RuntimeError('boom')
+
+    pages = [(overfit_line, bl_seg), (BoomImage(), bl_seg), (overfit_line, bl_seg)]
+    out = list(recognition_stream(vmodel, pages))
+    assert len(out) == 2
+    for _im, _seg, records in out:
+        assert records[0].prediction == BL_GOLD
+    with pytest.raises(RuntimeError):
+        list(recognition_stream(vmodel, pages, raise_on_error=True))
+
+
 def test_process_pages_nonstream_path(resources, overfit_line, bl_seg):
     """stream_batches=False exercises the page-at-a-time fallback."""
     from kraken_tpu.pipeline import process_pages
