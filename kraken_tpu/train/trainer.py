@@ -246,6 +246,10 @@ class KrakenTrainer:
                 self.current_epoch = epoch
                 epoch_loss = 0.0
                 n_batches = 0
+                # one-deep loss materialization: step k's (tiny) loss
+                # transfer happens while step k+1 computes, so host batch
+                # prep overlaps device compute instead of syncing per step
+                prev_loss = None
                 if profile_dir and epoch == config.completed_epochs:
                     # trace the first epoch (compilation + steady-state steps)
                     jax.profiler.start_trace(profile_dir)
@@ -258,10 +262,14 @@ class KrakenTrainer:
                                                          jnp.int32(self.global_step),
                                                          jnp.float32(rop_scale))
                     self.global_step += 1
-                    epoch_loss += float(loss)
+                    if prev_loss is not None:
+                        epoch_loss += float(prev_loss)
+                    prev_loss = loss
                     n_batches += 1
                     if (val_interval and not self.fast_dev_run
                             and self.global_step % val_interval == 0):
+                        epoch_loss += float(prev_loss)
+                        prev_loss = None
                         module.net.params = params
                         stop = run_validation(f'{epoch}_s{self.global_step}',
                                               epoch_loss / n_batches, opt_state)
@@ -269,6 +277,8 @@ class KrakenTrainer:
                             break
                     if self.fast_dev_run:
                         break
+                if prev_loss is not None:
+                    epoch_loss += float(prev_loss)
                 module.net.params = params
                 if profiling:
                     jax.profiler.stop_trace()
