@@ -392,10 +392,17 @@ def _decode_batch_results(model: 'VGSLModel', outputs, lines: list):
     labels = np.asarray(labels)
     confs = np.asarray(confs)
     olens = np.asarray(olens)
-    model.outputs = np.asarray(probs)
 
     from kraken_tpu.ops.ctc import _group_runs, greedy_decoder
     use_fast_path = config.decoder is greedy_decoder
+    # the full (N, C, W) posterior stack only crosses the device boundary
+    # when something consumes it — a custom decoder or return_logits; the
+    # greedy path needs just the per-frame argmax/max already reduced on
+    # device (C× less transfer)
+    if config.return_logits or not use_fast_path:
+        model.outputs = np.asarray(probs)
+    else:
+        model.outputs = None
 
     for idx, (ts_im, line_im, line_idx, segmentation) in enumerate(lines):
         olen = int(olens[idx])
