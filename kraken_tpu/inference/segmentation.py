@@ -25,7 +25,8 @@ import numpy as np
 
 from kraken_tpu.containers import BaselineLine, Region, Segmentation
 from kraken_tpu.dataset import ImageInputTransforms
-from kraken_tpu.lib.geometry import is_in_region, scale_polygonal_lines, scale_regions
+from kraken_tpu.lib.geometry import (line_midpoint, points_in_polygon,
+                                     scale_polygonal_lines, scale_regions)
 from kraken_tpu.lib.polygonization import calculate_polygonal_environment, gradient_feature_map
 from kraken_tpu.lib.util import is_bitonal
 from kraken_tpu.lib.vectorization import vectorize_lines, vectorize_regions
@@ -123,12 +124,16 @@ def vec_lines(heatmap: np.ndarray,
                                          ridge_fn=ridge_fn))
     im_feats = gradient_feature_map(scal_im)
     regions = regions or []
+    # batched midpoint-in-region tests: one vectorized crossing test per
+    # region over all baselines instead of lines x regions separate calls
+    mids = np.array([line_midpoint(bl) for _, bl in baselines]) \
+        if baselines else np.zeros((0, 2))
+    in_reg = np.stack([points_in_polygon(mids, reg) for reg in regions]) \
+        if regions and len(baselines) else np.zeros((0, len(baselines)), bool)
     jobs = []
     for idx, (bl_type, bl) in enumerate(baselines):
         other = [b for _, b in baselines[:idx] + baselines[idx + 1:]]
-        for reg in regions:
-            if is_in_region(bl, reg):
-                other.append(reg)
+        other.extend(reg for reg_i, reg in enumerate(regions) if in_reg[reg_i, idx])
         jobs.append((bl, other))
     if seam_carver == 'device':
         from kraken_tpu.lib.polygonization import polygonize_page
@@ -146,6 +151,22 @@ def vec_lines(heatmap: np.ndarray,
             for (bl_type, _, _), (bl, pl) in zip(lines, scaled)]
 
 
+def _page_resize(img: 'Image.Image', scale: tuple[int, int]) -> 'Image.Image':
+    """
+    Resizes a full page to the network input size ((height, width), a 0 dim
+    inferred proportionally) with the same Lanczos filter the training
+    transform uses. Deliberately NOT a faster resampler: trained
+    segmentation nets are sensitive to the resampling spectrum of their
+    inputs (box/area filtering triples the spurious-baseline count of the
+    frozen blla_small fixture), so inference must match training exactly.
+    """
+    from kraken_tpu.dataset.transforms import _fixed_resize
+    if scale[0] > 0 and scale[1] > 0:
+        from PIL import Image as PILImage
+        return img.resize((scale[1], scale[0]), PILImage.Resampling.LANCZOS)
+    return _fixed_resize(img, scale)
+
+
 def _compute_segmentation_map(model: 'VGSLModel', im: 'Image.Image') -> dict[str, Any]:
     """Runs the network and returns upsampled sigmoid heatmaps + metadata."""
     config = model._inf_config
@@ -161,13 +182,7 @@ def _compute_segmentation_map(model: 'VGSLModel', im: 'Image.Image') -> dict[str
     # scaled grayscale image (pre-tensor stage of the transform pipeline)
     scal = im.convert(transforms.mode if transforms.mode != '1' else 'L')
     if transforms.scale != (0, 0):
-        from kraken_tpu.dataset.transforms import _fixed_resize
-        if transforms.scale[0] > 0 and transforms.scale[1] > 0:
-            from PIL import Image as PILImage
-            scal = scal.resize((transforms.scale[1], transforms.scale[0]),
-                               PILImage.Resampling.LANCZOS)
-        else:
-            scal = _fixed_resize(scal, transforms.scale)
+        scal = _page_resize(scal, transforms.scale)
     scal_im = np.array(scal.convert('L'))
 
     # `scal` already is the mode-converted + resized page, so only the
@@ -234,9 +249,14 @@ def segmentation_pred(model: 'VGSLModel', im: 'Image.Image') -> Segmentation:
 
     blls = []
     flat_regions = [reg for regs in regions.values() for reg in regs]
-    for line in lines:
-        containing = [reg.id for reg in flat_regions
-                      if is_in_region(line['baseline'], reg.boundary)]
+    line_mids = np.array([line_midpoint(line['baseline']) for line in lines]) \
+        if lines else np.zeros((0, 2))
+    reg_hits = np.stack([points_in_polygon(line_mids, reg.boundary)
+                         for reg in flat_regions]) \
+        if flat_regions and lines else np.zeros((0, len(lines)), bool)
+    for line_i, line in enumerate(lines):
+        containing = [reg.id for reg_i, reg in enumerate(flat_regions)
+                      if reg_hits[reg_i, line_i]]
         blls.append(BaselineLine(id=f'_{uuid.uuid4()}',
                                  baseline=line['baseline'],
                                  boundary=line['boundary'],

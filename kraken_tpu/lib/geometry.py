@@ -29,6 +29,7 @@ logger = logging.getLogger(__name__)
 __all__ = ['compute_polygon_section', 'precompute_polygon_sections',
            'extract_polygons', 'reading_order', 'topsort',
            'polygonal_reading_order', 'neural_reading_order', 'is_in_region',
+           'points_in_polygon', 'line_midpoint',
            'scale_regions', 'scale_polygonal_lines']
 
 _EPS = np.finfo(float).eps
@@ -46,6 +47,13 @@ def douglas_peucker(pts: np.ndarray, tolerance: float) -> np.ndarray:
     n = len(pts)
     if n < 3:
         return pts
+    try:
+        import cv2
+        simplified = cv2.approxPolyDP(
+            np.ascontiguousarray(pts, np.float32), float(tolerance), False)
+        return simplified[:, 0, :].astype(float)
+    except Exception:
+        pass
     keep = np.zeros(n, bool)
     keep[0] = keep[-1] = True
     stack = [(0, n - 1)]
@@ -103,6 +111,39 @@ def point_in_polygon(point, polygon) -> bool:
     crossings = ((yi > y) != (yj > y)) & \
                 (x < (xj - xi) * (y - yi) / (yj - yi + _EPS) + xi)
     return bool(np.count_nonzero(crossings) % 2)
+
+
+def points_in_polygon(points, polygon) -> np.ndarray:
+    """
+    Vectorized :func:`point_in_polygon` over a (P, 2) point array — one
+    crossing test per (point, edge) pair instead of P separate calls.
+    """
+    pts = np.atleast_2d(np.asarray(points, float))
+    poly = np.asarray(polygon, float)
+    xi, yi = poly[:, 0], poly[:, 1]
+    xj, yj = np.roll(xi, 1), np.roll(yi, 1)
+    x = pts[:, 0][:, None]
+    y = pts[:, 1][:, None]
+    within = (np.minimum(yi, yj) <= y) & (y <= np.maximum(yi, yj)) & \
+             (np.minimum(xi, xj) <= x) & (x <= np.maximum(xi, xj))
+    cross = np.abs((xj - xi) * (y - yi) - (yj - yi) * (x - xi))
+    on_boundary = (within & (cross < 1e-10)).any(axis=1)
+    crossings = ((yi > y) != (yj > y)) & \
+                (x < (xj - xi) * (y - yi) / (yj - yi + _EPS) + xi)
+    inside = (np.count_nonzero(crossings, axis=1) % 2).astype(bool)
+    return inside & ~on_boundary
+
+
+def line_midpoint(line) -> np.ndarray:
+    """Midpoint of a polyline by arc length."""
+    arr = np.asarray(line, float)
+    dists = polyline_dists(arr)
+    target = dists[-1] / 2
+    idx = int(np.searchsorted(dists, target))
+    idx = max(1, min(idx, len(arr) - 1))
+    seg_len = dists[idx] - dists[idx - 1]
+    t = (target - dists[idx - 1]) / seg_len if seg_len > _EPS else 0
+    return arr[idx - 1] + t * (arr[idx] - arr[idx - 1])
 
 
 def ray_polygon_intersection(origin, direction, polygon) -> Optional[np.ndarray]:
@@ -602,15 +643,7 @@ def is_in_region(line, region_boundary) -> bool:
     True if the midpoint (by arc length) of `line` lies inside the region
     polygon.
     """
-    arr = np.asarray(line, float)
-    dists = polyline_dists(arr)
-    target = dists[-1] / 2
-    idx = int(np.searchsorted(dists, target))
-    idx = max(1, min(idx, len(arr) - 1))
-    seg_len = dists[idx] - dists[idx - 1]
-    t = (target - dists[idx - 1]) / seg_len if seg_len > _EPS else 0
-    mid = arr[idx - 1] + t * (arr[idx] - arr[idx - 1])
-    return point_in_polygon(mid, region_boundary)
+    return point_in_polygon(line_midpoint(line), region_boundary)
 
 
 def polygonal_reading_order(lines: Sequence, text_direction: Literal['lr', 'rl'] = 'lr',

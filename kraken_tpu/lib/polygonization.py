@@ -12,14 +12,13 @@ Functional equivalent of the reference's calculate_polygonal_environment
 stack (kraken/lib/segmentation.py:560-843) built without shapely/skimage:
 polygon boolean operations run as rasterized mask ops (everything is in
 pixel space), line offsets as direct normal-vector shifts, and rotations via
-scipy affine transforms.
+cv2 affine warps.
 """
 import logging
 from typing import Optional, Sequence
 
 import cv2
 import numpy as np
-from scipy.ndimage import affine_transform, distance_transform_cdt
 
 from kraken_tpu.lib.fastfilters import gaussian_filter
 
@@ -200,17 +199,13 @@ def _rotation_transform(shape: tuple[int, int], angle: float, scale: float):
 
 def _rotate_patch(patch: np.ndarray, angle: float, scale: float, cval: float):
     to_rot, from_rot, out_shape, fwd, mins = _rotation_transform(patch.shape, angle, scale)
-    # output -> input matrix for scipy (row/col order)
-    m = np.zeros((2, 2))
-    # fwd maps (x, y) input->output; scipy works on (row=y, col=x)
-    m[0, 0] = fwd[1, 1]
-    m[0, 1] = fwd[1, 0]
-    m[1, 0] = fwd[0, 1]
-    m[1, 1] = fwd[0, 0]
-    offset = np.array([mins[1], mins[0]]) @ np.array([[fwd[1, 1], fwd[1, 0]], [fwd[0, 1], fwd[0, 0]]]).T
-    rotated = affine_transform(patch, m, offset=(fwd[1, 1] * mins[1] + fwd[1, 0] * mins[0],
-                                                 fwd[0, 1] * mins[1] + fwd[0, 0] * mins[0]),
-                               output_shape=out_shape, order=1, cval=cval, mode='constant')
+    # cv2.warpAffine with WARP_INVERSE_MAP takes the output→input map in
+    # (x, y) order: src_xy = fwd @ (dst_xy + mins) — from_rot as a matrix.
+    m = np.concatenate([fwd, (fwd @ mins)[:, None]], axis=1)
+    rotated = cv2.warpAffine(np.ascontiguousarray(patch, np.float32), m,
+                             (out_shape[1], out_shape[0]),
+                             flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP,
+                             borderMode=cv2.BORDER_CONSTANT, borderValue=cval)
     return rotated, to_rot, from_rot
 
 
@@ -256,7 +251,9 @@ def _seam_prepare(baseline: np.ndarray, polygon: np.ndarray, angle: float,
     mask = np.ones_like(patch, np.uint8)
     bl = np.round(np.asarray(baseline) - (c_min, r_min)).astype(np.int32)
     cv2.polylines(mask, [bl.reshape(-1, 1, 2)], False, 0, 1)
-    dist_bias = distance_transform_cdt(mask)
+    # chessboard (Chebyshev) distance from the rasterized baseline; the
+    # 3x3-mask DIST_C chamfer is exact for this metric
+    dist_bias = cv2.distanceTransform(mask, cv2.DIST_C, 3)
     # mask outside ROI polygon. The valid region is dilated by 2px
     # (4-connected, matching the reference's binary_erosion of the outside
     # mask with border_value=True, segmentation.py:583-584) so that thin
