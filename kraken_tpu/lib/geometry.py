@@ -166,6 +166,31 @@ def ray_polygon_intersection(origin, direction, polygon) -> Optional[np.ndarray]
     return np.asarray(origin, float) + tmin * d
 
 
+def _batch_ray_polygon(origins: np.ndarray, directions: np.ndarray,
+                       polygon: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """
+    Vectorized :func:`ray_polygon_intersection` over K (origin, direction)
+    pairs: one (K x edges) broadcast. Returns (hits (K, 2), valid (K,));
+    rows with no intersection are flagged False.
+    """
+    poly = np.asarray(polygon, float)
+    p1 = poly
+    edge = np.roll(poly, -1, axis=0) - p1                       # (E, 2)
+    o = np.asarray(origins, float)                              # (K, 2)
+    d = np.asarray(directions, float)                           # (K, 2)
+    denom = d[:, 0, None] * edge[:, 1] - d[:, 1, None] * edge[:, 0]
+    ok = np.abs(denom) > _EPS
+    diff = p1[None, :, :] - o[:, None, :]                       # (K, E, 2)
+    with np.errstate(divide='ignore', invalid='ignore'):
+        t = (diff[..., 0] * edge[:, 1] - diff[..., 1] * edge[:, 0]) / denom
+        u = (diff[..., 0] * d[:, 1, None] - diff[..., 1] * d[:, 0, None]) / denom
+    valid = ok & (t >= 0) & (u >= 0) & (u <= 1)
+    has_hit = valid.any(axis=1)
+    tmin = np.where(valid, t, np.inf).min(axis=1)
+    hits = o + np.where(has_hit, tmin, 0)[:, None] * d
+    return hits, has_hit
+
+
 def nearest_point_on_polygon(point, polygon) -> np.ndarray:
     """Closest point on the polygon boundary to `point`."""
     poly = np.asarray(polygon, float)
@@ -280,18 +305,28 @@ def precompute_polygon_sections(baseline: Sequence[tuple[int, int]],
     def _clamp(d):
         return min(bl_length - _EPS, d if d != 0 else _EPS)
 
-    unique = {_clamp(d) for pair in cut_pairs for d in pair}
+    unique = sorted({_clamp(d) for pair in cut_pairs for d in pair})
+    # all perpendicular ray casts of the line batched into one
+    # (2K casts x E edges) broadcast instead of 2K scalar calls
+    u_arr = np.asarray(unique, float)
+    seg_idx = np.clip(np.searchsorted(dists, u_arr), 1, len(bl) - 1)
+    seg_start = bl[seg_idx - 1].astype(float)
+    seg_vec = bl[seg_idx].astype(float) - seg_start
+    seg_len = np.linalg.norm(seg_vec, axis=1)
+    units = np.where(seg_len[:, None] > _EPS,
+                     seg_vec / np.where(seg_len > _EPS, seg_len, 1)[:, None],
+                     seg_vec)
+    pts = seg_start + (u_arr - dists[seg_idx - 1])[:, None] * units
+    perp = np.stack([units[:, 1], -units[:, 0]], axis=1)
+    origins = np.concatenate([pts, pts])
+    directions = np.concatenate([perp, -perp])
+    hits, hit_ok = _batch_ray_polygon(origins, directions, bounds)
+    k = len(u_arr)
     cache: dict[float, Optional[np.ndarray]] = {}
-    for d in unique:
-        seg_idx = int(np.searchsorted(dists, d))
-        seg_start, seg_end = bl[seg_idx - 1].astype(float), bl[seg_idx].astype(float)
-        seg_vec = seg_end - seg_start
-        seg_len = np.linalg.norm(seg_vec)
-        unit = seg_vec / seg_len if seg_len > _EPS else seg_vec
-        pt = seg_start + (d - dists[seg_idx - 1]) * unit
-        try:
-            cache[d] = perpendicular_cuts(pt, unit, bounds).round()
-        except ValueError:
+    for i, d in enumerate(unique):
+        if hit_ok[i] and hit_ok[k + i]:
+            cache[d] = np.concatenate([hits[i], hits[k + i]]).round()
+        else:
             cache[d] = None
 
     polygons = []
