@@ -115,13 +115,17 @@ def vec_lines(heatmap: np.ndarray,
         seam_carver = 'device'
     st_sep = cls_map['aux']['_start_separator']
     end_sep = cls_map['aux']['_end_separator']
+    from kraken_tpu.lib.fastfilters import maximum_filter
+    sep_filters = (maximum_filter(heatmap[st_sep], size=20),
+                   maximum_filter(heatmap[end_sep], size=20))
     baselines = []
     for bl_type, idx in cls_map['baselines'].items():
         logger.debug(f'Vectorizing lines of type {bl_type}')
         baselines.extend((bl_type, bl) for bl in
                          vectorize_lines(heatmap[(st_sep, end_sep, idx), :, :],
                                          text_direction=text_direction[:-3],
-                                         ridge_fn=ridge_fn))
+                                         ridge_fn=ridge_fn,
+                                         sep_filters=sep_filters))
     im_feats = gradient_feature_map(scal_im)
     regions = regions or []
     # batched midpoint-in-region tests: one vectorized crossing test per

@@ -264,7 +264,8 @@ def _extend_to_blob_boundary(lines: list, bin_bl_map: np.ndarray) -> list:
 def vectorize_lines(im: np.ndarray, threshold: float = 0.17, min_length: int = 5,
                     text_direction: str = 'horizontal',
                     max_endpoints: int = 400,
-                    ridge_fn=None) -> list:
+                    ridge_fn=None,
+                    sep_filters: Optional[tuple] = None) -> list:
     """
     Vectorizes baselines from a (3, H, W) probability stack of
     (start_separator, end_separator, baseline) maps.
@@ -273,6 +274,10 @@ def vectorize_lines(im: np.ndarray, threshold: float = 0.17, min_length: int = 5
         ridge_fn: alternative Sato ridge filter implementation (e.g. the
             jitted device kernel ops.ridge.sato_ridge_device); defaults to
             the host filter.
+        sep_filters: precomputed (maximum_filter(st_map, 20),
+            maximum_filter(end_map, 20)) pair — the separator channels are
+            shared across baseline classes, so multi-class callers compute
+            them once.
 
     Returns:
         A list of [(x, y), ...] baseline polylines, oriented by the
@@ -293,8 +298,11 @@ def vectorize_lines(im: np.ndarray, threshold: float = 0.17, min_length: int = 5
     lines = [douglas_peucker(path, 3).astype(int).tolist() for path in paths]
     lines = _extend_to_blob_boundary(lines, bin_bl_map)
 
-    f_st = maximum_filter(st_map, size=20)
-    f_end = maximum_filter(end_map, size=20)
+    if sep_filters is not None:
+        f_st, f_end = sep_filters
+    else:
+        f_st = maximum_filter(st_map, size=20)
+        f_end = maximum_filter(end_map, size=20)
     oriented = []
     for bl in lines:
         l_end = tuple(np.clip(bl[0], 0, np.array(f_st.shape) - 1))

@@ -182,3 +182,42 @@ def test_segmentation_end_to_end_smoke():
     assert seg.type == 'baselines'
     assert isinstance(seg.lines, list)
     assert isinstance(seg.regions, dict)
+
+
+def test_points_in_polygon_matches_scalar():
+    """Batched crossing test agrees with the scalar predicate, including
+    boundary and vertex points (both count as outside)."""
+    from kraken_tpu.lib.geometry import point_in_polygon, points_in_polygon
+    rng = np.random.RandomState(0)
+    for _ in range(50):
+        poly = rng.rand(rng.randint(3, 20), 2) * 100
+        pts = rng.rand(16, 2) * 100
+        pts[:2] = poly[:2]                       # vertices
+        pts[2] = (poly[0] + poly[1]) / 2         # edge midpoint
+        batch = points_in_polygon(pts, poly)
+        scalar = np.array([point_in_polygon(p, poly) for p in pts])
+        assert (batch == scalar).all()
+
+
+def test_batched_cut_rays_match_scalar_sections():
+    """precompute_polygon_sections (batched ray casts) is integer-identical
+    to per-pair compute_polygon_section."""
+    from kraken_tpu.lib.geometry import (compute_polygon_section,
+                                         precompute_polygon_sections)
+    rng = np.random.RandomState(1)
+    for _ in range(10):
+        n = rng.randint(2, 6)
+        xs = np.sort(rng.randint(0, 600, n + 1))
+        bl = np.stack([xs, 80 + rng.randint(-8, 8, n + 1)], 1)
+        boundary = np.concatenate([bl + (0, -rng.randint(10, 30)),
+                                   (bl + (0, rng.randint(10, 30)))[::-1]]).tolist()
+        length = np.linalg.norm(np.diff(bl, axis=0), axis=1).sum()
+        cuts, pos = [], 0.0
+        while pos < length - 5:
+            w = rng.rand() * 25 + 1
+            cuts.append((pos, min(pos + w, length)))
+            pos += w
+        polys, _, _ = precompute_polygon_sections(bl.tolist(), boundary, cuts)
+        for (d1, d2), p in zip(cuts, polys):
+            ref = compute_polygon_section(bl.tolist(), boundary, d1, d2)
+            assert list(map(list, p)) == list(map(list, ref))
