@@ -154,8 +154,10 @@ def _page_pipeline(torch_backend: bool, n_pages: int = 5, flagship: bool = False
         model = _flagship_model()
     else:
         model = load_models(os.path.join(repo, 'tests/resources/overfit.mlmodel'))[0]
+    # one extraction thread: measured fastest on this 1-core host (a second
+    # worker adds contention; multi-core TPU-VMs want more)
     config = RecognitionInferenceConfig(
-        batch_size=32, num_line_workers=2,
+        batch_size=32, num_line_workers=1,
         # flagship leg: production bf16; CER-parity leg: fp32 (the caller
         # additionally scopes jax.default_matmul_precision('highest') so the
         # TPU decode is digit-exact against the torch fp32 golden)
@@ -224,7 +226,7 @@ def _neural_page_pipeline(torch_backend: bool, n_pages: int = 3):
         heatmap_precision='float32' if torch_backend else 'uint8'))
     rec_model = _flagship_model()
     rec_model.prepare_for_inference(RecognitionInferenceConfig(
-        batch_size=32, num_line_workers=2,
+        batch_size=32, num_line_workers=1,
         precision='32-true' if torch_backend else 'bf16',
         input_transfer='float' if torch_backend else 'uint8'))
     if torch_backend:
