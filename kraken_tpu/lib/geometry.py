@@ -34,6 +34,11 @@ __all__ = ['compute_polygon_section', 'precompute_polygon_sections',
 
 _EPS = np.finfo(float).eps
 
+try:
+    import cv2 as _cv2
+except ImportError:  # pragma: no cover
+    _cv2 = None
+
 
 # ----------------------------------------------------------- polyline utils
 def polyline_dists(pts: np.ndarray) -> np.ndarray:
@@ -42,18 +47,27 @@ def polyline_dists(pts: np.ndarray) -> np.ndarray:
 
 
 def douglas_peucker(pts: np.ndarray, tolerance: float) -> np.ndarray:
-    """Polyline simplification (replacement for skimage approximate_polygon)."""
+    """
+    Polyline simplification (replacement for skimage approximate_polygon).
+
+    Runs on cv2.approxPolyDP (C++ RDP, ~40x the numpy stack loop below)
+    whenever cv2 is importable — which the segmentation stack requires
+    anyway — so one algorithm decides for every environment; the numpy
+    implementation below is the documented fallback for cv2-less installs
+    and may keep slightly different vertex subsets in tie cases.
+    """
     pts = np.asarray(pts, float)
     n = len(pts)
     if n < 3:
         return pts
-    try:
-        import cv2
-        simplified = cv2.approxPolyDP(
-            np.ascontiguousarray(pts, np.float32), float(tolerance), False)
-        return simplified[:, 0, :].astype(float)
-    except Exception:
-        pass
+    if _cv2 is not None:
+        simplified = _cv2.approxPolyDP(
+            np.ascontiguousarray(pts, np.float32), float(tolerance), False)[:, 0, :]
+        if len(simplified) < 2:
+            # coincident endpoints collapse to one point under cv2; keep
+            # the both-endpoints contract of the fallback
+            return pts[[0, -1]].astype(float)
+        return simplified.astype(float)
     keep = np.zeros(n, bool)
     keep[0] = keep[-1] = True
     stack = [(0, n - 1)]
@@ -135,8 +149,11 @@ def points_in_polygon(points, polygon) -> np.ndarray:
 
 
 def line_midpoint(line) -> np.ndarray:
-    """Midpoint of a polyline by arc length."""
+    """Midpoint of a polyline by arc length (a 1-point line is its own
+    midpoint)."""
     arr = np.asarray(line, float)
+    if len(arr) < 2:
+        return arr[0].copy()
     dists = polyline_dists(arr)
     target = dists[-1] / 2
     idx = int(np.searchsorted(dists, target))
