@@ -478,7 +478,34 @@ def bench_e2e():
                      'vanish.')}
 
 
+def _probe_device(timeout_s: int = 240) -> bool:
+    """
+    Runs a trivial device op in a subprocess with a hard timeout. The
+    tunneled TPU backend hangs (rather than erroring) when the link is
+    down, which would otherwise stall the whole benchmark silently.
+    """
+    import os
+    import subprocess
+    import sys
+    try:
+        proc = subprocess.run(
+            [sys.executable, '-c',
+             'import jax, jax.numpy as jnp; print(float(jnp.ones(2).sum()))'],
+            env=dict(os.environ), capture_output=True, timeout=timeout_s)
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _probe_device():
+        print(json.dumps({
+            'metric': 'recognition lines/sec/chip',
+            'value': 0.0, 'unit': 'lines/sec', 'vs_baseline': 0.0,
+            'error': 'TPU device unreachable (probe op timed out); benchmark '
+                     'not run — this is an infrastructure failure, not a '
+                     'framework result'}))
+        raise SystemExit(1)
     jax_lps = bench_jax()
     torch_lps = bench_torch_cpu()
     train_lps = bench_train_jax()
