@@ -192,3 +192,67 @@ def test_global_align_roundtrip():
     assert ''.join(x for x in algn_gt if x) == 'abcde'
     assert ''.join(x for x in algn_pred if x) == 'abde'
     assert len(algn_gt) == len(algn_pred)
+
+
+# ---------------------------------- ImageInputTransforms rule matrix
+# (reference: tests/test_dataset.py TestInputTransforms)
+def _check_transform_output(config, im, out):
+    import numpy as np
+    from kraken_tpu.lib.util import is_bitonal, pil2array
+    if config['height'] != 0 and config['channels'] <= 3:
+        assert out.shape[1] == config['height']
+    if config['width'] != 0:
+        assert out.shape[2] == config['width']
+    if config['force_binarization'] or is_bitonal(pil2array(im)):
+        # int cast collapses resampling grays, as the reference's check does
+        assert len(np.unique(out.astype(int))) == 2
+    if config['channels'] == 3:
+        assert out.shape[0] == 3
+
+
+@pytest.mark.parametrize('cfg,expect_cn', [
+    ({'batch': 1, 'height': 48, 'width': 0, 'channels': 1, 'pad': (16, 0),
+      'valid_norm': False, 'force_binarization': False}, False),
+    ({'batch': 1, 'height': 48, 'width': 0, 'channels': 1, 'pad': (16, 0),
+      'valid_norm': True, 'force_binarization': False}, True),
+    ({'batch': 1, 'height': 48, 'width': 0, 'channels': 3, 'pad': (16, 0),
+      'valid_norm': False, 'force_binarization': False}, False),
+    ({'batch': 1, 'height': 48, 'width': 0, 'channels': 3, 'pad': (16, 0),
+      'valid_norm': True, 'force_binarization': False}, False),
+])
+def test_input_transforms_rules(resources, cfg, expect_cn):
+    """Ctor attributes round-trip and centerline norm activates only for
+    1-channel fixed-height inputs with valid_norm."""
+    from PIL import Image
+    from kraken_tpu.dataset import ImageInputTransforms
+    im = Image.open(resources / '000236.png')
+    tf = ImageInputTransforms(**cfg)
+    for k, v in cfg.items():
+        assert getattr(tf, k) == v
+    assert tf.centerline_norm == expect_cn
+    _check_transform_output(cfg, im, tf(im))
+
+
+def test_input_transforms_channel_height(resources):
+    """height==1 with >3 channels means a channels-as-height line network:
+    the height moves into the channel dimension."""
+    from PIL import Image
+    from kraken_tpu.dataset import ImageInputTransforms
+    im = Image.open(resources / '000236.png')
+    cfg = {'batch': 1, 'height': 1, 'width': 0, 'channels': 72, 'pad': (16, 0),
+           'valid_norm': False, 'force_binarization': False}
+    tf = ImageInputTransforms(**cfg)
+    assert tf.channels == 1
+    assert tf.height == 72
+    assert not tf.centerline_norm
+    out = tf(im)
+    assert out.shape[0] == 72
+    assert out.shape[1] == 1
+
+
+def test_input_transforms_invalid_channels(resources):
+    from kraken_tpu.dataset import ImageInputTransforms
+    from kraken_tpu.exceptions import KrakenInputException
+    with pytest.raises(KrakenInputException):
+        ImageInputTransforms(batch=1, height=48, width=0, channels=4,
+                             pad=(16, 0), valid_norm=False)
