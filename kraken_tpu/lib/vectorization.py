@@ -205,6 +205,43 @@ def _link_endpoints(skel: np.ndarray, extrema: np.ndarray) -> list[np.ndarray]:
     return paths
 
 
+def _prune_overlapping_paths(paths: list[np.ndarray], shape: tuple[int, int],
+                             coverage_threshold: float = 0.8,
+                             tolerance: int = 2) -> list[np.ndarray]:
+    """
+    Drops endpoint-pair paths that mostly retrace an already-kept path.
+
+    A forked skeleton (a baseline with a short spur, common with noisy
+    heatmaps) has 3+ endpoints and therefore produces one path per endpoint
+    pair, all sharing the stem — near-duplicate baselines lying on top of
+    each other. Downstream these duplicates act as hard ROI boundaries for
+    one another, collapsing the polygonizer's region of interest to nothing
+    ("Degenerate bounding polygon") and double-recognizing the same text.
+    The reference inherits the same duplicates from its MCP wavefront pairs
+    (kraken/lib/segmentation.py:293-318) and merely drops the lines that
+    fail later; pruning them here fixes the cause.
+
+    Greedy longest-first cover: a path whose pixels are ≥ coverage_threshold
+    covered (within `tolerance` px) by longer kept paths is dropped.
+    """
+    if len(paths) < 2:
+        return paths
+    order = sorted(range(len(paths)), key=lambda i: -len(paths[i]))
+    covered = np.zeros(shape, np.uint8)
+    thickness = 2 * tolerance + 1
+    keep = []
+    for i in order:
+        path = paths[i]
+        frac = covered[path[:, 0], path[:, 1]].mean() if len(path) else 1.0
+        if frac >= coverage_threshold:
+            continue
+        keep.append(i)
+        xy = path[:, ::-1].astype(np.int32).reshape(-1, 1, 2)
+        cv2.polylines(covered, [xy], False, 1, thickness)
+    keep.sort()
+    return [paths[i] for i in keep]
+
+
 def _trace_boundary(mask: np.ndarray) -> Optional[np.ndarray]:
     """Outer boundary of a binary blob as (row, col) coordinates."""
     contours, _ = cv2.findContours(mask.astype(np.uint8), cv2.RETR_EXTERNAL,
@@ -295,6 +332,7 @@ def vectorize_lines(im: np.ndarray, threshold: float = 0.17, min_length: int = 5
     if len(extrema) < 2:
         return []
     paths = _link_endpoints(skel, extrema)
+    paths = _prune_overlapping_paths(paths, skel.shape)
     lines = [douglas_peucker(path, 3).astype(int).tolist() for path in paths]
     lines = _extend_to_blob_boundary(lines, bin_bl_map)
 

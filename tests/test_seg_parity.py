@@ -37,8 +37,11 @@ def test_baseline_detection_floor(gt_seg, pred_seg):
     pred_pl = [interpolate_polyline(np.array(l.baseline, float)) for l in pred_seg.lines]
     gt_pl = [interpolate_polyline(np.array(l.baseline, float)) for l in gt_seg.lines]
     det = compute_detection_metrics(pred_pl, gt_pl, tol=25.0)
-    assert det['f1'] >= 0.88, det
-    assert det['precision'] >= 0.80, det
+    # floors raised after duplicate-baseline pruning (round 3): measured
+    # F1 0.966 / P 0.955 / R 0.977 host fp32 (was F1 0.912 with 8 duplicate
+    # lines among 52 predictions vs 44 GT)
+    assert det['f1'] >= 0.93, det
+    assert det['precision'] >= 0.90, det
     assert det['recall'] >= 0.95, det
 
 
