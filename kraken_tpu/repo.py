@@ -27,47 +27,83 @@ def _htrmopo():
             'installed in this environment.') from e
 
 
+def _meta(record) -> dict[str, Any]:
+    """Normalizes an htrmopo record (dataclass or dict) to a plain dict."""
+    return dict(record) if isinstance(record, dict) else vars(record)
+
+
+def _is_kraken_record(meta: dict[str, Any]) -> bool:
+    """
+    The kraken-record filter of the reference CLI
+    (kraken/kraken.py:677, 756-760): a record qualifies when its
+    software_name is 'kraken' OR it carries the 'kraken_pytorch' keyword
+    (legacy records predate the software_name field).
+    """
+    return meta.get('software_name') == 'kraken' or \
+        'kraken_pytorch' in (meta.get('keywords') or ())
+
+
 def get_description(model_id: str, version: Optional[str] = None,
                     callback=lambda: None) -> dict[str, Any]:
     """
-    Fetches the metadata record of a model.
+    Fetches the metadata record of a model, raising when the record exists
+    but is not a kraken model (reference: kraken/repo.py:36-52).
     """
     mopo = _htrmopo()
     desc = mopo.get_description(model_id, callback=callback, version=version)
-    if getattr(desc, 'software_name', 'kraken') != 'kraken' or \
-            'kraken_pytorch' not in getattr(desc, 'keywords', ['kraken_pytorch']):
-        raise KrakenRepoException('Record exists but is not a kraken-compatible model')
-    return desc if isinstance(desc, dict) else vars(desc)
+    meta = _meta(desc)
+    if not _is_kraken_record(meta):
+        raise KrakenRepoException(f'Record {model_id} exists but is not a kraken-compatible model')
+    return meta
 
 
 def get_listing(model_type: str = 'all', language=None, script=None,
                 keyword=None, callback=lambda total, advance: None) -> dict[str, Any]:
     """
-    Lists kraken-compatible records in the repository, grouped by concept
-    DOI with only the newest version retained.
+    Lists kraken-compatible records in the repository grouped by concept
+    DOI, retaining the newest matching deposit per concept (reference:
+    kraken/repo.py:55-87 groups by concept_doi preferring the v1 metadata
+    schema and sorting versions by publication date; kraken/kraken.py:748-773
+    applies the type/script/language/keyword filters and displays the
+    newest).
+
+    htrmopo's listing maps record DOIs to per-schema-version records
+    ({'v0': record, 'v1': record}); plain record values are accepted too.
     """
     mopo = _htrmopo()
     full = mopo.get_listing(callback=callback)
+
+    def _matches(meta: dict[str, Any]) -> bool:
+        if not _is_kraken_record(meta):
+            return False
+        if model_type != 'all' and model_type not in (meta.get('model_type') or ()):
+            return False
+        if script and not set(script) & set(meta.get('script') or ()):
+            return False
+        if language and not set(language) & set(meta.get('language') or ()):
+            return False
+        if keyword and not set(keyword) & set(meta.get('keywords') or ()):
+            return False
+        return True
+
+    concepts: dict[str, list[dict[str, Any]]] = {}
+    for item in full.values():
+        if isinstance(item, dict) and ('v0' in item or 'v1' in item):
+            # prefer the richer v1 metadata schema for the same deposit
+            record = item.get('v1', item.get('v0'))
+        else:
+            record = item
+        if record is None:
+            continue
+        meta = _meta(record)
+        if not _matches(meta):
+            continue
+        concepts.setdefault(meta.get('concept_doi') or meta.get('doi'), []).append(meta)
+
     records = {}
-    for concept_id, versions in full.items():
-        best = None
-        for v in (versions.values() if isinstance(versions, dict) else versions):
-            meta = v if isinstance(v, dict) else vars(v)
-            if meta.get('software_name', 'kraken') != 'kraken':
-                continue
-            if best is None or meta.get('publication_date', '') > best.get('publication_date', ''):
-                best = meta
-        if best is None:
-            continue
-        if model_type != 'all' and model_type not in best.get('model_type', [model_type]):
-            continue
-        if language and not set(language) & set(best.get('language', [])):
-            continue
-        if script and not set(script) & set(best.get('script', [])):
-            continue
-        if keyword and not set(keyword) & set(best.get('keywords', [])):
-            continue
-        records[concept_id] = best
+    for concept_id, versions in concepts.items():
+        versions.sort(key=lambda m: str(m.get('publication_date') or ''), reverse=True)
+        records[concept_id] = versions[0]
     return records
 
 
