@@ -143,9 +143,38 @@ def load_safetensors(path: Union[str, PathLike], tasks: Optional[Sequence[_T_tas
         models[prefix] = model
 
     state_dict = load_file(path)
+    # Tied-weight backfill: the reference writes with safetensors'
+    # save_model, which stores shared/tied tensors only once — a model
+    # whose weights alias another model's (or layer's) keeps the metadata
+    # prefix but loses the duplicate weight keys. Restore them from the
+    # surviving twin: same per-model key suffix under another prefix
+    # (reference loader equivalent: kraken/models/loaders.py:126-142).
+    present_prefixes = list(models)
+    by_suffix: dict[str, list[str]] = {}
+    for k in state_dict:
+        for p in present_prefixes:
+            if k.startswith(p + '.'):
+                by_suffix.setdefault(k[len(p) + 1:], []).append(k)
+                break
     for prefix, model in models.items():
         sub = {k: v.astype(np.float32) if v.dtype == np.float16 else v
                for k, v in state_dict.items() if k.startswith(prefix + '.')}
+        try:
+            expected = [f'{prefix}.{k}' for k in model.state_dict()]
+        except Exception:
+            expected = []
+        backfilled = 0
+        for full in expected:
+            if full in sub:
+                continue
+            srcs = by_suffix.get(full[len(prefix) + 1:], [])
+            if srcs:
+                v = state_dict[srcs[0]]
+                sub[full] = v.astype(np.float32) if v.dtype == np.float16 else v
+                backfilled += 1
+        if backfilled:
+            logger.info(f'Backfilled {backfilled} deduplicated tied weight(s) '
+                        f'for model {prefix} in {path}')
         try:
             model.load_state_dict(sub, prefix=f'{prefix}.nn.')
         except Exception as e:

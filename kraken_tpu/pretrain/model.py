@@ -76,9 +76,13 @@ class RecognitionPretrainModel:
                             names=self.net.net.names[:split_idx])
         encoder = L.Series(layers=self.net.net.layers[split_idx:-1],
                            names=self.net.net.names[split_idx:-1])
-        feat_dim = features.get_shape(self.net.input)[1]
+        # the masked sequence flattens channels x height at the RNN boundary
+        # (loss_fn reshapes (N, C, H, W) -> (N, W, C*H)), so the mask
+        # embedding / projection input dim is C*H, not C
+        feat_shape = features.get_shape(self.net.input)
+        feat_dim = feat_shape[1] * max(1, feat_shape[2])
         # encoder output dim: channels of the layer before the output
-        enc_out_dim = encoder.get_shape(features.get_shape(self.net.input))[1]
+        enc_out_dim = encoder.get_shape(feat_shape)[1]
 
         # wire input transforms to the datasets
         if datamodule is not None:

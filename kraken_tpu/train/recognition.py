@@ -128,7 +128,27 @@ class RecognitionDataModule:
             if isinstance(self.train_set.dataset, PolygonGTDataset):
                 self.use_legacy_polygons = getattr(cfg, 'legacy_polygons', False)
             elif isinstance(self.train_set.dataset, ArrowIPCRecognitionDataset):
-                self.use_legacy_polygons = self.train_set.dataset.legacy_polygons_status is True
+                # the arrow file's recorded extraction status prevails over
+                # the requested flag (reference: train/vgsl.py:209-223):
+                # lines were extracted at compile time, so the request can't
+                # change them — warn when they disagree
+                status = self.train_set.dataset.legacy_polygons_status
+                val_status = getattr(self.val_set.dataset, 'legacy_polygons_status', status)
+                if val_status != status:
+                    logger.warning('Train and validation set have different legacy '
+                                   f'polygon status: {status} and {val_status}. '
+                                   'Train set status prevails.')
+                if status == 'mixed':
+                    logger.warning('Mixed legacy polygon status in training dataset. '
+                                   'Consider recompilation.')
+                    status = False
+                if status != getattr(cfg, 'legacy_polygons', False):
+                    logger.warning(f'Setting dataset legacy polygon status to {status} '
+                                   'based on training set.')
+                else:
+                    logger.info(f'Setting dataset legacy polygon status to {status} '
+                                'based on training set.')
+                self.use_legacy_polygons = bool(status)
             if not len(self.train_set):
                 raise ValueError('No valid training data provided.')
         elif stage == 'test':
@@ -257,8 +277,27 @@ class RecognitionModel:
         self.net.model_type = ['recognition']
         if not self.net.seg_type:
             self.net.seg_type = train_set.seg_type
-        self.net.use_legacy_polygons = datamodule.use_legacy_polygons or \
-            getattr(datamodule.config, 'legacy_polygons', False)
+        # legacy-polygon flag negotiation (reference decision table,
+        # train/vgsl.py:565-593): for binary data the dataset's recorded
+        # status wins (the requested flag can't re-extract compiled lines);
+        # for on-the-fly extraction the requested flag wins
+        data_cfg = datamodule.config
+        use_legacy = datamodule.use_legacy_polygons
+        force_legacy = getattr(data_cfg, 'legacy_polygons', False)
+        is_binary = getattr(data_cfg, 'format_type', None) == 'binary'
+        desired_legacy = (not is_binary and force_legacy) or use_legacy
+        if not self._loaded_model:
+            if not is_binary and force_legacy:
+                logger.warning('the new model will be flagged to use legacy')
+            elif is_binary:
+                if force_legacy and not use_legacy:
+                    logger.warning('the new model will be flagged to use new')
+                elif not force_legacy and use_legacy:
+                    logger.warning('the new model will be flagged to use legacy')
+        if self._loaded_model and not force_legacy and \
+                getattr(self.net, 'use_legacy_polygons', False) and not desired_legacy:
+            logger.warning('model will be flagged to use new')
+        self.net.use_legacy_polygons = desired_legacy
         # recorded into checkpoints after samples have been seen (reference:
         # KrakenSetOneChannelMode, kraken/train/utils.py:232)
         self._train_set = train_set

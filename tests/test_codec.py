@@ -155,3 +155,92 @@ def test_merge_remove(o2o):
 
 def test_max_label(m2m):
     assert m2m.max_label == 15
+
+
+# -- strict-mode permutations per codec shape (the reference's 8-case
+#    matrix, tests/test_codec.py:233-288) --
+
+@pytest.fixture
+def strict_variants():
+    return [Codec('ab', strict=True),
+            Codec(['aaa', 'aa', 'a', 'b'], strict=True),
+            Codec({'a': [10, 11, 12], 'b': [12, 45, 80]}, strict=True),
+            Codec({'aaa': [10, 11, 12], 'aa': [9, 9], 'a': [11],
+                   'bb': [15], 'b': [12]}, strict=True)]
+
+
+def test_strict_encode_raises_all_shapes(strict_variants):
+    for c in strict_variants:
+        with pytest.raises(KrakenEncodeException):
+            c.encode(INVALID)
+
+
+def test_strict_decode_raises_all_shapes(strict_variants):
+    for c in strict_variants:
+        with pytest.raises(KrakenEncodeException):
+            c.decode(INVALID_LABELS)
+
+
+def test_strict_valid_sequences_still_work(strict_variants):
+    for c in strict_variants:
+        enc = c.encode(VALID)
+        labels = [(int(l), 10 * i, 10 * i + 10, 0.5) for i, l in enumerate(enc)]
+        assert ''.join(x[0] for x in c.decode(labels)) in (VALID, 'aaabbbaaabbbb')
+
+
+def test_o2m_encode_full(o2m):
+    np.testing.assert_array_equal(
+        o2m.encode(VALID),
+        [10, 11, 12] * 3 + [12, 45, 80] + [10, 11, 12] + [12, 45, 80] * 2 +
+        [10, 11, 12] * 3 + [12, 45, 80] * 4)
+
+
+def test_o2m_encode_invalid_nonstrict(o2m):
+    # encoding stops at the first unencodable character
+    np.testing.assert_array_equal(
+        o2m.encode(INVALID),
+        [10, 11, 12] * 3 + [12, 45, 80] + [10, 11, 12] + [12, 45, 80] * 2 +
+        [10, 11, 12] * 3)
+
+
+def test_o2m_decode_invalid_aggregation(o2m):
+    # the decodable (10, 11, 12) run must aggregate start-of-first,
+    # end-of-last, mean confidence exactly
+    dec = o2m.decode(INVALID_LABELS)
+    assert len(dec) == 1
+    char, start, end, conf = dec[0]
+    assert (char, start, end) == ('a', 203, 831)
+    assert conf == pytest.approx((0.94 + 0.78 + 0.72) / 3)
+
+
+def test_o2m_decode_roundtrip_aggregation(o2m):
+    # full encode→decode round trip with synthetic cuts: every decoded
+    # code point spans its labels' first start to last end
+    enc = o2m.encode(VALID)
+    labels = [(int(l), 7 * i, 7 * i + 5, 0.25) for i, l in enumerate(enc)]
+    dec = o2m.decode(labels)
+    assert ''.join(x[0] for x in dec) == VALID
+    for char, start, end, conf in dec:
+        assert end - start == 2 * 7 + 5  # three labels per code point
+        assert conf == pytest.approx(0.25)
+
+
+def test_m2m_decode_multilabel_match(m2m):
+    # 'aa' maps to (9, 9): the matched pair decodes to one tuple per
+    # produced code point, each spanning first-start..last-end with the
+    # averaged confidence (reference decode, lib/codec.py:180-187)
+    labels = [(9, 0, 5, 0.5), (9, 5, 10, 0.7)]
+    dec = m2m.decode(labels)
+    assert dec == [('a', 0, 10, pytest.approx(0.6)),
+                   ('a', 0, 10, pytest.approx(0.6))]
+
+
+def test_merge_m2m_shapes(m2m):
+    # the reference merge algorithm (lib/codec.py:197-241) on compound
+    # labels: 'aa'/[9,9], 'a'/[11], 'bb'/[15] are deletion candidates, but
+    # label 11 stays in use inside 'aaa' so only {9, 15} are freed; the
+    # hole at 9 is closed by decrementing, then 'c' gets the next free
+    # label after the surviving maximum
+    new_codec, del_labels = m2m.merge(Codec(['aaa', 'b', 'c']))
+    assert del_labels == {9, 15}
+    assert new_codec.c2l == {'aaa': [9, 10, 11], 'b': [11], 'c': [12]}

@@ -89,7 +89,14 @@ def test_merging_new_with_nfd_xml(base_model, tmp_path, resources):
                   data=[str(resources / 'merge_tests' / '0014.xml')],
                   resources=resources)
     codec = module.net.codec
+    assert len(codec.encode('1')) == 0   # unknown to both
+    assert len(codec.encode('9')) == 1   # in the new dataset
+    assert len(codec.encode('x')) == 0   # only in the original model → dropped
+    assert len(codec.encode('ẽ')) == 0   # composed form not in an NFD codec
     assert len(codec.encode(normalize('NFD', 'ẽ'))) == 2
+    # Ũ decomposes to U + combining tilde; U is only in the original model
+    assert len(codec.encode(normalize('NFD', 'Ũ'))) == 1
+    assert len(codec.encode(normalize('NFD', 'ã'))) == 2
 
 
 def test_merging_union_with_nfd_xml(base_model, tmp_path, resources):
@@ -98,5 +105,10 @@ def test_merging_union_with_nfd_xml(base_model, tmp_path, resources):
                   data=[str(resources / 'merge_tests' / '0014.xml')],
                   resources=resources)
     codec = module.net.codec
-    assert len(codec.encode('x')) == 1
+    assert len(codec.encode('1')) == 0
+    assert len(codec.encode('9')) == 1
+    assert len(codec.encode('x')) == 1   # kept from the original model
+    assert len(codec.encode('ẽ')) == 0
     assert len(codec.encode(normalize('NFD', 'ẽ'))) == 2
+    assert len(codec.encode(normalize('NFD', 'Ũ'))) == 2
+    assert len(codec.encode(normalize('NFD', 'ã'))) == 2

@@ -161,3 +161,86 @@ def test_ketos_train_devices_cli(resources, tmp_path):
         '--evaluation-data', str(eval_manifest)])
     assert result.exit_code == 0, result.output
     assert (tmp_path / 'model_best.safetensors').exists()
+
+
+def _per_device_flops(n_devices: int, batch_size: int = 16) -> float:
+    """Per-device FLOPs of the compiled DP train step on an n-device mesh
+    (XLA cost analysis of the SPMD partition — deterministic, unlike
+    wall-clock on a single-core host)."""
+    import jax
+    import jax.numpy as jnp
+    from kraken_tpu.configs import RecognitionTrainingConfig
+    from kraken_tpu.parallel import make_mesh, make_train_step, replicate, shard_batch
+    from kraken_tpu.train.optim import build_optimizer
+    from kraken_tpu.vgsl import VGSLModel
+
+    model = VGSLModel(vgsl='[1,16,0,1 Cr3,3,4,2,2 S1(1x0)1,3 Lbx8 O1c6]',
+                      rng=jax.random.PRNGKey(0))
+    tx = build_optimizer(RecognitionTrainingConfig(lrate=1e-3))
+    rng = np.random.RandomState(0)
+    batch = {'image': rng.rand(batch_size, 1, 16, 64).astype(np.float32),
+             'seq_lens': np.full(batch_size, 64, np.int32),
+             'target': rng.randint(1, 6, (batch_size, 4)).astype(np.int32),
+             'target_lens': np.full(batch_size, 4, np.int32)}
+    mesh = make_mesh(jax.devices()[:n_devices])
+    step = make_train_step(model.net, tx, loss='ctc', mesh=mesh)
+    repl = replicate(mesh)
+    args = (jax.device_put(model.params, repl),
+            jax.device_put(tx.init(model.params), repl),
+            shard_batch(batch, mesh),
+            jax.device_put(jax.random.PRNGKey(1), repl))
+    compiled = step.lower(*args).compile()
+    analysis = compiled.cost_analysis()
+    if isinstance(analysis, list):
+        analysis = analysis[0]
+    return float(analysis['flops'])
+
+
+def test_dp_per_device_flops_scale():
+    """
+    Multi-device scaling leg (SPMD correctness-of-parallelism): the
+    compiled train step's per-device FLOPs must drop ~1/N as the mesh
+    grows — a wall-clock curve is meaningless on this single-core host,
+    but XLA's partition cost analysis exactly detects accidental
+    replication (flops would stay flat) or serialization.
+    """
+    base = _per_device_flops(1)
+    curve = {n: _per_device_flops(n) / base for n in (2, 4, 8)}
+    # allow generous headroom for collective/bookkeeping overhead; the
+    # failure mode being caught is ratio ~1.0 (replicated compute)
+    assert curve[2] < 0.65, curve
+    assert curve[4] < 0.40, curve
+    assert curve[8] < 0.25, curve
+
+
+def test_sharded_inference_flops_scale():
+    """Recognition inference SPMD forward partitions per-device compute
+    ~1/N over the mesh (the `kraken ocr --devices` path)."""
+    import jax
+    import jax.numpy as jnp
+    from kraken_tpu.parallel import make_mesh, replicate, batch_sharding
+    from kraken_tpu.vgsl import VGSLModel
+
+    model = VGSLModel(vgsl='[1,16,0,1 Cr3,3,4,2,2 S1(1x0)1,3 Lbx8 O1c6]',
+                      rng=jax.random.PRNGKey(0))
+    x = np.random.RandomState(0).rand(16, 1, 16, 64).astype(np.float32)
+    lens = np.full(16, 64, np.int32)
+
+    def flops(n):
+        mesh = make_mesh(jax.devices()[:n])
+        repl = replicate(mesh)
+        data = batch_sharding(mesh)
+        fwd = jax.jit(lambda p, im, sl: model.net.apply(p, im, sl),
+                      in_shardings=(repl, data, data))
+        args = (jax.device_put(model.params, repl),
+                jax.device_put(jnp.asarray(x), data),
+                jax.device_put(jnp.asarray(lens), data))
+        analysis = fwd.lower(*args).compile().cost_analysis()
+        if isinstance(analysis, list):
+            analysis = analysis[0]
+        return float(analysis['flops'])
+
+    base = flops(1)
+    curve = {n: flops(n) / base for n in (2, 8)}
+    assert curve[2] < 0.65, curve
+    assert curve[8] < 0.25, curve
