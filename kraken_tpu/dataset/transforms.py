@@ -30,7 +30,8 @@ __all__ = ['ImageInputTransforms']
 
 
 def _fixed_resize(img: Image.Image, scale: tuple[int, int],
-                  resample=Image.Resampling.LANCZOS) -> Image.Image:
+                  resample=Image.Resampling.LANCZOS,
+                  reducing_gap=None) -> Image.Image:
     """Resize to (height, width), inferring a 0-valued dim proportionally."""
     w, h = img.size
     oh, ow = scale
@@ -38,7 +39,7 @@ def _fixed_resize(img: Image.Image, scale: tuple[int, int],
         oh = max(1, int(h * ow / w))
     elif ow == 0:
         ow = max(1, int(w * oh / h))
-    return img.resize((ow, oh), resample)
+    return img.resize((ow, oh), resample, reducing_gap=reducing_gap)
 
 
 class ImageInputTransforms:
