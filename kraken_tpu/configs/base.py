@@ -97,6 +97,11 @@ class RecognitionInferenceConfig(Config):
         # conv schedule on v5e (docs/architecture.md), so off by default;
         # kept selectable for other TPU generations.
         self.fuse_conv_pools = kwargs.pop('fuse_conv_pools', False)
+        # LSTM recurrence implementation: 'scan' (lax.scan, default) or
+        # 'pallas' (ops/lstm.py fused kernel, VMEM-resident carry) — bench
+        # scripts/bench_lstm_pallas.py before switching; see
+        # docs/architecture.md for measurements
+        self.lstm_backend = kwargs.pop('lstm_backend', 'scan')
         super().__init__(**kwargs)
 
 

@@ -87,6 +87,8 @@ def prepare_recognition(model: 'VGSLModel', config) -> None:
     """
     from kraken_tpu.lib.util import enable_xla_cache
     enable_xla_cache()
+    from kraken_tpu.nn.layers import set_lstm_backend
+    set_lstm_backend(getattr(config, 'lstm_backend', 'scan'))
     model._inf_config = config
     dtype = _PRECISION_DTYPES.get(getattr(config, 'precision', '32-true'), jnp.float32)
     model._m_dtype = dtype

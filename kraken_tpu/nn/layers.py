@@ -38,6 +38,21 @@ __all__ = ['ActConv2D', 'Addition', 'Dropout', 'GroupNorm', 'Identity',
 
 Shape = tuple[int, int, int, int]
 
+# LSTM recurrence backend: 'scan' (lax.scan with hoisted input projection,
+# the default) or 'pallas' (ops/lstm.py fused kernel, VMEM-resident carry).
+# Module-level because layer dataclasses are static configuration shared
+# across models; set via set_lstm_backend (wired from
+# RecognitionInferenceConfig.lstm_backend in prepare_recognition).
+_LSTM_BACKEND = 'scan'
+
+
+def set_lstm_backend(name: str) -> None:
+    """Selects the LSTM recurrence implementation ('scan' or 'pallas')."""
+    global _LSTM_BACKEND
+    if name not in ('scan', 'pallas'):
+        raise ValueError(f'Unknown LSTM backend {name!r}')
+    _LSTM_BACKEND = name
+
 
 def _uniform(rng, shape, lo, hi, dtype=jnp.float32):
     return jax.random.uniform(rng, shape, dtype, lo, hi)
@@ -456,6 +471,30 @@ def _lstm_scan(x: jnp.ndarray,
     return ys
 
 
+def _lstm_pallas_run(x: jnp.ndarray,
+                     lens: Optional[jnp.ndarray],
+                     w_ih: jnp.ndarray, w_hh: jnp.ndarray,
+                     b: Optional[jnp.ndarray],
+                     reverse: bool) -> jnp.ndarray:
+    """
+    Same contract as :func:`_lstm_scan`, with the recurrence running in the
+    Pallas fused kernel (ops/lstm.py): input projection hoisted identically,
+    carry VMEM-resident. Bit-compatible with the scan path on the same
+    backend (tests/test_ops.py).
+    """
+    from kraken_tpu.ops.lstm import lstm_pallas
+    B, T, _ = x.shape
+    dtype = x.dtype
+    gates_x = x @ w_ih.T.astype(dtype)
+    if b is not None:
+        gates_x = gates_x + b.astype(dtype)
+    if lens is not None:
+        mask = (jnp.arange(T)[None, :] < lens[:, None]).astype(dtype)
+    else:
+        mask = jnp.ones((B, T), dtype)
+    return lstm_pallas(gates_x, w_hh, mask, reverse=reverse)
+
+
 def _bilstm_scan(x: jnp.ndarray,
                  lens: Optional[jnp.ndarray],
                  w_ih_f: jnp.ndarray, w_hh_f: jnp.ndarray, b_f: Optional[jnp.ndarray],
@@ -628,10 +667,16 @@ class TransposedSummarizingRNN(Layer):
                 b = None
                 if f'layer.bias_ih_l0{sfx}' in params:
                     b = params[f'layer.bias_ih_l0{sfx}'] + params[f'layer.bias_hh_l0{sfx}']
-                ys = _lstm_scan(x, lens,
-                                params[f'layer.weight_ih_l0{sfx}'],
-                                params[f'layer.weight_hh_l0{sfx}'],
-                                b, reverse)
+                if _LSTM_BACKEND == 'pallas':
+                    ys = _lstm_pallas_run(x, lens,
+                                          params[f'layer.weight_ih_l0{sfx}'],
+                                          params[f'layer.weight_hh_l0{sfx}'],
+                                          b, reverse)
+                else:
+                    ys = _lstm_scan(x, lens,
+                                    params[f'layer.weight_ih_l0{sfx}'],
+                                    params[f'layer.weight_hh_l0{sfx}'],
+                                    b, reverse)
             outs.append(ys)
         return jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
 

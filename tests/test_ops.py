@@ -154,3 +154,44 @@ def test_device_seam_parity():
     for i, p in enumerate(raw):
         np.testing.assert_array_equal(seams[i, :p.shape[1]] - 1, _carve_seam(p),
                                       err_msg=f'patch {i} mismatch')
+
+
+def test_lstm_backend_config_knob(resources):
+    """RecognitionInferenceConfig(lstm_backend='pallas') routes the RNN
+    layers through the fused kernel and produces the same predictions as
+    the default scan backend (interpret mode on CPU)."""
+    from PIL import Image
+    from kraken_tpu.configs import RecognitionInferenceConfig
+    from kraken_tpu.containers import BaselineLine, Segmentation
+    from kraken_tpu.models import load_models
+    from kraken_tpu.nn import layers as L
+
+    im = Image.open(resources / '000236.png')
+    seg = Segmentation(type='baselines', imagename=resources / 'bw.png',
+                       text_direction='horizontal-lr', script_detection=False,
+                       lines=[BaselineLine(id='l0',
+                                           baseline=[[0, 10], [2543, 10]],
+                                           boundary=[[0, 0], [2543, 0],
+                                                     [2543, 155], [0, 155]])])
+    import jax
+    from kraken_tpu.vgsl import VGSLModel
+    from kraken_tpu.codec import Codec
+    model = VGSLModel(vgsl='[1,48,0,1 Cr3,3,8,2,2 S1(1x0)1,3 Lbx16 O1c8]',
+                      rng=jax.random.PRNGKey(0))
+    model.add_codec(Codec('abcdefg'))
+    model.model_type = ['recognition']
+    model.seg_type = 'baselines'
+
+    outs = {}
+    try:
+        for backend in ('scan', 'pallas'):
+            model._rec_fwd = None
+            model.prepare_for_inference(RecognitionInferenceConfig(
+                batch_size=4, num_line_workers=0, lstm_backend=backend))
+            assert L._LSTM_BACKEND == backend
+            recs = list(model.predict(im, seg))
+            outs[backend] = [(r.prediction, r.cuts) for r in recs]
+    finally:
+        L.set_lstm_backend('scan')
+        model._rec_fwd = None
+    assert outs['scan'] == outs['pallas']
