@@ -141,6 +141,15 @@ class SegmentationInferenceConfig(Config):
         # relative to the accelerator (off by default — each map/batch is an
         # extra device round trip, which a remote TPU tunnel makes costly)
         self.device_vectorize = kwargs.pop('device_vectorize', False)
+        # fuse the Sato ridge filter of every baseline channel into the SAME
+        # device dispatch as the network forward, transferring only the
+        # thresholded binary maps (inference/segmentation.py). Unlike
+        # device_vectorize this adds no round trips, so it wins even on
+        # tunneled links (~150 ms/page of host filtering removed); disable
+        # for bit-exact parity with the host Sato filter (atol 1e-5 conv
+        # differences can flip isolated near-threshold pixels)
+        self.fused_ridge = kwargs.pop('fused_ridge', True)
+        self.ridge_threshold = kwargs.pop('ridge_threshold', 0.17)
         super().__init__(**kwargs)
 
 

@@ -17,7 +17,7 @@ the final heatmap stack crosses back to the host.
 """
 import logging
 import uuid
-from typing import TYPE_CHECKING, Any
+from typing import TYPE_CHECKING, Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -59,18 +59,35 @@ def prepare_segmentation(model: 'VGSLModel', config) -> None:
         # vectorization thresholds are coarse, so 1/255 quantization is
         # inconsequential, but 'float32' remains the parity-exact default
         quantize = getattr(config, 'heatmap_precision', 'float32') == 'uint8'
+        # fused ridge: the Sato tubularity filter of every baseline channel
+        # runs inside the SAME dispatch as the forward (ops/ridge._sato_core
+        # over the full-precision sigmoid, pre-quantization) and only the
+        # thresholded binary maps cross back — this removes the hottest
+        # host step of vectorization (~150 ms/page on a 1-core host) at
+        # zero extra round trips. The stand-alone device_vectorize path
+        # pays one dispatch per op and loses on tunneled links; fusion
+        # doesn't.
+        fused_ridge = bool(getattr(config, 'fused_ridge', True))
+        bl_channels = tuple(sorted(
+            (model.user_metadata.get('class_mapping') or {})
+            .get('baselines', {}).values())) if fused_ridge else ()
+        ridge_threshold = float(getattr(config, 'ridge_threshold', 0.17))
 
         def fwd(params, x, out_h, out_w):
+            from kraken_tpu.ops.ridge import _sato_core_batch
             logits, _ = net.apply(params, x, None)
             logits = jax.image.resize(logits.astype(jnp.float32),
                                       (logits.shape[0], logits.shape[1], out_h, out_w),
                                       method='bilinear')
             probs = jax.nn.sigmoid(logits)
-            if quantize:
-                return jnp.round(probs * 255).astype(jnp.uint8)
-            return probs
+            heat = jnp.round(probs * 255).astype(jnp.uint8) if quantize else probs
+            if bl_channels:
+                ridges = _sato_core_batch(probs[0, jnp.array(bl_channels)])
+                return heat, (ridges > ridge_threshold).astype(jnp.uint8)
+            return heat
 
         model._seg_fwd = jax.jit(fwd, static_argnums=(2, 3))
+        model._seg_fused_channels = bl_channels
 
 
 def vec_regions(heatmap: np.ndarray, cls_map: dict, scale, **kwargs) -> dict[str, list[Region]]:
@@ -95,6 +112,7 @@ def vec_lines(heatmap: np.ndarray,
               topline: bool = False,
               raise_on_error: bool = False,
               device_vectorize: bool = False,
+              bin_maps: Optional[dict] = None,
               **kwargs) -> list[dict[str, Any]]:
     """
     Vectorizes and polygonizes all baseline classes of the heatmap stack.
@@ -125,7 +143,8 @@ def vec_lines(heatmap: np.ndarray,
                          vectorize_lines(heatmap[(st_sep, end_sep, idx), :, :],
                                          text_direction=text_direction[:-3],
                                          ridge_fn=ridge_fn,
-                                         sep_filters=sep_filters))
+                                         sep_filters=sep_filters,
+                                         bin_map=(bin_maps or {}).get(idx)))
     im_feats = gradient_feature_map(scal_im)
     regions = regions or []
     # batched midpoint-in-region tests: one vectorized crossing test per
@@ -210,7 +229,17 @@ def _compute_segmentation_map(model: 'VGSLModel', im: 'Image.Image') -> dict[str
     x = jax.device_put(jnp.asarray(tensor_im[None].astype(model._m_dtype)), model._device)
     # upsample in bucket space (static args stay bucketed), then crop the
     # padding back off on the host
-    heat = model._seg_fwd(model._inf_params, x, padded_h, tensor_im.shape[2])
+    out = model._seg_fwd(model._inf_params, x, padded_h, tensor_im.shape[2])
+    bin_maps = {}
+    if isinstance(out, tuple):
+        heat, ridges = out
+        ridges = np.asarray(ridges)[:, :, :padded_w]
+        ridges = ridges[:, padding[2]:ridges.shape[1] - padding[3] or None,
+                        padding[0]:ridges.shape[2] - padding[1] or None]
+        bin_maps = {c: ridges[i].astype(bool)
+                    for i, c in enumerate(model._seg_fused_channels)}
+    else:
+        heat = out
     heat = np.asarray(heat)[0][:, :, :padded_w]
     if heat.dtype == np.uint8:
         heat = heat.astype(np.float32) / 255.0
@@ -222,7 +251,8 @@ def _compute_segmentation_map(model: 'VGSLModel', im: 'Image.Image') -> dict[str
             'cls_map': model.user_metadata['class_mapping'],
             'bounding_regions': model.user_metadata.get('bounding_regions', None),
             'scale': scale,
-            'scal_im': scal_im}
+            'scal_im': scal_im,
+            'bin_maps': bin_maps}
 
 
 def segmentation_pred(model: 'VGSLModel', im: 'Image.Image') -> Segmentation:

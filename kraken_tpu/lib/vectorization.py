@@ -302,7 +302,8 @@ def vectorize_lines(im: np.ndarray, threshold: float = 0.17, min_length: int = 5
                     text_direction: str = 'horizontal',
                     max_endpoints: int = 400,
                     ridge_fn=None,
-                    sep_filters: Optional[tuple] = None) -> list:
+                    sep_filters: Optional[tuple] = None,
+                    bin_map: Optional[np.ndarray] = None) -> list:
     """
     Vectorizes baselines from a (3, H, W) probability stack of
     (start_separator, end_separator, baseline) maps.
@@ -315,6 +316,10 @@ def vectorize_lines(im: np.ndarray, threshold: float = 0.17, min_length: int = 5
             maximum_filter(end_map, 20)) pair — the separator channels are
             shared across baseline classes, so multi-class callers compute
             them once.
+        bin_map: precomputed thresholded ridge map (H, W) bool — supplied
+            by the fused segmentation forward (the ridge runs on device in
+            the same dispatch as the network; inference/segmentation.py),
+            skipping the host Sato filter entirely.
 
     Returns:
         A list of [(x, y), ...] baseline polylines, oriented by the
@@ -323,8 +328,11 @@ def vectorize_lines(im: np.ndarray, threshold: float = 0.17, min_length: int = 5
     if text_direction not in ('horizontal', 'vertical'):
         raise ValueError(f'Invalid text direction "{text_direction}"')
     st_map, end_map, bl_map = im[0], im[1], im[2]
-    ridge = (ridge_fn or sato_ridge)(bl_map, black_ridges=False)
-    bin_bl_map = ridge > threshold
+    if bin_map is not None:
+        bin_bl_map = np.asarray(bin_map, bool)
+    else:
+        ridge = (ridge_fn or sato_ridge)(bl_map, black_ridges=False)
+        bin_bl_map = ridge > threshold
     skel = skeletonize(bin_bl_map)
     extrema = _endpoints(skel)
     if len(extrema) > max_endpoints:

@@ -52,22 +52,72 @@ def _sep_conv(im: jnp.ndarray, kr: np.ndarray, kc: np.ndarray) -> jnp.ndarray:
     return x[0, 0]
 
 
-@functools.partial(jax.jit, static_argnames=('sigmas',))
-def _sato_core(im: jnp.ndarray, sigmas: tuple = (1, 3, 5, 7, 9)) -> jnp.ndarray:
-    img = im.astype(jnp.float32)
-    response = jnp.zeros_like(img)
+def _sato_kernel_bank(sigmas: tuple):
+    """
+    Row/column kernel banks for every (sigma, Hessian component) pair,
+    zero-padded to a common radius. Padding a gaussian-derivative kernel
+    with zeros is exact: the extra taps multiply the same constant-zero
+    border the narrower kernel's padding would read.
+
+    Per sigma the three Hessian maps need the separable pairs
+    (row, col) = (g0, g2) for hxx, (g2, g0) for hyy, (g1, g1) for hxy.
+    """
+    radius = max(int(4 * s + 0.5) for s in sigmas)
+    width = 2 * radius + 1
+
+    def padded(sigma, order):
+        k = _gauss_deriv_kernel(sigma, order)
+        pad = (width - len(k)) // 2
+        return np.pad(k, (pad, pad))
+
+    rows, cols = [], []
     for sigma in sigmas:
-        g0 = _gauss_deriv_kernel(sigma, 0)
-        g1 = _gauss_deriv_kernel(sigma, 1)
-        g2 = _gauss_deriv_kernel(sigma, 2)
-        s2 = sigma ** 2
-        hxx = _sep_conv(img, g0, g2) * s2
-        hyy = _sep_conv(img, g2, g0) * s2
-        hxy = _sep_conv(img, g1, g1) * s2
+        for r_ord, c_ord in ((0, 2), (2, 0), (1, 1)):
+            rows.append(padded(sigma, r_ord))
+            cols.append(padded(sigma, c_ord))
+    return (np.stack(rows).astype(np.float32),
+            np.stack(cols).astype(np.float32), radius)
+
+
+@functools.partial(jax.jit, static_argnames=('sigmas',))
+def _sato_core_batch(im: jnp.ndarray, sigmas: tuple = (1, 3, 5, 7, 9)) -> jnp.ndarray:
+    """
+    Sato ridge response of a (N, H, W) stack in TWO convolutions: a row
+    pass producing all 3·len(sigmas) Hessian intermediates as channels and
+    a grouped column pass completing the separable filters. Identical
+    results to the per-sigma formulation (zero-padded kernel equivalence),
+    but ~30x fewer conv ops to compile — the per-sigma variant takes
+    minutes to build on some backends.
+    """
+    rows, cols, radius = _sato_kernel_bank(sigmas)
+    k = rows.shape[0]
+    img = im.astype(jnp.float32)[:, None]                     # (N, 1, H, W)
+    x = jax.lax.conv_general_dilated(
+        img, jnp.asarray(rows)[:, None, :, None],             # (K, 1, w, 1)
+        (1, 1), [(radius, radius), (0, 0)],
+        dimension_numbers=('NCHW', 'OIHW', 'NCHW'),
+        precision=jax.lax.Precision.HIGHEST)                  # (N, K, H, W)
+    x = jax.lax.conv_general_dilated(
+        x, jnp.asarray(cols)[:, None, None, :],               # (K, 1, 1, w)
+        (1, 1), [(0, 0), (radius, radius)],
+        dimension_numbers=('NCHW', 'OIHW', 'NCHW'),
+        feature_group_count=k,
+        precision=jax.lax.Precision.HIGHEST)                  # (N, K, H, W)
+    response = jnp.zeros_like(img[:, 0])
+    for i, sigma in enumerate(sigmas):
+        s2 = float(sigma ** 2)
+        hxx = x[:, 3 * i] * s2
+        hyy = x[:, 3 * i + 1] * s2
+        hxy = x[:, 3 * i + 2] * s2
         tmp = jnp.sqrt((hyy - hxx) ** 2 + 4 * hxy ** 2)
         low = 0.5 * (hyy + hxx - tmp)
         response = jnp.maximum(response, jnp.where(low < 0, -low, 0))
     return response
+
+
+def _sato_core(im: jnp.ndarray, sigmas: tuple = (1, 3, 5, 7, 9)) -> jnp.ndarray:
+    """Sato ridge response of one (H, W) map (see _sato_core_batch)."""
+    return _sato_core_batch(im[None], sigmas)[0]
 
 
 def sato_ridge_device(im: np.ndarray, sigmas=(1, 3, 5, 7, 9),

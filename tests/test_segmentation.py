@@ -221,3 +221,29 @@ def test_batched_cut_rays_match_scalar_sections():
         for (d1, d2), p in zip(cuts, polys):
             ref = compute_polygon_section(bl.tolist(), boundary, d1, d2)
             assert list(map(list, p)) == list(map(list, ref))
+
+
+def test_fused_ridge_matches_host_path(resources):
+    """The fused-ridge forward (Sato + threshold on device inside the seg
+    dispatch, inference/segmentation.py) produces the same detected
+    baselines as the host Sato filter."""
+    import warnings
+
+    from PIL import Image
+    from kraken_tpu.configs import SegmentationInferenceConfig
+    from kraken_tpu.models import load_models
+    from kraken_tpu.inference.segmentation import (prepare_segmentation,
+                                                   segmentation_pred)
+
+    im = Image.open(resources / '170025120000003,0074.jpg')
+    segs = {}
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore')
+        for fused in (False, True):
+            m = load_models(resources / 'blla_small.safetensors')[0]
+            prepare_segmentation(m, SegmentationInferenceConfig(fused_ridge=fused))
+            segs[fused] = segmentation_pred(m, im)
+    assert len(segs[True].lines) == len(segs[False].lines)
+    for a, b in zip(segs[True].lines, segs[False].lines):
+        assert a.baseline == b.baseline
+        assert a.boundary == b.boundary
