@@ -37,7 +37,8 @@ if TYPE_CHECKING:
 
 logger = logging.getLogger(__name__)
 
-__all__ = ['prepare_segmentation', 'segmentation_pred', 'vec_regions', 'vec_lines']
+__all__ = ['prepare_segmentation', 'segmentation_pred',
+           'segmentation_pred_batch', 'vec_regions', 'vec_lines']
 
 
 def prepare_segmentation(model: 'VGSLModel', config) -> None:
@@ -73,16 +74,18 @@ def prepare_segmentation(model: 'VGSLModel', config) -> None:
             .get('baselines', {}).values())) if fused_ridge else ()
         ridge_threshold = float(getattr(config, 'ridge_threshold', 0.17))
 
-        def fwd(params, x, out_h, out_w):
+        def fwd(params, x, out_h, out_w, seq_lens=None):
             from kraken_tpu.ops.ridge import _sato_core_batch
-            logits, _ = net.apply(params, x, None)
+            logits, _ = net.apply(params, x, seq_lens)
             logits = jax.image.resize(logits.astype(jnp.float32),
                                       (logits.shape[0], logits.shape[1], out_h, out_w),
                                       method='bilinear')
             probs = jax.nn.sigmoid(logits)
             heat = jnp.round(probs * 255).astype(jnp.uint8) if quantize else probs
             if bl_channels:
-                ridges = _sato_core_batch(probs[0, jnp.array(bl_channels)])
+                p = probs[:, jnp.array(bl_channels)]
+                n, c, h, w = p.shape
+                ridges = _sato_core_batch(p.reshape(n * c, h, w)).reshape(n, c, h, w)
                 return heat, (ridges > ridge_threshold).astype(jnp.uint8)
             return heat
 
@@ -196,8 +199,14 @@ def _page_resize(img: 'Image.Image', scale: tuple[int, int]) -> 'Image.Image':
     return _fixed_resize(img, scale, reducing_gap=3.0)
 
 
-def _compute_segmentation_map(model: 'VGSLModel', im: 'Image.Image') -> dict[str, Any]:
-    """Runs the network and returns upsampled sigmoid heatmaps + metadata."""
+def _compute_segmentation_maps(model: 'VGSLModel', ims: list) -> list[dict[str, Any]]:
+    """
+    Runs the network over one or more pages and returns per-page upsampled
+    sigmoid heatmaps + metadata. Multiple pages share ONE device dispatch:
+    page tensors (same network height) are width-padded to a common bucket
+    and stacked on the batch dim, amortizing the per-dispatch round trip —
+    the dominant fixed cost on remote/tunneled TPU links.
+    """
     config = model._inf_config
     batch, channels, height, width = model.input
     padding = config.input_padding
@@ -208,51 +217,94 @@ def _compute_segmentation_map(model: 'VGSLModel', im: 'Image.Image') -> dict[str
 
     transforms = ImageInputTransforms(batch, height, width, channels, padding,
                                       valid_norm=False, dtype=np.float32)
-    # scaled grayscale image (pre-tensor stage of the transform pipeline)
-    scal = im.convert(transforms.mode if transforms.mode != '1' else 'L')
-    if transforms.scale != (0, 0):
-        scal = _page_resize(scal, transforms.scale)
-    scal_im = np.array(scal.convert('L'))
+    pages = []
+    for im in ims:
+        # scaled grayscale image (pre-tensor stage of the transform pipeline)
+        scal = im.convert(transforms.mode if transforms.mode != '1' else 'L')
+        if transforms.scale != (0, 0):
+            scal = _page_resize(scal, transforms.scale)
+        scal_im = np.array(scal.convert('L'))
+        # `scal` already is the mode-converted + resized page, so only the
+        # pad/tensor tail of the transform pipeline remains (skips a second
+        # Lanczos resize of the full page)
+        tensor_im = transforms.tail(scal)
+        pages.append({'im': im, 'scal_im': scal_im, 'tensor': tensor_im,
+                      'padded_h': scal_im.shape[0] + padding[2] + padding[3],
+                      'padded_w': scal_im.shape[1] + padding[0] + padding[1]})
 
-    # `scal` already is the mode-converted + resized page, so only the
-    # pad/tensor tail of the transform pipeline remains (skips a second
-    # Lanczos resize of the full page)
-    tensor_im = transforms.tail(scal)
-    padded_h = scal_im.shape[0] + padding[2] + padding[3]
-    padded_w = scal_im.shape[1] + padding[0] + padding[1]
-    bucket_extra = 0
-    if getattr(config, 'width_bucketing', False):
+    heights = {p['tensor'].shape[1] for p in pages}
+    if len(heights) > 1:
+        # variable-height spec: no common batch shape — run per page
+        return [r for p in pages
+                for r in _compute_segmentation_maps(model, [p['im']])]
+
+    max_w = max(p['tensor'].shape[2] for p in pages)
+    if getattr(config, 'width_bucketing', False) or len(pages) > 1:
         from kraken_tpu.inference.recognition import width_bucket
-        bucket_extra = width_bucket(tensor_im.shape[2]) - tensor_im.shape[2]
-        if bucket_extra:
-            tensor_im = np.pad(tensor_im, ((0, 0), (0, 0), (0, bucket_extra)))
-    x = jax.device_put(jnp.asarray(tensor_im[None].astype(model._m_dtype)), model._device)
+        max_w = width_bucket(max_w)
+    stack = np.zeros((len(pages), pages[0]['tensor'].shape[0],
+                      pages[0]['tensor'].shape[1], max_w), np.float32)
+    for i, p in enumerate(pages):
+        stack[i, :, :, :p['tensor'].shape[2]] = p['tensor']
+    max_padded_h = max(p['padded_h'] for p in pages)
+    x = jax.device_put(jnp.asarray(stack.astype(model._m_dtype)), model._device)
     # upsample in bucket space (static args stay bucketed), then crop the
-    # padding back off on the host
-    out = model._seg_fwd(model._inf_params, x, padded_h, tensor_im.shape[2])
-    bin_maps = {}
+    # padding back off on the host. Per-page valid widths thread through as
+    # seq_lens so the padding-aware GroupNorm layers exclude the shared
+    # width bucket's zero pad from their statistics — without this the pad
+    # shifts every activation of narrower pages in the batch.
+    seq_lens = None
+    if any(p['tensor'].shape[2] != max_w for p in pages):
+        seq_lens = jnp.asarray([p['tensor'].shape[2] for p in pages], jnp.int32)
+    out = model._seg_fwd(model._inf_params, x, max_padded_h, max_w, seq_lens)
     if isinstance(out, tuple):
-        heat, ridges = out
-        ridges = np.asarray(ridges)[:, :, :padded_w]
-        ridges = ridges[:, padding[2]:ridges.shape[1] - padding[3] or None,
-                        padding[0]:ridges.shape[2] - padding[1] or None]
-        bin_maps = {c: ridges[i].astype(bool)
-                    for i, c in enumerate(model._seg_fused_channels)}
+        heat_all, ridges_all = np.asarray(out[0]), np.asarray(out[1])
     else:
-        heat = out
-    heat = np.asarray(heat)[0][:, :, :padded_w]
-    if heat.dtype == np.uint8:
-        heat = heat.astype(np.float32) / 255.0
-    # strip padding
-    heat = heat[:, padding[2]:heat.shape[1] - padding[3] or None,
-                padding[0]:heat.shape[2] - padding[1] or None]
-    scale = np.divide(im.size, heat.shape[:0:-1])
-    return {'heatmap': heat,
-            'cls_map': model.user_metadata['class_mapping'],
-            'bounding_regions': model.user_metadata.get('bounding_regions', None),
-            'scale': scale,
-            'scal_im': scal_im,
-            'bin_maps': bin_maps}
+        heat_all, ridges_all = np.asarray(out), None
+
+    results = []
+    for i, p in enumerate(pages):
+        padded_w = p['padded_w']
+        bin_maps = {}
+        if ridges_all is not None:
+            ridges = ridges_all[i][:, :p['padded_h'], :padded_w]
+            ridges = ridges[:, padding[2]:ridges.shape[1] - padding[3] or None,
+                            padding[0]:ridges.shape[2] - padding[1] or None]
+            bin_maps = {c: ridges[j].astype(bool)
+                        for j, c in enumerate(model._seg_fused_channels)}
+        heat = heat_all[i][:, :p['padded_h'], :padded_w]
+        if heat.dtype == np.uint8:
+            heat = heat.astype(np.float32) / 255.0
+        # strip padding
+        heat = heat[:, padding[2]:heat.shape[1] - padding[3] or None,
+                    padding[0]:heat.shape[2] - padding[1] or None]
+        scale = np.divide(p['im'].size, heat.shape[:0:-1])
+        results.append({'heatmap': heat,
+                        'cls_map': model.user_metadata['class_mapping'],
+                        'bounding_regions': model.user_metadata.get('bounding_regions', None),
+                        'scale': scale,
+                        'scal_im': p['scal_im'],
+                        'bin_maps': bin_maps})
+    return results
+
+
+def _compute_segmentation_map(model: 'VGSLModel', im: 'Image.Image') -> dict[str, Any]:
+    """Runs the network and returns upsampled sigmoid heatmaps + metadata."""
+    return _compute_segmentation_maps(model, [im])[0]
+
+
+def segmentation_pred_batch(model: 'VGSLModel', ims: list) -> list[Segmentation]:
+    """
+    Segments several pages with ONE network dispatch (width-bucketed page
+    batch; `_compute_segmentation_maps`), then vectorizes each page on the
+    host. Heatmaps can differ from single-page prediction at the last
+    bilinear half-pixel (the shared width bucket changes the upsample
+    grid), like `width_bucketing`; detection quality is floor-tested.
+    Worth it when the per-dispatch latency is large relative to the
+    forward (remote/tunneled links, many small pages).
+    """
+    retss = _compute_segmentation_maps(model, ims)
+    return [_vectorize_page(model, im, rets) for im, rets in zip(ims, retss)]
 
 
 def segmentation_pred(model: 'VGSLModel', im: 'Image.Image') -> Segmentation:
@@ -260,11 +312,16 @@ def segmentation_pred(model: 'VGSLModel', im: 'Image.Image') -> Segmentation:
     Runs full-page baseline segmentation: heatmaps → regions → lines →
     region association → reading order.
     """
-    config = model._inf_config
     if model.input[1] == 1 and model.one_channel_mode == '1' and not is_bitonal(im):
         logger.warning(f'Running binary model on non-binary input image (mode {im.mode}). '
                        'This will result in severely degraded performance')
     rets = _compute_segmentation_map(model, im)
+    return _vectorize_page(model, im, rets)
+
+
+def _vectorize_page(model: 'VGSLModel', im: 'Image.Image', rets: dict) -> Segmentation:
+    """Host half of page segmentation: regions → lines → association → RO."""
+    config = model._inf_config
     regions = vec_regions(**rets)
 
     line_regs = []

@@ -24,7 +24,9 @@ def process_pages(images: Iterable,
                   segmenter: Callable,
                   prefetch: int = 2,
                   raise_on_error: bool = False,
-                  stream_batches: bool = True):
+                  stream_batches: bool = True,
+                  segmenter_batch: Optional[Callable] = None,
+                  seg_batch: int = 1):
     """
     Generator yielding (image, segmentation, records) per page.
 
@@ -33,7 +35,8 @@ def process_pages(images: Iterable,
                 page decoding).
         model: a recognition model prepared with prepare_for_inference.
         segmenter: im -> Segmentation (host stage, runs in the prefetch pool).
-        prefetch: number of pages segmented ahead of recognition.
+        prefetch: number of pages (or page groups) segmented ahead of
+                recognition.
         raise_on_error: raise instead of skipping failed pages.
         stream_batches: fill recognition batches across page boundaries
                 (inference.recognition.recognition_stream) so partial pages
@@ -42,33 +45,55 @@ def process_pages(images: Iterable,
                 to per-page prediction (confidences to float tolerance);
                 set False to force the page-at-a-time engine (e.g. for
                 models without a prepared recognition forward).
+        segmenter_batch: [im, ...] -> [Segmentation, ...] — batched
+                segmentation (e.g. inference.segmentation's
+                segmentation_pred_batch: one network dispatch per page
+                group, amortizing per-dispatch latency on remote links).
+        seg_batch: pages per batched segmentation call (used with
+                segmenter_batch; 1 keeps the per-page path).
     """
-    def _segment(item):
-        im = item() if callable(item) else item
-        getattr(im, 'load', lambda: None)()
-        return im, segmenter(im)
+    def _segment(items):
+        ims = []
+        for item in items:
+            im = item() if callable(item) else item
+            getattr(im, 'load', lambda: None)()
+            ims.append(im)
+        if segmenter_batch is not None and len(ims) > 1:
+            return list(zip(ims, segmenter_batch(ims)))
+        return [(im, segmenter(im)) for im in ims]
 
+    group_n = max(1, seg_batch) if segmenter_batch is not None else 1
     pool = ThreadPoolExecutor(max_workers=max(1, prefetch))
     try:
         queue = deque()
         iterator = iter(images)
-        for item in iterator:
-            queue.append(pool.submit(_segment, item))
-            if len(queue) >= max(1, prefetch):
+
+        def _next_group():
+            group = []
+            for item in iterator:
+                group.append(item)
+                if len(group) == group_n:
+                    break
+            return group or None
+
+        while len(queue) < max(1, prefetch):
+            group = _next_group()
+            if group is None:
                 break
+            queue.append(pool.submit(_segment, group))
 
         def _pages():
             while queue:
                 future = queue.popleft()
-                nxt = next(iterator, None)
+                nxt = _next_group()
                 if nxt is not None:
                     queue.append(pool.submit(_segment, nxt))
                 try:
-                    yield future.result()
+                    yield from future.result()
                 except Exception:
                     if raise_on_error:
                         raise
-                    logger.warning('Skipping failed page.', exc_info=True)
+                    logger.warning('Skipping failed page group.', exc_info=True)
 
         if stream_batches and getattr(model, '_rec_fwd', None) is not None:
             from kraken_tpu.inference.recognition import recognition_stream

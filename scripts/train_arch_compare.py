@@ -29,6 +29,24 @@ SPECS = {
 }
 
 
+_ARROW = None
+
+
+def _corpus_arrow():
+    """Compiles the fixture lines into an arrow once (lines pre-extracted;
+    'path' format re-extracts every epoch, dominating wall time)."""
+    global _ARROW
+    if _ARROW is None:
+        from kraken_tpu.dataset.arrow import build_binary_dataset
+        out = pathlib.Path(tempfile.mkdtemp()) / 'corpus.arrow'
+        build_binary_dataset(
+            files=[str(RES / 'merge_tests' / f'{n}.jpg')
+                   for n in ('0006', '0007', '0008', '0021')],
+            output_file=str(out), format_type='path')
+        _ARROW = str(out)
+    return _ARROW
+
+
 def train_one(name: str, spec: str, epochs: int):
     from kraken_tpu.configs import (RecognitionTrainingConfig,
                                     RecognitionTrainingDataConfig)
@@ -37,14 +55,12 @@ def train_one(name: str, spec: str, epochs: int):
 
     tmp = pathlib.Path(tempfile.mkdtemp())
     config = RecognitionTrainingConfig(
-        spec=spec, epochs=epochs, quit='fixed', lrate=1e-3, warmup=50,
-        freq=50, batch_size=8, checkpoint_path=str(tmp / name))
+        spec=spec, epochs=epochs, quit='fixed', lrate=3e-3, warmup=100,
+        freq=100, batch_size=8, checkpoint_path=str(tmp / name))
     dc = RecognitionTrainingDataConfig(
-        format_type='path',
-        training_data=[str(RES / 'merge_tests' / f'{n}.jpg')
-                       for n in ('0006', '0007', '0008', '0021')],
-        evaluation_data=[str(RES / 'merge_tests' / f'{n}.jpg')
-                         for n in ('0006', '0007', '0008', '0021')],
+        format_type='binary',
+        training_data=[_corpus_arrow()],
+        evaluation_data=[_corpus_arrow()],
         batch_size=8)
     module = RecognitionModel(config)
     t0 = time.perf_counter()
@@ -63,7 +79,7 @@ def train_one(name: str, spec: str, epochs: int):
 
 
 def main():
-    epochs = 600
+    epochs = 2500
     if '--epochs' in sys.argv:
         epochs = int(sys.argv[sys.argv.index('--epochs') + 1])
     results = []

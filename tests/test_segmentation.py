@@ -247,3 +247,66 @@ def test_fused_ridge_matches_host_path(resources):
     for a, b in zip(segs[True].lines, segs[False].lines):
         assert a.baseline == b.baseline
         assert a.boundary == b.boundary
+
+
+def test_segmentation_pred_batch_quality(resources):
+    """Page-batched segmentation (one dispatch per page group) detects the
+    same lines as per-page prediction; geometry may differ at the shared
+    width bucket's bilinear half-pixel."""
+    import warnings
+
+    import numpy as np
+    from PIL import Image
+    from kraken_tpu.configs import SegmentationInferenceConfig
+    from kraken_tpu.models import load_models
+    from kraken_tpu.inference.segmentation import (prepare_segmentation,
+                                                   segmentation_pred,
+                                                   segmentation_pred_batch)
+    from kraken_tpu.lib.segmentation_metrics import (compute_detection_metrics,
+                                                     interpolate_polyline)
+
+    im = Image.open(resources / '170025120000003,0074.jpg')
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore')
+        m = load_models(resources / 'blla_small.safetensors')[0]
+        prepare_segmentation(m, SegmentationInferenceConfig())
+        single = segmentation_pred(m, im)
+        batched = segmentation_pred_batch(m, [im, im])
+    assert len(batched) == 2
+    ref = [interpolate_polyline(np.array(l.baseline, float)) for l in single.lines]
+    for seg in batched:
+        pred = [interpolate_polyline(np.array(l.baseline, float)) for l in seg.lines]
+        det = compute_detection_metrics(pred, ref, tol=10.0)
+        assert det['f1'] >= 0.95, det
+
+
+def test_process_pages_segmenter_batch(resources):
+    """process_pages with a batched segmenter yields every page in order."""
+    import warnings
+
+    from PIL import Image
+    from kraken_tpu.configs import (RecognitionInferenceConfig,
+                                    SegmentationInferenceConfig)
+    from kraken_tpu.models import load_models
+    from kraken_tpu.inference.segmentation import (prepare_segmentation,
+                                                   segmentation_pred,
+                                                   segmentation_pred_batch)
+    from kraken_tpu.pipeline import process_pages
+
+    im = Image.open(resources / '170025120000003,0074.jpg')
+    im.load()  # shared across prefetch threads: decode once up front
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore')
+        seg_model = load_models(resources / 'blla_small.safetensors')[0]
+        prepare_segmentation(seg_model, SegmentationInferenceConfig())
+        rec_model = load_models(resources / 'overfit_bl.safetensors')[0]
+        rec_model.prepare_for_inference(RecognitionInferenceConfig(
+            batch_size=8, num_line_workers=0))
+        out = list(process_pages(
+            [im] * 3, rec_model,
+            lambda p: segmentation_pred(seg_model, p),
+            segmenter_batch=lambda ps: segmentation_pred_batch(seg_model, ps),
+            seg_batch=2))
+    assert len(out) == 3
+    for _im, seg, recs in out:
+        assert len(recs) == len(seg.lines) > 0
