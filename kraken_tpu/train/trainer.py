@@ -103,6 +103,13 @@ class KrakenTrainer:
         module.setup('fit', datamodule)
 
         train_loader = datamodule.train_dataloader()
+        if len(train_loader) == 0:
+            # drop_last with batch_size > dataset size would silently train
+            # for zero steps per epoch
+            raise ValueError(
+                f'Training dataloader yields no batches: batch size '
+                f'({getattr(datamodule.config, "batch_size", "?")}) exceeds '
+                f'the training set size with drop_last. Lower the batch size.')
         steps_per_epoch = max(1, len(train_loader))
         tx = build_optimizer(config, steps_per_epoch)
         params = module.net.params

@@ -463,3 +463,25 @@ def test_tpu_spec_preset_trains(resources, tmp_path):
     module = RecognitionModel(config)
     KrakenTrainer(config, fast_dev_run=True).fit(module, dm)
     assert module.net.output[1] > 0
+
+
+def test_trainer_rejects_empty_dataloader(resources, tmp_path):
+    """batch_size > dataset size with drop_last must error, not silently
+    run zero training steps per epoch."""
+    import pytest as _pytest
+
+    from kraken_tpu.configs import (RecognitionTrainingConfig,
+                                    RecognitionTrainingDataConfig)
+    from kraken_tpu.train import (KrakenTrainer, RecognitionDataModule,
+                                  RecognitionModel)
+
+    config = RecognitionTrainingConfig(
+        spec='[1,48,0,1 Cr3,3,4,2,2 S1(1x0)1,3 O1c4]',
+        epochs=1, quit='fixed', checkpoint_path=str(tmp_path / 'm'))
+    dc = RecognitionTrainingDataConfig(
+        format_type='binary', batch_size=512,
+        training_data=[str(resources / 'merge_tests' / 'base.arrow')],
+        evaluation_data=[str(resources / 'merge_tests' / 'base.arrow')])
+    with _pytest.raises(ValueError, match='no batches'):
+        KrakenTrainer(config).fit(RecognitionModel(config),
+                                  RecognitionDataModule(dc))
