@@ -55,13 +55,13 @@ def train_one(name: str, spec: str, epochs: int):
 
     tmp = pathlib.Path(tempfile.mkdtemp())
     config = RecognitionTrainingConfig(
-        spec=spec, epochs=epochs, quit='fixed', lrate=3e-3, warmup=100,
-        freq=100, batch_size=8, checkpoint_path=str(tmp / name))
+        spec=spec, epochs=epochs, quit='fixed', lrate=3e-3, warmup=20,
+        freq=100, batch_size=4, checkpoint_path=str(tmp / name))
     dc = RecognitionTrainingDataConfig(
         format_type='binary',
         training_data=[_corpus_arrow()],
         evaluation_data=[_corpus_arrow()],
-        batch_size=8)
+        batch_size=4)
     module = RecognitionModel(config)
     t0 = time.perf_counter()
     KrakenTrainer(config).fit(module, RecognitionDataModule(dc))
@@ -79,7 +79,7 @@ def train_one(name: str, spec: str, epochs: int):
 
 
 def main():
-    epochs = 2500
+    epochs = 1000
     if '--epochs' in sys.argv:
         epochs = int(sys.argv[sys.argv.index('--epochs') + 1])
     results = []
