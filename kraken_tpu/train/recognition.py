@@ -158,7 +158,14 @@ class RecognitionDataModule:
             self.test_set = _Subset(test_ds, range(len(test_ds)))
 
     def _loader(self, subset, shuffle):
-        return DataLoader(subset, batch_size=self.config.batch_size,
+        batch_size = self.config.batch_size
+        if shuffle and len(subset) and len(subset) < batch_size:
+            # drop_last with batch_size > dataset size would otherwise train
+            # zero steps per epoch (common with tiny fine-tuning corpora)
+            logger.warning(f'Batch size {batch_size} exceeds training set size '
+                           f'{len(subset)}; clamping to one full-set batch.')
+            batch_size = len(subset)
+        return DataLoader(subset, batch_size=batch_size,
                           shuffle=shuffle, drop_last=shuffle,
                           collate_fn=bucket_collate,
                           num_workers=self.config.num_workers)

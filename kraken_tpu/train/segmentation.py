@@ -84,7 +84,11 @@ class SegmentationDataModule:
             self.test_set = self._build(cfg.test_data or cfg.evaluation_data)
 
     def train_dataloader(self):
-        return DataLoader(self.train_set, batch_size=self.config.batch_size,
+        batch_size = min(self.config.batch_size, max(1, len(self.train_set)))
+        if batch_size < self.config.batch_size:
+            logger.warning(f'Batch size {self.config.batch_size} exceeds training '
+                           f'set size {len(self.train_set)}; clamping.')
+        return DataLoader(self.train_set, batch_size=batch_size,
                           shuffle=True, drop_last=True, collate_fn=_seg_collate,
                           num_workers=self.config.num_workers)
 

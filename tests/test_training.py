@@ -465,10 +465,12 @@ def test_tpu_spec_preset_trains(resources, tmp_path):
     assert module.net.output[1] > 0
 
 
-def test_trainer_rejects_empty_dataloader(resources, tmp_path):
-    """batch_size > dataset size with drop_last must error, not silently
-    run zero training steps per epoch."""
-    import pytest as _pytest
+def test_oversized_batch_clamps_not_zero_steps(resources, tmp_path, caplog):
+    """batch_size > dataset size with drop_last must clamp to one full-set
+    batch (with a warning), not silently run zero training steps per
+    epoch; a dataloader that still yields no batches is a hard error
+    (train/trainer.py guard)."""
+    import logging
 
     from kraken_tpu.configs import (RecognitionTrainingConfig,
                                     RecognitionTrainingDataConfig)
@@ -477,11 +479,15 @@ def test_trainer_rejects_empty_dataloader(resources, tmp_path):
 
     config = RecognitionTrainingConfig(
         spec='[1,48,0,1 Cr3,3,4,2,2 S1(1x0)1,3 O1c4]',
-        epochs=1, quit='fixed', checkpoint_path=str(tmp_path / 'm'))
+        epochs=2, quit='fixed', freq=1, checkpoint_path=str(tmp_path / 'm'))
     dc = RecognitionTrainingDataConfig(
         format_type='binary', batch_size=512,
         training_data=[str(resources / 'merge_tests' / 'base.arrow')],
         evaluation_data=[str(resources / 'merge_tests' / 'base.arrow')])
-    with _pytest.raises(ValueError, match='no batches'):
-        KrakenTrainer(config).fit(RecognitionModel(config),
-                                  RecognitionDataModule(dc))
+    module = RecognitionModel(config)
+    with caplog.at_level(logging.WARNING):
+        KrakenTrainer(config).fit(module, RecognitionDataModule(dc))
+    assert any('clamping' in r.message for r in caplog.records)
+    # training actually stepped: metrics carry a real loss
+    assert module.net.user_metadata['metrics']
+    assert all('loss' in m for _, m in module.net.user_metadata['metrics'])
