@@ -253,10 +253,13 @@ def _compute_segmentation_maps(model: 'VGSLModel', ims: list) -> list[dict[str, 
     # seq_lens so the padding-aware GroupNorm layers exclude the shared
     # width bucket's zero pad from their statistics — without this the pad
     # shifts every activation of narrower pages in the batch.
-    seq_lens = None
     if any(p['tensor'].shape[2] != max_w for p in pages):
         seq_lens = jnp.asarray([p['tensor'].shape[2] for p in pages], jnp.int32)
-    out = model._seg_fwd(model._inf_params, x, max_padded_h, max_w, seq_lens)
+        out = model._seg_fwd(model._inf_params, x, max_padded_h, max_w, seq_lens)
+    else:
+        # unpadded batch: omit seq_lens so externally-supplied forwards
+        # (e.g. the bench's torch mirror) keep their 4-arg signature
+        out = model._seg_fwd(model._inf_params, x, max_padded_h, max_w)
     if isinstance(out, tuple):
         heat_all, ridges_all = np.asarray(out[0]), np.asarray(out[1])
     else:
