@@ -132,7 +132,7 @@ def _flagship_model():
     return model
 
 
-def _steady_throughput(run_once, n_pages: int, passes: int = 2):
+def _steady_throughput(run_once, n_pages: int, passes: int = 3):
     """
     Pages/sec measured two ways: `steady` is the marginal throughput
     (n-1) / (T_n - T_1) — wall time of an n-page run minus a 1-page run,
@@ -140,20 +140,24 @@ def _steady_throughput(run_once, n_pages: int, passes: int = 2):
     is what a long document converges to. `total` is the fill-inclusive
     n / T_n. Both backends use the identical formula; end-to-end wall
     times are burst-robust (per-page emission intervals are not, because
-    the streaming engine drains several pages at once). Best of `passes`
-    (the 1-core host's scheduling noise swings 2-3x between minutes).
+    the streaming engine drains several pages at once). T_1 and T_n are
+    PAIRED per pass and the best difference taken: the host's scheduling
+    noise swings 2-3x between minutes, and an unpaired best-T_1 minus a
+    noise-hit best-T_n poisons the marginal upward (observed: a stall in
+    one 8-page pass inflating the round-2 steady numbers ~40%).
     """
-    best_t1 = best_tn = float('inf')
+    best_tn = best_marginal = float('inf')
     for _ in range(passes):
         t0 = time.perf_counter()
         run_once(1)
-        best_t1 = min(best_t1, time.perf_counter() - t0)
+        t1 = time.perf_counter() - t0
         t0 = time.perf_counter()
         run_once(n_pages)
-        best_tn = min(best_tn, time.perf_counter() - t0)
+        tn = time.perf_counter() - t0
+        best_tn = min(best_tn, tn)
+        best_marginal = min(best_marginal, tn - t1)
     total = n_pages / best_tn
-    marginal = best_tn - best_t1
-    steady = (n_pages - 1) / marginal if marginal > 0 else total
+    steady = (n_pages - 1) / best_marginal if best_marginal > 0 else total
     return steady, total
 
 

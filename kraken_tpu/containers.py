@@ -331,7 +331,8 @@ class BaselineOCRRecord(ocr_record, BaselineLine):
                  base_dir: Optional[Literal['L', 'R']] = None,
                  display_order: bool = True,
                  logits=None,
-                 image=None) -> None:
+                 image=None,
+                 _sections=None) -> None:
         if not isinstance(line, dict):
             line = asdict(line)
         if line['type'] != 'baselines':
@@ -340,7 +341,13 @@ class BaselineOCRRecord(ocr_record, BaselineLine):
         self._line_base_dir = self.base_dir
         self.base_dir = base_dir
         ocr_record.__init__(self, prediction, cuts, confidences, display_order, logits, image)
-        if self.baseline and self.boundary and self._cuts:
+        if _sections is not None:
+            # internal reorder fast path: sections already computed for the
+            # same baseline/boundary, just permuted by the caller
+            (self._polygon_cuts,
+             self._intersection_cache,
+             self._bl_length) = _sections
+        elif self.baseline and self.boundary and self._cuts:
             (self._polygon_cuts,
              self._intersection_cache,
              self._bl_length) = precompute_polygon_sections(self.baseline, self.boundary, self._cuts)
@@ -423,7 +430,11 @@ class BaselineOCRRecord(ocr_record, BaselineLine):
                                  base_dir=base_dir,
                                  display_order=not self._display_order,
                                  logits=self.logits,
-                                 image=self.image)
+                                 image=self.image,
+                                 _sections=([self._polygon_cuts[idx] for idx in order],
+                                            self._intersection_cache,
+                                            self._bl_length)
+                                 if len(self._polygon_cuts) == len(self._cuts) else None)
 
 
 class BBoxOCRRecord(ocr_record, BBoxLine):

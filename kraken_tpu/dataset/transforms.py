@@ -32,7 +32,13 @@ __all__ = ['ImageInputTransforms']
 def _fixed_resize(img: Image.Image, scale: tuple[int, int],
                   resample=Image.Resampling.LANCZOS,
                   reducing_gap=None) -> Image.Image:
-    """Resize to (height, width), inferring a 0-valued dim proportionally."""
+    """
+    Resize to (height, width), inferring a 0-valued dim proportionally.
+
+    Stays on PIL's Lanczos: the reference's golden decodes
+    (tests/test_rpred.py) are pinned to PIL resampling semantics — a cv2
+    INTER_AREA swap measured ~5x faster but flips golden predictions.
+    """
     w, h = img.size
     oh, ow = scale
     if oh == 0:
@@ -143,8 +149,16 @@ class ImageInputTransforms:
             arr = arr[None, :, :]
         else:
             arr = arr.transpose(2, 0, 1)
-        arr = arr.astype(self._dtype) / 255.0
-        arr = arr.max() - arr
+        if self._dtype == np.uint8:
+            # integer fast path for byte device uploads: max-arr on uint8 is
+            # bit-identical to round(clip(max/255 - arr/255, 0, 1)*255), so
+            # the device (which divides by 255 after transfer) sees exactly
+            # the float pipeline's quantized payload without three float
+            # full-array passes per line
+            arr = arr.max() - arr
+        else:
+            arr = arr.astype(self._dtype) / 255.0
+            arr = arr.max() - arr
         return np.transpose(arr, self._perm)
 
     # ---------------------------------------------------------- properties

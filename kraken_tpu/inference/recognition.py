@@ -176,9 +176,12 @@ def _produce_entries(model: 'VGSLModel', im: 'Image.Image',
         empty_cls = BBoxOCRRecord
 
     batch, channels, height, width = model.input
+    # byte uploads: produce uint8 line tensors directly (bit-identical to
+    # quantizing the float pipeline; see ImageInputTransforms.tail)
+    transfer_u8 = getattr(config, 'input_transfer', 'float') == 'uint8'
     transforms = ImageInputTransforms(batch, height, width, channels,
                                       (config.padding, 0), valid_norm,
-                                      dtype=np.float32)
+                                      dtype=np.uint8 if transfer_u8 else np.float32)
 
     legacy = False
     if model.use_legacy_polygons and segmentation.type == 'baselines':
@@ -228,32 +231,38 @@ def recognition_pred(model: 'VGSLModel', im: 'Image.Image',
     next_emit = 0
 
     # one-deep batch pipeline: the newest batch computes on device while the
-    # previous batch's (already materialized) outputs decode on the host
+    # previous batch's (already materialized) outputs decode on the host.
+    # Dispatch runs on a single background worker so the host-to-device
+    # upload (which releases the GIL) overlaps line extraction.
     pending: list = []
+    dispatcher = ThreadPoolExecutor(max_workers=1)
 
     def _flush(drain: bool = False):
         if queue:
-            pending.append(_dispatch_batch(model, list(queue)))
+            pending.append(dispatcher.submit(_dispatch_batch, model, list(queue)))
             queue.clear()
         while pending and (drain or len(pending) > 1):
-            outputs, lines = pending.pop(0)
+            outputs, lines = pending.pop(0).result()
             for rec, idx in _decode_batch_results(model, outputs, lines):
                 results[idx] = rec
 
-    for kind, line_idx, payload in _produce_entries(model, im, segmentation):
-        if kind == 'empty':
-            results[line_idx] = payload
-        else:
-            queue.append(payload)
-            if len(queue) == config.batch_size:
-                _flush()
+    try:
+        for kind, line_idx, payload in _produce_entries(model, im, segmentation):
+            if kind == 'empty':
+                results[line_idx] = payload
+            else:
+                queue.append(payload)
+                if len(queue) == config.batch_size:
+                    _flush()
+            while next_emit < n_lines and results[next_emit] is not None:
+                yield results[next_emit]
+                next_emit += 1
+        _flush(drain=True)
         while next_emit < n_lines and results[next_emit] is not None:
             yield results[next_emit]
             next_emit += 1
-    _flush(drain=True)
-    while next_emit < n_lines and results[next_emit] is not None:
-        yield results[next_emit]
-        next_emit += 1
+    finally:
+        dispatcher.shutdown(wait=False)
 
 
 def recognition_stream(model: 'VGSLModel', pages, raise_on_error: bool = False):
@@ -283,10 +292,16 @@ def recognition_stream(model: 'VGSLModel', pages, raise_on_error: bool = False):
     pending: list = []      # [( (outputs, lines), states ), ...]
     order: deque = deque()  # page states in arrival order
 
+    # dispatch on a single background worker: the host-to-device upload
+    # (GIL-released) overlaps extraction of the next lines; FIFO order is
+    # preserved by the single worker
+    dispatcher = ThreadPoolExecutor(max_workers=1)
+
     def _decode_ready(drain: bool = False):
         while pending and (drain or len(pending) > 1):
-            (outputs, lines), states = pending.pop(0)
+            future, states = pending.pop(0)
             try:
+                outputs, lines = future.result()
                 for (rec, line_idx), st in zip(_decode_batch_results(model, outputs, lines),
                                                states):
                     st['results'][line_idx] = rec
@@ -294,22 +309,15 @@ def recognition_stream(model: 'VGSLModel', pages, raise_on_error: bool = False):
             except Exception:
                 if raise_on_error:
                     raise
-                logger.warning('Recognition batch decode failed; dropping '
-                               'affected pages.', exc_info=True)
+                logger.warning('Recognition batch dispatch/decode failed; '
+                               'dropping affected pages.', exc_info=True)
                 for st in states:
                     st['failed'] = True
 
     def _flush(drain: bool = False):
         if queue:
-            try:
-                pending.append((_dispatch_batch(model, list(queue)), list(qstates)))
-            except Exception:
-                if raise_on_error:
-                    raise
-                logger.warning('Recognition batch dispatch failed; dropping '
-                               'affected pages.', exc_info=True)
-                for st in qstates:
-                    st['failed'] = True
+            pending.append((dispatcher.submit(_dispatch_batch, model, list(queue)),
+                            list(qstates)))
             queue.clear()
             qstates.clear()
         _decode_ready(drain)
@@ -320,28 +328,31 @@ def recognition_stream(model: 'VGSLModel', pages, raise_on_error: bool = False):
             if not st['failed']:
                 yield st['im'], st['seg'], st['results']
 
-    for im, seg in pages:
-        st = {'im': im, 'seg': seg, 'n': len(seg.lines),
-              'results': [None] * len(seg.lines), 'done': 0, 'failed': False}
-        order.append(st)
-        try:
-            for kind, line_idx, payload in _produce_entries(model, im, seg):
-                if kind == 'empty':
-                    st['results'][line_idx] = payload
-                    st['done'] += 1
-                else:
-                    queue.append(payload)
-                    qstates.append(st)
-                    if len(queue) == config.batch_size:
-                        _flush()
-        except Exception:
-            if raise_on_error:
-                raise
-            logger.warning('Skipping failed page.', exc_info=True)
-            st['failed'] = True
+    try:
+        for im, seg in pages:
+            st = {'im': im, 'seg': seg, 'n': len(seg.lines),
+                  'results': [None] * len(seg.lines), 'done': 0, 'failed': False}
+            order.append(st)
+            try:
+                for kind, line_idx, payload in _produce_entries(model, im, seg):
+                    if kind == 'empty':
+                        st['results'][line_idx] = payload
+                        st['done'] += 1
+                    else:
+                        queue.append(payload)
+                        qstates.append(st)
+                        if len(queue) == config.batch_size:
+                            _flush()
+            except Exception:
+                if raise_on_error:
+                    raise
+                logger.warning('Skipping failed page.', exc_info=True)
+                st['failed'] = True
+            yield from _completed()
+        _flush(drain=True)
         yield from _completed()
-    _flush(drain=True)
-    yield from _completed()
+    finally:
+        dispatcher.shutdown(wait=False)
 
 
 def _dispatch_batch(model: 'VGSLModel', lines: list):
@@ -364,12 +375,17 @@ def _dispatch_batch(model: 'VGSLModel', lines: list):
     if mesh is not None:
         # additionally pad up to mesh divisibility
         n = -(-n // mesh.devices.size) * mesh.devices.size
-    batch = np.zeros((n, c, h, max_w), np.float32)
+    transfer_u8 = getattr(config, 'input_transfer', 'float') == 'uint8'
+    lines_u8 = lines[0][0].dtype == np.uint8
+    batch = np.zeros((n, c, h, max_w),
+                     np.uint8 if lines_u8 else np.float32)
     for i, (ts, *_) in enumerate(lines):
         batch[i, :, :, :ts.shape[2]] = ts
     seq_lens = np.full((n,), max_w, np.int32)
     seq_lens[:len(widths)] = widths
-    if getattr(config, 'input_transfer', 'float') == 'uint8':
+    if lines_u8:
+        payload = batch  # already the quantized byte payload
+    elif transfer_u8:
         payload = np.round(np.clip(batch, 0, 1) * 255).astype(np.uint8)
     else:
         payload = batch.astype(model._m_dtype)
@@ -391,9 +407,10 @@ def _decode_batch_results(model: 'VGSLModel', outputs, lines: list):
     """
     config = model._inf_config
     probs, labels, confs, olens = outputs
-    labels = np.asarray(labels)
-    confs = np.asarray(confs)
-    olens = np.asarray(olens)
+    # one gather for all three decode tensors: device_get issues the
+    # host copies asynchronously before blocking, so the tunneled link
+    # pays one round trip instead of three sequential ones
+    labels, confs, olens = jax.device_get((labels, confs, olens))
 
     from kraken_tpu.ops.ctc import _group_runs, greedy_decoder
     use_fast_path = config.decoder is greedy_decoder

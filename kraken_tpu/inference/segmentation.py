@@ -261,7 +261,10 @@ def _compute_segmentation_maps(model: 'VGSLModel', ims: list) -> list[dict[str, 
         # (e.g. the bench's torch mirror) keep their 4-arg signature
         out = model._seg_fwd(model._inf_params, x, max_padded_h, max_w)
     if isinstance(out, tuple):
-        heat_all, ridges_all = np.asarray(out[0]), np.asarray(out[1])
+        # one async gather for both maps: a single tunnel round trip
+        # instead of two sequential blocking downloads
+        heat_all, ridges_all = jax.device_get((out[0], out[1]))
+        heat_all, ridges_all = np.asarray(heat_all), np.asarray(ridges_all)
     else:
         heat_all, ridges_all = np.asarray(out), None
 
