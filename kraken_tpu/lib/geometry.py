@@ -400,8 +400,12 @@ def _rotate_image(img: Image.Image, angle: float, cval: int = 0,
     # x_in = c*(x_out+minc) - s*(y_out+minr); y_in = s*(x_out+minc) + c*(y_out+minr)
     if img.mode in ('L', 'RGB', 'RGBA'):
         import cv2
-        inv = np.array([[c, -s, c * minc - s * minr],
-                        [s, c, s * minc + c * minr]], float)
+        # PIL's AFFINE samples at M*(x+0.5, y+0.5) (pixel-center convention);
+        # cv2 maps integer centers directly — fold the half-pixel shift into
+        # the translation so both paths agree (and angle 0 stays byte-exact:
+        # the correction cancels for the identity rotation)
+        inv = np.array([[c, -s, c * (minc + .5) - s * (minr + .5) - .5],
+                        [s, c, s * (minc + .5) + c * (minr + .5) - .5]], float)
         interp = cv2.INTER_LINEAR if order else cv2.INTER_NEAREST
         warped = cv2.warpAffine(np.asarray(img), inv, (out_w, out_h),
                                 flags=interp | cv2.WARP_INVERSE_MAP,

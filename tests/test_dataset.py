@@ -256,3 +256,30 @@ def test_input_transforms_invalid_channels(resources):
     with pytest.raises(KrakenInputException):
         ImageInputTransforms(batch=1, height=48, width=0, channels=4,
                              pad=(16, 0), valid_norm=False)
+
+
+def test_input_transforms_uint8_bit_identical(resources):
+    """The uint8 output mode (byte device uploads) must produce exactly the
+    quantized float pipeline's payload: round(clip(float_ts, 0, 1)*255) ==
+    uint8_ts for every pixel (inference/recognition.py dispatches this
+    payload verbatim when input_transfer='uint8')."""
+    import numpy as np
+    from PIL import Image
+    from kraken_tpu.dataset import ImageInputTransforms
+    for path, cfg in [
+            ('000236.png', dict(batch=1, height=48, width=0, channels=1,
+                                pad=(16, 0), valid_norm=False)),
+            ('000236.png', dict(batch=1, height=48, width=0, channels=1,
+                                pad=(1, 0), valid_norm=True)),  # centerline norm
+            ('170025120000003,0074.jpg', dict(batch=1, height=120, width=0,
+                                              channels=1, pad=(16, 0),
+                                              valid_norm=False))]:
+        im = Image.open(resources / path)
+        tf_f = ImageInputTransforms(**cfg, dtype=np.float32)
+        tf_u = ImageInputTransforms(**cfg, dtype=np.uint8)
+        f = tf_f(im)
+        u = tf_u(im)
+        assert u.dtype == np.uint8
+        assert f.shape == u.shape
+        q = np.round(np.clip(f, 0, 1) * 255).astype(np.uint8)
+        np.testing.assert_array_equal(q, u)
