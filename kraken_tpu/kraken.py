@@ -332,7 +332,15 @@ def process_pipeline(subcommands, input, batch_input, suffix, verbose,
 
 
 def _pdf_pages(path):
-    """Rasterizes PDF pages; requires an optional PDF backend."""
+    """Returns PDF pages as images.
+
+    Prefers a real rasterizer (pyvips, as the reference uses at
+    /root/reference/kraken/kraken.py:363-399, then PyMuPDF); without one,
+    falls back to the dependency-free scanned-PDF extractor
+    (`kraken_tpu.lib.pdf`) which pulls the embedded page images out of the
+    container at native resolution — covering the dominant OCR case
+    (scanned documents) with no native PDF backend installed.
+    """
     try:
         import pyvips
         doc = []
@@ -354,7 +362,14 @@ def _pdf_pages(path):
             pages.append(Image.open(_io.BytesIO(pix.tobytes('png'))))
         return pages
     except ImportError:
-        raise click.UsageError('PDF support requires pyvips or PyMuPDF, neither is installed.')
+        pass
+    from kraken_tpu.lib.pdf import PDFError, extract_page_images
+    try:
+        return list(extract_page_images(path))
+    except PDFError as e:
+        raise click.UsageError(
+            f'{e} (the built-in extractor handles scanned PDFs only; '
+            'install pyvips or PyMuPDF for full rasterization)')
 
 
 # -------------------------------------------------------------- subcommands
