@@ -273,6 +273,14 @@ RECOGNITION_SPEC_PRESETS = {
     'tpu': ('[1,120,0,1 Cr3,7,128,2,2 Gn32 Cr3,7,128,2,2 Gn32 '
             'Cr3,7,128,2,2 Gn32 S1(1x0)1,3 Lbx200 Do0.1,2 Lbx200 Do0.1,2 '
             'Lbx200 Do]'),
+    # 'tpu-attn' swaps the BiLSTM stack for rotary-attention encoder blocks
+    # (`Te`, a TPU grammar extension): every width position computes in
+    # parallel, removing the recurrence latency that bounds the LSTM
+    # presets — the fastest option for newly trained models
+    # (docs/architecture.md quality/throughput table)
+    'tpu-attn': ('[1,120,0,1 Cr3,7,128,2,2 Gn32 Cr3,7,128,2,2 Gn32 '
+                 'Cr3,7,128,2,2 Gn32 S1(1x0)1,3 Cl1,1,256 Te8,256,1024 '
+                 'Te8,256,1024 Te8,256,1024 Te8,256,1024 Do0.1,2]'),
 }
 
 

@@ -718,6 +718,132 @@ class TransposedSummarizingRNN(Layer):
 
 
 @dataclass(frozen=True)
+class TransformerEncoder(Layer):
+    """
+    Pre-LN transformer encoder block over the width axis (one VGSL `Te`
+    token per block): LN → rotary-embedded multi-head self-attention →
+    residual, LN → GELU FFN → residual.
+
+    This is a TPU-native *extension* of the reference's VGSL grammar (the
+    reference's recurrent option is lib/vgsl/layers.py:462-676): unlike the
+    BiLSTM stack, every width position computes in parallel — no serialized
+    timestep chain — so throughput is set by MXU GEMMs, not recurrence
+    latency. Positions beyond a sample's `seq_len` are masked out of the
+    attention softmax and zeroed on output, so bucket-padded batches are
+    numerically independent of the padding (same contract as GroupNorm
+    above). Requires H == 1 (apply after an `S1(1x0)1,3` collapse and a
+    projection to `dim` channels).
+    """
+    input_size: int
+    heads: int
+    dim: int
+    ffn_dim: int
+    dropout: float = 0.1
+
+    def __post_init__(self):
+        if self.input_size != self.dim:
+            raise ValueError(f'Te input channels ({self.input_size}) must '
+                             f'equal the block dim ({self.dim}); project '
+                             'with e.g. Cl1,1,{dim} first')
+        if self.dim % self.heads:
+            raise ValueError(f'Te dim {self.dim} not divisible by heads {self.heads}')
+        if (self.dim // self.heads) % 2:
+            raise ValueError('Te head dim must be even for rotary embeddings')
+
+    @property
+    def output_size(self) -> int:
+        return self.dim
+
+    def init(self, rng):
+        D, F = self.dim, self.ffn_dim
+        k = jax.random.split(rng, 4)
+        return {
+            'norm1.weight': jnp.ones((D,), jnp.float32),
+            'norm1.bias': jnp.zeros((D,), jnp.float32),
+            'attn.qkv.weight': _xavier_uniform(k[0], (3 * D, D)),
+            'attn.qkv.bias': jnp.zeros((3 * D,), jnp.float32),
+            'attn.out.weight': _xavier_uniform(k[1], (D, D)),
+            'attn.out.bias': jnp.zeros((D,), jnp.float32),
+            'norm2.weight': jnp.ones((D,), jnp.float32),
+            'norm2.bias': jnp.zeros((D,), jnp.float32),
+            'ffn.lin1.weight': _xavier_uniform(k[2], (F, D)),
+            'ffn.lin1.bias': jnp.zeros((F,), jnp.float32),
+            'ffn.lin2.weight': _xavier_uniform(k[3], (D, F)),
+            'ffn.lin2.bias': jnp.zeros((D,), jnp.float32),
+        }
+
+    @staticmethod
+    def _layernorm(x, w, b, eps=1e-5):
+        x32 = x.astype(jnp.float32)
+        mean = x32.mean(axis=-1, keepdims=True)
+        var = x32.var(axis=-1, keepdims=True)
+        return ((x32 - mean) * lax.rsqrt(var + eps) * w + b).astype(x.dtype)
+
+    @staticmethod
+    def _rope(x):
+        """Rotary position embedding over (B, h, W, d)."""
+        d = x.shape[-1]
+        W = x.shape[-2]
+        pos = jnp.arange(W, dtype=jnp.float32)[:, None]
+        inv = 10000.0 ** (-jnp.arange(0, d, 2, dtype=jnp.float32) / d)
+        ang = pos * inv[None, :]                       # (W, d/2)
+        cos, sin = jnp.cos(ang), jnp.sin(ang)
+        x1, x2 = x[..., 0::2], x[..., 1::2]
+        y1 = x1 * cos - x2 * sin
+        y2 = x1 * sin + x2 * cos
+        return jnp.stack([y1, y2], axis=-1).reshape(x.shape).astype(x.dtype)
+
+    def _block(self, params, x, mask, train, rng):
+        """(B, W, D) with additive mask (B, 1, 1, W)."""
+        B, W, D = x.shape
+        h, hd = self.heads, D // self.heads
+        p = {k: v.astype(x.dtype) for k, v in params.items()}
+        y = self._layernorm(x, p['norm1.weight'], p['norm1.bias'])
+        qkv = y @ p['attn.qkv.weight'].T + p['attn.qkv.bias']
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads_of(t):
+            return t.reshape(B, W, h, hd).transpose(0, 2, 1, 3)  # (B,h,W,hd)
+        q, k, v = heads_of(q), heads_of(k), heads_of(v)
+        q, k = self._rope(q), self._rope(k)
+        scores = (q @ jnp.swapaxes(k, -1, -2)).astype(jnp.float32) / math.sqrt(hd)
+        if mask is not None:
+            scores = scores + mask
+        attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        if train and self.dropout > 0 and rng is not None:
+            rng, sub = jax.random.split(rng)
+            attn = attn * jax.random.bernoulli(
+                sub, 1.0 - self.dropout, attn.shape).astype(attn.dtype) / (1.0 - self.dropout)
+        ctx = (attn @ v).transpose(0, 2, 1, 3).reshape(B, W, D)
+        x = x + ctx @ p['attn.out.weight'].T + p['attn.out.bias']
+        y = self._layernorm(x, p['norm2.weight'], p['norm2.bias'])
+        y = jax.nn.gelu(y @ p['ffn.lin1.weight'].T + p['ffn.lin1.bias'])
+        if train and self.dropout > 0 and rng is not None:
+            rng, sub = jax.random.split(rng)
+            y = y * jax.random.bernoulli(
+                sub, 1.0 - self.dropout, y.shape).astype(y.dtype) / (1.0 - self.dropout)
+        return x + y @ p['ffn.lin2.weight'].T + p['ffn.lin2.bias']
+
+    def apply(self, params, x, seq_len=None, output_shape=None, train=False, rng=None):
+        N, C, H, W = x.shape
+        if H != 1:
+            raise ValueError('Te blocks require height 1 (apply S1(1x0)1,3 first)')
+        y = x[:, :, 0, :].transpose(0, 2, 1)  # (N, W, C)
+        mask = None
+        if seq_len is not None:
+            lens = jnp.clip(seq_len, 1, W)
+            valid = jnp.arange(W)[None, :] < lens[:, None]          # (N, W)
+            mask = jnp.where(valid, 0.0, -1e9).astype(jnp.float32)[:, None, None, :]
+        y = self._block(params, y, mask, train, rng)
+        if seq_len is not None:
+            y = y * valid[:, :, None].astype(y.dtype)
+        return y.transpose(0, 2, 1)[:, :, None, :], seq_len
+
+    def get_shape(self, input: Shape) -> Shape:
+        return (input[0], self.dim, 1, input[3])
+
+
+@dataclass(frozen=True)
 class FusedConvPool(Layer):
     """
     Exact TPU rewrite of [ActConv2D(stride 1) → MaxPool(2,2)]: the input is

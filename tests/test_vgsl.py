@@ -297,3 +297,77 @@ def test_fused_conv_pool_inference_flag(resources):
             batch_size=4, num_line_workers=0, padding=1, fuse_conv_pools=flag))
         preds.append(next(vmodel.predict(im, seg)).prediction)
     assert preds[0] == preds[1]
+
+
+# ------------------------------------------------------- Te (transformer)
+
+def test_transformer_parse_and_shapes():
+    model = VGSLModel(vgsl='[1,48,0,1 Cr3,3,32,2,2 Gn32 S1(1x0)1,3 '
+                           'Cl1,1,64 Te4,64,128 Te4,64,128,20 O1c12]')
+    assert model.output == (1, 12, 1, 1)
+    te = [l for l in model.net.layers if isinstance(l, L.TransformerEncoder)]
+    assert len(te) == 2
+    assert te[0].heads == 4 and te[0].dim == 64 and te[0].ffn_dim == 128
+    assert te[0].dropout == pytest.approx(0.1)   # default
+    assert te[1].dropout == pytest.approx(0.2)   # explicit ,20
+    x = jnp.asarray(np.random.rand(2, 1, 48, 96).astype(np.float32))
+    y, sl = model.forward(x, seq_lens=jnp.asarray([96, 48]))
+    assert y.shape == (2, 12, 1, 48)
+    assert list(np.asarray(sl)) == [48, 24]
+
+
+def test_transformer_rejects_bad_dims():
+    with pytest.raises(ValueError, match='must equal'):
+        VGSLModel(vgsl='[1,48,0,1 Cr3,3,32,2,2 S1(1x0)1,3 Te4,64,128 O1c12]')
+    with pytest.raises(ValueError, match='divisible'):
+        L.TransformerEncoder(input_size=60, heads=7, dim=60, ffn_dim=120)
+
+
+def test_transformer_padding_independence():
+    """Bucket padding must not leak into valid positions: a sample padded
+    to a wider batch matches the same sample alone, up to fp32
+    reduction-order noise (attention reduces over different padded widths;
+    masked positions contribute exactly zero)."""
+    spec = ('[1,48,0,1 Cr3,3,32,2,2 Gn32 S1(1x0)1,3 Cl1,1,64 '
+            'Te4,64,128 Te4,64,128 O1c7]')
+    model = VGSLModel(vgsl=spec)
+    x = np.random.rand(2, 1, 48, 128).astype(np.float32)
+    x[1, :, :, 80:] = 0.0
+    y, _ = model.forward(jnp.asarray(x), seq_lens=jnp.asarray([128, 80]))
+    y1, _ = model.forward(jnp.asarray(x[1:2, :, :, :80]),
+                          seq_lens=jnp.asarray([80]))
+    w = y1.shape[-1]
+    np.testing.assert_allclose(np.asarray(y[1:2, :, :, :w]), np.asarray(y1),
+                               atol=5e-4)
+
+
+def test_transformer_state_dict_roundtrip(tmp_path):
+    from kraken_tpu.models import load_models, write_models
+    spec = ('[1,48,0,1 Cr3,3,32,2,2 S1(1x0)1,3 Cl1,1,64 Te4,64,128 O1c7]')
+    model = VGSLModel(vgsl=spec)
+    from kraken_tpu.codec import Codec
+    model.add_codec(Codec(' abcdef'))
+    path = tmp_path / 'te.safetensors'
+    write_models([model], str(path))
+    loaded = load_models(path)[0]
+    x = jnp.asarray(np.random.rand(1, 1, 48, 64).astype(np.float32))
+    y0, _ = model.forward(x)
+    y1, _ = loaded.forward(x)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+
+
+def test_transformer_coreml_write_rejected(tmp_path):
+    from kraken_tpu.models import write_models
+    spec = ('[1,48,0,1 Cr3,3,32,2,2 S1(1x0)1,3 Cl1,1,64 Te4,64,128 O1c7]')
+    model = VGSLModel(vgsl=spec)
+    from kraken_tpu.codec import Codec
+    model.add_codec(Codec(' abcdef'))
+    with pytest.raises(ValueError, match='TransformerEncoder'):
+        write_models([model], str(tmp_path / 'te.mlmodel'), format='coreml')
+
+
+def test_transformer_preset_parses():
+    from kraken_tpu.configs.base import RECOGNITION_SPEC_PRESETS
+    spec = RECOGNITION_SPEC_PRESETS['tpu-attn']
+    model = VGSLModel(vgsl=spec[:-1] + ' O1c17]')
+    assert model.output[1] == 17
