@@ -274,12 +274,16 @@ RECOGNITION_SPEC_PRESETS = {
             'Cr3,7,128,2,2 Gn32 S1(1x0)1,3 Lbx200 Do0.1,2 Lbx200 Do0.1,2 '
             'Lbx200 Do]'),
     # 'tpu-attn' swaps the BiLSTM stack for rotary-attention encoder blocks
-    # (`Te`, a TPU grammar extension): every width position computes in
-    # parallel, removing the recurrence latency that bounds the LSTM
-    # presets — the fastest option for newly trained models
-    # (docs/architecture.md quality/throughput table)
-    'tpu-attn': ('[1,120,0,1 Cr3,7,128,2,2 Gn32 Cr3,7,128,2,2 Gn32 '
-                 'Cr3,7,128,2,2 Gn32 S1(1x0)1,3 Cl1,1,256 Te8,256,1024 '
+    # (`Te`, a TPU grammar extension) behind the space-to-depth conv
+    # frontend. Measured on v5e (docs/architecture.md): best-in-grid
+    # small-batch latency (~23% below 'default' at batch 32 — recurrence
+    # latency gone) and 1.4x 'default' throughput at batch 512; at large
+    # batch the s2d conv stack dominates either sequence tail, so
+    # LSTM-vs-attention is throughput-neutral there and the choice is
+    # about latency, parallel training semantics, and model family.
+    'tpu-attn': ('[1,120,0,1 S1(30x4)1,3 Cr3,13,32 Do0.1,2 Mp2,2 '
+                 'Cr3,13,32 Do0.1,2 Mp2,2 Cr3,9,64 Do0.1,2 Mp2,2 '
+                 'Cr3,9,64 Do0.1,2 S1(1x0)1,3 Cl1,1,256 Te8,256,1024 '
                  'Te8,256,1024 Te8,256,1024 Te8,256,1024 Do0.1,2]'),
 }
 

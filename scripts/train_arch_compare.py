@@ -26,6 +26,7 @@ SPECS = {
                    'Cr3,13,32 Do0.1,2 Mp2,2 Cr3,9,64 Do0.1,2 Mp2,2 '
                    'Cr3,9,64 Do0.1,2 S1(1x0)1,3 Lbx200 Do0.1,2 Lbx200 '
                    'Do0.1,2 Lbx200 Do]'),
+    'tpu-attn': 'tpu-attn',  # rotary-attention encoder blocks (Te)
 }
 
 
@@ -82,8 +83,12 @@ def main():
     epochs = 1000
     if '--epochs' in sys.argv:
         epochs = int(sys.argv[sys.argv.index('--epochs') + 1])
+    specs = SPECS
+    if '--only' in sys.argv:
+        pick = sys.argv[sys.argv.index('--only') + 1]
+        specs = {pick: SPECS[pick]}
     results = []
-    for name, spec in SPECS.items():
+    for name, spec in specs.items():
         print(f'=== training {name} ({epochs} epochs) ===', flush=True)
         r = train_one(name, spec, epochs)
         print(json.dumps(r), flush=True)
