@@ -13,7 +13,7 @@ into the proper line/region classes on construction.
 """
 import copy
 from abc import ABC, abstractmethod
-from dataclasses import asdict, dataclass
+from dataclasses import asdict, dataclass, fields
 from typing import TYPE_CHECKING, Any, Literal, Optional, Union
 
 import numpy as np
@@ -27,6 +27,34 @@ if TYPE_CHECKING:
 
 __all__ = ['ProcessingStep', 'ocr_line', 'BaselineLine', 'BBoxLine', 'Region',
            'Segmentation', 'ocr_record', 'BaselineOCRRecord', 'BBoxOCRRecord']
+
+
+def _line_asdict(line) -> dict:
+    """`dataclasses.asdict` semantics for flat line records — independent
+    copies of geometry point lists and tag structures — without the generic
+    per-element dataclass recursion, which dominated OCR-record
+    construction in the e2e profile (~30 ms/page of pure `_asdict_inner`
+    calls for 45 lines). Equivalence with `asdict` is pinned by
+    tests/test_container.py."""
+    d = {}
+    for f in fields(line):
+        v = getattr(line, f.name)
+        if isinstance(v, list):
+            if v and isinstance(v[0], (list, tuple)):
+                # geometry: list of points (preserve per-point type)
+                d[f.name] = [p.copy() if isinstance(p, list) else tuple(p)
+                             for p in v]
+            elif any(isinstance(p, (list, tuple, dict)) for p in v):
+                d[f.name] = copy.deepcopy(v)
+            else:
+                d[f.name] = v.copy()
+        elif isinstance(v, dict):
+            d[f.name] = copy.deepcopy(v)
+        elif isinstance(v, tuple):
+            d[f.name] = tuple(v)
+        else:
+            d[f.name] = v
+    return d
 
 
 @dataclass
@@ -334,7 +362,7 @@ class BaselineOCRRecord(ocr_record, BaselineLine):
                  image=None,
                  _sections=None) -> None:
         if not isinstance(line, dict):
-            line = asdict(line)
+            line = _line_asdict(line)
         if line['type'] != 'baselines':
             raise TypeError('Invalid argument type (non-baseline line)')
         BaselineLine.__init__(self, **line)
@@ -454,7 +482,7 @@ class BBoxOCRRecord(ocr_record, BBoxLine):
                  logits=None,
                  image=None) -> None:
         if not isinstance(line, dict):
-            line = asdict(line)
+            line = _line_asdict(line)
         if line['type'] != 'bbox':
             raise TypeError('Invalid argument type (non-bbox line)')
         BBoxLine.__init__(self, **line)

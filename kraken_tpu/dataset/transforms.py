@@ -37,7 +37,14 @@ def _fixed_resize(img: Image.Image, scale: tuple[int, int],
 
     Stays on PIL's Lanczos: the reference's golden decodes
     (tests/test_rpred.py) are pinned to PIL resampling semantics — a cv2
-    INTER_AREA swap measured ~5x faster but flips golden predictions.
+    INTER_AREA swap measured ~5x faster but costs CER 0.095 on the
+    overfit parity fixture's baseline path (measured round 3), and
+    `reducing_gap` is a no-op at line-normalization factors (~1.25x,
+    below PIL's pre-reduce threshold, verified byte-identical goldens).
+    Line-height normalization is therefore pinned to exact PIL Lanczos;
+    trained models are sensitive to the resampling spectrum of their
+    inputs (see docs/architecture.md "Resampling is part of the model
+    contract").
     """
     w, h = img.size
     oh, ow = scale

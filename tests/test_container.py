@@ -446,3 +446,32 @@ def test_latin_bl_identities_and_slicing(latin_bl_rec):
     assert pred == 'iq'
     assert [list(p) for p in cut] == [[320, 373], [320, 419], [346, 423], [346, 375]]
     assert conf == pytest.approx(0.9998304, abs=1e-4)
+
+
+def test_line_asdict_matches_dataclasses_asdict():
+    """_line_asdict (the record-construction fast path) must be
+    observationally identical to dataclasses.asdict, including independent
+    copies of nested geometry/tags."""
+    from dataclasses import asdict
+    from kraken_tpu.containers import BBoxLine, BaselineLine, _line_asdict
+    bl = BaselineLine(id='l1', text='foo', base_dir='L',
+                      imagename='x.png',
+                      tags={'type': [{'type': 'default'}],
+                            'style': [{'type': 'bold'}, {'type': 'serif'}]},
+                      split='train', regions=['r1', 'r2'],
+                      language=['deu', 'lat'],
+                      baseline=[[0, 10], [100, 12]],
+                      boundary=[(0, 0), (100, 0), (100, 20), (0, 20)])
+    got, want = _line_asdict(bl), asdict(bl)
+    assert got == want
+    # independence: mutating the copy must not touch the source
+    got['baseline'][0][0] = 999
+    got['tags']['type'][0]['type'] = 'mutated'
+    got['regions'].append('r3')
+    assert bl.baseline[0][0] == 0
+    assert bl.tags['type'][0]['type'] == 'default'
+    assert bl.regions == ['r1', 'r2']
+
+    bb = BBoxLine(id='l2', bbox=(1, 2, 3, 4), text_direction='horizontal-rl',
+                  tags=None, regions=None)
+    assert _line_asdict(bb) == asdict(bb)
