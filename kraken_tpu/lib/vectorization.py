@@ -150,6 +150,10 @@ def _link_endpoints(skel: np.ndarray, extrema: np.ndarray) -> list[np.ndarray]:
     the reference's MCP_Connect whose wavefronts halt one step off the
     skeleton.
     """
+    from kraken_tpu import native
+    result = native.link_paths_native(skel, extrema)
+    if result is not None:
+        return result
     h, w = skel.shape
     halo = cv2.dilate(skel.astype(np.uint8), np.ones((3, 3), np.uint8)).astype(bool)
     nodes = np.transpose(np.nonzero(halo))
@@ -191,17 +195,20 @@ def _link_endpoints(skel: np.ndarray, extrema: np.ndarray) -> list[np.ndarray]:
             if key in seen_pairs:
                 continue
             seen_pairs.add(key)
-            # reconstruct path from j back to i
-            path = []
+            # reconstruct path from j back to i (collect flat indices and
+            # gather once — per-pixel ndarray appends dominated this loop)
+            idxs = []
+            pred_i = predecessors[i]
             cur = ep_ids[j]
+            target = ep_ids[i]
             while cur != -9999 and cur >= 0:
-                path.append(nodes[cur])
-                if cur == ep_ids[i]:
+                idxs.append(cur)
+                if cur == target:
                     break
-                cur = predecessors[i, cur]
+                cur = pred_i[cur]
             else:
                 continue
-            paths.append(np.array(path[::-1]))
+            paths.append(nodes[idxs[::-1]])
     return paths
 
 

@@ -20,7 +20,8 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
-__all__ = ['skeletonize_native', 'endpoints_native', 'available']
+__all__ = ['skeletonize_native', 'endpoints_native', 'link_paths_native',
+           'available']
 
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
@@ -76,6 +77,15 @@ def _load() -> Optional[ctypes.CDLL]:
                                    ctypes.c_int, ctypes.c_float,
                                    ctypes.POINTER(ctypes.c_uint8)]
         lib.line_seeds.restype = None
+        lib.link_endpoint_paths.argtypes = [ctypes.POINTER(ctypes.c_uint8),
+                                            ctypes.c_int, ctypes.c_int,
+                                            ctypes.POINTER(ctypes.c_int32),
+                                            ctypes.c_int, ctypes.c_double,
+                                            ctypes.POINTER(ctypes.c_int32),
+                                            ctypes.c_int,
+                                            ctypes.POINTER(ctypes.c_int32),
+                                            ctypes.c_int]
+        lib.link_endpoint_paths.restype = ctypes.c_int
         _LIB = lib
     except Exception as e:
         logger.warning(f'Failed to build/load native helpers: {e}')
@@ -150,3 +160,44 @@ def endpoints_native(skel: np.ndarray, max_pts: int = 100000) -> Optional[np.nda
                                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                                max_pts)
     return out[:n] - 1
+
+
+def link_paths_native(skel: np.ndarray, extrema: np.ndarray,
+                      limit: float = 3.0) -> Optional[list]:
+    """
+    Minimum-cost endpoint-pair paths through a skeleton + 1px halo (the
+    native counterpart of lib/vectorization._link_endpoints: identical
+    cost model and pair semantics; see skeletonize.cpp). Returns a list of
+    (N, 2) int arrays or None when the library is unavailable or the
+    preallocated output is exceeded (caller falls back to the scipy path).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    sk = np.ascontiguousarray(skel != 0, np.uint8)
+    eps = np.ascontiguousarray(extrema, np.int32)
+    if eps.size == 0:
+        return []
+    max_paths = len(eps) * (len(eps) - 1) // 2 + 1
+    cap = 2 * int(sk.sum() * 9 + 16) * min(len(eps), 8)
+    out_pts = np.empty(cap, np.int32)
+    out_lens = np.empty(max_paths, np.int32)
+    n = lib.link_endpoint_paths(
+        sk.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        sk.shape[0], sk.shape[1],
+        eps.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(eps), float(limit),
+        out_pts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), cap,
+        out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_paths)
+    if n < 0:
+        return None
+    paths = []
+    off = 0
+    # int64, matching the scipy path's `nodes` dtype (downstream geometry
+    # is dtype-sensitive: int32 coordinates changed seam-patch rounding)
+    pts = out_pts.reshape(-1, 2).astype(np.int64)
+    for k in range(n):
+        ln = int(out_lens[k])
+        paths.append(pts[off:off + ln])
+        off += ln
+    return paths

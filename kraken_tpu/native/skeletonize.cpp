@@ -7,6 +7,8 @@
 // (data-dependent iteration until fixpoint).
 #include <cstdint>
 #include <cstring>
+#include <queue>
+#include <utility>
 #include <vector>
 
 extern "C" {
@@ -168,6 +170,111 @@ void line_seeds(const uint8_t *bm, const uint8_t *tm, int h, int w,
                     seeds[static_cast<size_t>(y) * w + x] = 1;
         }
     }
+}
+
+// Minimum-cost endpoint linking over a skeleton + 1px halo (mirrors
+// lib/vectorization.py _link_endpoints: pixel entry cost 1e-4 on the
+// skeleton / 1.0 on the halo, undirected edge weight = min of the two
+// entry costs — scipy's undirected csr symmetrization — and a search
+// limit of `limit` total cost). Writes the concatenated (y, x) points of
+// each i->j path (i-major pair order, node-deduplicated) into out_pts
+// and per-path lengths into out_lens. Returns the number of paths, or
+// -1 when out_pts/out_lens capacity is exceeded (caller falls back).
+int link_endpoint_paths(const uint8_t *skel, int h, int w,
+                        const int32_t *eps, int n_eps, double limit,
+                        int32_t *out_pts, int cap,
+                        int32_t *out_lens, int max_paths) {
+    const size_t n = static_cast<size_t>(h) * w;
+    std::vector<uint8_t> halo(n, 0);
+    for (int y = 0; y < h; ++y)
+        for (int x = 0; x < w; ++x) {
+            if (!skel[static_cast<size_t>(y) * w + x]) continue;
+            const int y0 = y > 0 ? y - 1 : 0, y1 = y < h - 1 ? y + 1 : h - 1;
+            const int x0 = x > 0 ? x - 1 : 0, x1 = x < w - 1 ? x + 1 : w - 1;
+            for (int yy = y0; yy <= y1; ++yy)
+                for (int xx = x0; xx <= x1; ++xx)
+                    halo[static_cast<size_t>(yy) * w + xx] = 1;
+        }
+    std::vector<double> dist(n, 0.0);
+    std::vector<int64_t> pred(n, -1);
+    std::vector<int32_t> stamp(n, -1);
+    const int dy8[8] = {-1, -1, -1, 0, 0, 1, 1, 1};
+    const int dx8[8] = {-1, 0, 1, -1, 1, -1, 0, 1};
+    auto entry = [&](int64_t idx) { return skel[idx] ? 1e-4 : 1.0; };
+
+    std::vector<std::pair<int64_t, int64_t>> seen;  // deduped node-id pairs
+    int n_paths = 0;
+    int pts_used = 0;
+    typedef std::pair<double, int64_t> QE;
+    std::priority_queue<QE, std::vector<QE>, std::greater<QE>> pq;
+
+    for (int i = 0; i < n_eps; ++i) {
+        const int64_t src = static_cast<int64_t>(eps[2 * i]) * w + eps[2 * i + 1];
+        if (src < 0 || src >= static_cast<int64_t>(n) || !halo[src]) continue;
+        // Dijkstra from src, version-stamped with i
+        while (!pq.empty()) pq.pop();
+        dist[src] = 0.0;
+        pred[src] = -1;
+        stamp[src] = i;
+        pq.emplace(0.0, src);
+        while (!pq.empty()) {
+            const double d = pq.top().first;
+            const int64_t u = pq.top().second;
+            pq.pop();
+            if (stamp[u] != i || d > dist[u]) continue;
+            const int uy = static_cast<int>(u / w), ux = static_cast<int>(u % w);
+            const double eu = entry(u);
+            for (int k = 0; k < 8; ++k) {
+                const int vy = uy + dy8[k], vx = ux + dx8[k];
+                if (vy < 0 || vy >= h || vx < 0 || vx >= w) continue;
+                const int64_t v = static_cast<int64_t>(vy) * w + vx;
+                if (!halo[v]) continue;
+                const double ev = entry(v);
+                // tiny diagonal penalty: scipy's dijkstra breaks the
+                // equal-cost ties of a 2px-wide skeleton by heap insertion
+                // order (unreproducible); preferring straight steps breaks
+                // them deterministically and yields smoother paths
+                const double tie = (dy8[k] != 0 && dx8[k] != 0) ? 2e-5 : 0.0;
+                const double nd = d + (eu < ev ? eu : ev) + tie;
+                if (nd > limit) continue;
+                if (stamp[v] != i || nd < dist[v]) {
+                    stamp[v] = i;
+                    dist[v] = nd;
+                    pred[v] = u;
+                    pq.emplace(nd, v);
+                }
+            }
+        }
+        for (int j = i + 1; j < n_eps; ++j) {
+            const int64_t tgt = static_cast<int64_t>(eps[2 * j]) * w + eps[2 * j + 1];
+            if (tgt < 0 || tgt >= static_cast<int64_t>(n)) continue;
+            if (stamp[tgt] != i) continue;  // unreachable within limit
+            const int64_t lo = src < tgt ? src : tgt;
+            const int64_t hi = src < tgt ? tgt : src;
+            bool dup = false;
+            for (const auto &p : seen)
+                if (p.first == lo && p.second == hi) { dup = true; break; }
+            if (dup) continue;
+            seen.emplace_back(lo, hi);
+            // walk tgt -> src to get the length, then emit reversed
+            int len = 0;
+            for (int64_t cur = tgt;; cur = pred[cur]) {
+                ++len;
+                if (cur == src) break;
+                if (pred[cur] < 0) { len = -1; break; }
+            }
+            if (len < 0) continue;
+            if (n_paths >= max_paths || pts_used + len > cap / 2) return -1;
+            int64_t cur = tgt;
+            for (int p = len - 1; p >= 0; --p, cur = pred[cur]) {
+                out_pts[2 * (pts_used + p)] = static_cast<int32_t>(cur / w);
+                out_pts[2 * (pts_used + p) + 1] = static_cast<int32_t>(cur % w);
+            }
+            pts_used += len;
+            out_lens[n_paths++] = len;
+        }
+    }
+    return n_paths;
 }
 
 }  // extern "C"

@@ -310,3 +310,49 @@ def test_process_pages_segmenter_batch(resources):
     assert len(out) == 3
     for _im, seg, recs in out:
         assert len(recs) == len(seg.lines) > 0
+
+
+def test_native_endpoint_linking_matches_python():
+    """The C++ link_endpoint_paths must agree with the scipy fallback on
+    unambiguous skeletons (identical paths); on tie-prone 2px-wide
+    skeletons the native path may break equal-cost ties differently but
+    must connect the same endpoint pairs."""
+    import numpy as np
+    from kraken_tpu import native
+    import kraken_tpu.lib.vectorization as V
+    if not native.available():
+        pytest.skip('no C++ compiler')
+
+    # a straight horizontal skeleton with a 2px gap (bridged via the halo)
+    skel = np.zeros((32, 64), bool)
+    skel[10, 5:30] = True
+    skel[10, 32:60] = True
+    # an isolated short diagonal segment, unreachable from the others
+    for i in range(6):
+        skel[20 + i, 5 + i] = True
+    extrema = np.array([[10, 5], [10, 29], [10, 32], [10, 59],
+                        [20, 5], [25, 10]])
+
+    pn = native.link_paths_native(skel, extrema)
+    saved = native.link_paths_native
+    native.link_paths_native = lambda *a, **k: None
+    try:
+        pp = V._link_endpoints(skel, extrema)
+    finally:
+        native.link_paths_native = saved
+
+    assert len(pn) == len(pp)
+    ends = lambda paths: sorted((tuple(p[0]), tuple(p[-1])) for p in paths)
+    assert ends(pn) == ends(pp)
+    # equal-cost ties may resolve differently (native prefers straight
+    # steps); the contract is: same pairs, same path length, every point on
+    # the skeleton or its 1px halo
+    import cv2
+    halo = cv2.dilate(skel.astype(np.uint8), np.ones((3, 3), np.uint8)).astype(bool)
+    for a, b in zip(sorted(pn, key=lambda p: tuple(map(tuple, p[[0, -1]]))),
+                    sorted(pp, key=lambda p: tuple(map(tuple, p[[0, -1]])))):
+        assert len(a) == len(b)
+        assert halo[np.asarray(a)[:, 0], np.asarray(a)[:, 1]].all()
+    # the straight pieces connect through the gap: one path spans 5..59
+    spans = [(p[:, 1].min(), p[:, 1].max()) for p in pn]
+    assert (5, 59) in spans
