@@ -145,11 +145,12 @@ def _calc_roi(line: np.ndarray, bounds: np.ndarray,
             t = (diff[..., 0] * s[None, :, 1] - diff[..., 1] * s[None, :, 0]) / denom
             u = (diff[..., 0] * r[:, 1, None] - diff[..., 1] * r[:, 0, None]) / denom
             valid = ok & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
-            hits = ip_line[:, None, :] + t[..., None] * r[:, None, :]
-            d = np.linalg.norm(hits - ip_line[:, None, :], axis=2)
-        has_hit = valid.any(axis=1)
-        j = np.argmin(np.where(valid, d, np.inf), axis=1)
-        nearest = hits[np.arange(len(ip_line)), j]
+        # hit distance along the ray is t·|r| with |r| constant per point,
+        # so the nearest hit is simply the minimum valid t — no need to
+        # materialize the (P, S, 2) hit coordinates
+        t_min = np.where(valid, t, np.inf).min(axis=1)
+        has_hit = np.isfinite(t_min)
+        nearest = ip_line + np.where(has_hit, t_min, 0.0)[:, None] * r
         # 1px pull-back towards the baseline (reference buffers adjacent
         # lines by 1)
         vec = nearest - ip_line
