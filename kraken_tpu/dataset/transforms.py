@@ -52,6 +52,14 @@ def _fixed_resize(img: Image.Image, scale: tuple[int, int],
         oh = max(1, int(h * ow / w))
     elif ow == 0:
         ow = max(1, int(w * oh / h))
+    if (resample == Image.Resampling.LANCZOS and reducing_gap is None
+            and img.mode == 'L'):
+        # byte-exact C++ port of PIL's fixed-point Lanczos (self-checked
+        # against PIL at load time; see kraken_tpu/native)
+        from kraken_tpu import native
+        out = native.resize_lanczos_native(np.asarray(img), oh, ow)
+        if out is not None:
+            return Image.fromarray(out, 'L')
     return img.resize((ow, oh), resample, reducing_gap=reducing_gap)
 
 

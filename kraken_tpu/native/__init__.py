@@ -21,7 +21,7 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 __all__ = ['skeletonize_native', 'endpoints_native', 'link_paths_native',
-           'available']
+           'resize_lanczos_native', 'available']
 
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
@@ -86,6 +86,11 @@ def _load() -> Optional[ctypes.CDLL]:
                                             ctypes.POINTER(ctypes.c_int32),
                                             ctypes.c_int]
         lib.link_endpoint_paths.restype = ctypes.c_int
+        lib.resize_lanczos_u8.argtypes = [ctypes.POINTER(ctypes.c_uint8),
+                                          ctypes.c_int, ctypes.c_int,
+                                          ctypes.POINTER(ctypes.c_uint8),
+                                          ctypes.c_int, ctypes.c_int]
+        lib.resize_lanczos_u8.restype = ctypes.c_int
         _LIB = lib
     except Exception as e:
         logger.warning(f'Failed to build/load native helpers: {e}')
@@ -201,3 +206,56 @@ def link_paths_native(skel: np.ndarray, extrema: np.ndarray,
         paths.append(pts[off:off + ln])
         off += ln
     return paths
+
+
+_RESIZE_VERIFIED: Optional[bool] = None
+
+
+def _verify_resize(lib) -> bool:
+    """One-time byte-exactness check of the native Lanczos against PIL
+    (random up/down-scale shapes). Any mismatch permanently disables the
+    native path — the line-normalization contract is exact PIL output."""
+    from PIL import Image
+    rng = np.random.RandomState(12345)
+    for (h, w, oh, ow) in ((93, 411, 120, 530), (150, 1800, 120, 1440),
+                           (64, 64, 64, 97), (40, 333, 120, 999),
+                           (200, 120, 120, 72)):
+        a = rng.randint(0, 256, (h, w), dtype=np.uint8)
+        want = np.asarray(Image.fromarray(a, 'L').resize(
+            (ow, oh), Image.Resampling.LANCZOS))
+        out = np.empty((oh, ow), np.uint8)
+        rc = lib.resize_lanczos_u8(
+            a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), oh, ow)
+        if rc != 0 or not np.array_equal(out, want):
+            logger.warning('native Lanczos does not match PIL byte-for-byte '
+                           'on this platform; falling back to PIL resize')
+            return False
+    return True
+
+
+def resize_lanczos_native(img: np.ndarray, oh: int, ow: int) -> Optional[np.ndarray]:
+    """
+    Byte-exact PIL-Lanczos resize of a 2-D uint8 array via the native
+    library (see resize_lanczos_u8 in skeletonize.cpp). Returns None when
+    the library is unavailable or failed the load-time PIL-equivalence
+    self-check (callers then use PIL directly).
+    """
+    global _RESIZE_VERIFIED
+    lib = _load()
+    if lib is None:
+        return None
+    if _RESIZE_VERIFIED is None:
+        _RESIZE_VERIFIED = _verify_resize(lib)
+    if not _RESIZE_VERIFIED:
+        return None
+    src = np.ascontiguousarray(img, np.uint8)
+    out = np.empty((int(oh), int(ow)), np.uint8)
+    rc = lib.resize_lanczos_u8(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        src.shape[0], src.shape[1],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.shape[0], out.shape[1])
+    if rc != 0:
+        return None
+    return out

@@ -5,6 +5,7 @@
 // ctypes (see kraken_tpu/native/__init__.py). These are the host-side hot
 // loops of baseline vectorization that neither XLA nor numpy express well
 // (data-dependent iteration until fixpoint).
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <queue>
@@ -278,3 +279,143 @@ int link_endpoint_paths(const uint8_t *skel, int h, int w,
 }
 
 }  // extern "C"
+
+// Exact reimplementation of Pillow's Lanczos resampling for single-channel
+// uint8 images (Resample.c: precompute_coeffs + normalize_coeffs_8bpc +
+// the horizontal/vertical 8bpc passes, PRECISION_BITS fixed-point with
+// identical rounding). Byte-identical output is REQUIRED — the Python
+// binding self-checks against PIL at load time and falls back on any
+// mismatch. Horizontal pass first, then vertical, matching PIL's order;
+// a pass is skipped when its size is unchanged, also matching PIL.
+namespace {
+
+constexpr int kPrecisionBits = 32 - 8 - 2;
+
+inline double sinc_filter(double x) {
+    if (x == 0.0) return 1.0;
+    x = x * M_PI;
+    return std::sin(x) / x;
+}
+
+inline double lanczos_filter(double x) {
+    if (-3.0 <= x && x < 3.0) return sinc_filter(x) * sinc_filter(x / 3.0);
+    return 0.0;
+}
+
+inline uint8_t clip8(int in) {
+    if (in >= (1 << kPrecisionBits << 8)) return 255;
+    if (in <= 0) return 0;
+    return static_cast<uint8_t>(in >> kPrecisionBits);
+}
+
+// returns ksize; fills bounds (2*outSize) and int coefficients (outSize*ksize)
+int precompute_coeffs_int(int inSize, int outSize,
+                          std::vector<int> &bounds, std::vector<int> &kk_int) {
+    const double scale = static_cast<double>(inSize) / outSize;
+    double filterscale = scale;
+    if (filterscale < 1.0) filterscale = 1.0;
+    const double support = 3.0 * filterscale;
+    const int ksize = static_cast<int>(std::ceil(support)) * 2 + 1;
+    std::vector<double> k(ksize);
+    bounds.assign(static_cast<size_t>(outSize) * 2, 0);
+    kk_int.assign(static_cast<size_t>(outSize) * ksize, 0);
+    const double ss = 1.0 / filterscale;
+    for (int xx = 0; xx < outSize; ++xx) {
+        const double center = (xx + 0.5) * scale;
+        double ww = 0.0;
+        int xmin = static_cast<int>(center - support + 0.5);
+        if (xmin < 0) xmin = 0;
+        int xmax = static_cast<int>(center + support + 0.5);
+        if (xmax > inSize) xmax = inSize;
+        xmax -= xmin;
+        for (int x = 0; x < xmax; ++x) {
+            const double w = lanczos_filter((x + xmin - center + 0.5) * ss);
+            k[x] = w;
+            ww += w;
+        }
+        for (int x = 0; x < xmax; ++x)
+            if (ww != 0.0) k[x] /= ww;
+        bounds[2 * xx] = xmin;
+        bounds[2 * xx + 1] = xmax;
+        int *ki = &kk_int[static_cast<size_t>(xx) * ksize];
+        for (int x = 0; x < xmax; ++x)
+            ki[x] = static_cast<int>(k[x] < 0 ? k[x] * (1 << kPrecisionBits) - 0.5
+                                              : k[x] * (1 << kPrecisionBits) + 0.5);
+    }
+    return ksize;
+}
+
+}  // namespace
+
+namespace {
+
+// resamples rows (the "vertical" pass form): (h, w) -> (oh, w).
+// SIMD-friendly: per output row, accumulate coefficient-scaled source rows.
+// Integer adds commute, so this is bit-identical to any accumulation order.
+void resample_rows_u8(const uint8_t *src, int h, int w, uint8_t *dst, int oh) {
+    std::vector<int> bounds, kk;
+    const int ksize = precompute_coeffs_int(h, oh, bounds, kk);
+    std::vector<int> acc(w);
+    for (int yy = 0; yy < oh; ++yy) {
+        const int ymin = bounds[2 * yy], ymax = bounds[2 * yy + 1];
+        const int *ki = &kk[static_cast<size_t>(yy) * ksize];
+        for (int xx = 0; xx < w; ++xx) acc[xx] = 1 << (kPrecisionBits - 1);
+        for (int y = 0; y < ymax; ++y) {
+            const uint8_t *row = src + static_cast<size_t>(y + ymin) * w;
+            const int c = ki[y];
+            for (int xx = 0; xx < w; ++xx) acc[xx] += row[xx] * c;
+        }
+        uint8_t *orow = dst + static_cast<size_t>(yy) * w;
+        for (int xx = 0; xx < w; ++xx) orow[xx] = clip8(acc[xx]);
+    }
+}
+
+// cache-blocked transpose (h, w) -> (w, h)
+void transpose_u8(const uint8_t *src, int h, int w, uint8_t *dst) {
+    constexpr int B = 64;
+    for (int y0 = 0; y0 < h; y0 += B)
+        for (int x0 = 0; x0 < w; x0 += B) {
+            const int y1 = y0 + B < h ? y0 + B : h;
+            const int x1 = x0 + B < w ? x0 + B : w;
+            for (int y = y0; y < y1; ++y)
+                for (int x = x0; x < x1; ++x)
+                    dst[static_cast<size_t>(x) * h + y] =
+                        src[static_cast<size_t>(y) * w + x];
+        }
+}
+
+}  // namespace
+
+extern "C" int resize_lanczos_u8(const uint8_t *in, int h, int w,
+                                 uint8_t *out, int oh, int ow) {
+    if (h <= 0 || w <= 0 || oh <= 0 || ow <= 0) return -1;
+    const bool need_h = ow != w;
+    const bool need_v = oh != h;
+    if (!need_h && !need_v) {
+        std::memcpy(out, in, static_cast<size_t>(h) * w);
+        return 0;
+    }
+    // horizontal pass first (PIL's order) as transpose -> row-resample ->
+    // transpose: the row-accumulate form vectorizes; transposes are cheap
+    // and value-preserving, so output stays byte-identical to PIL
+    std::vector<uint8_t> bufA, bufB;
+    const uint8_t *src = in;
+    int cur_w = w;
+    if (need_h) {
+        bufA.resize(static_cast<size_t>(w) * h);
+        transpose_u8(src, h, w, bufA.data());           // (w, h)
+        bufB.resize(static_cast<size_t>(ow) * h);
+        resample_rows_u8(bufA.data(), w, h, bufB.data(), ow);  // (ow, h)
+        if (need_v) {
+            bufA.resize(static_cast<size_t>(h) * ow);
+            transpose_u8(bufB.data(), ow, h, bufA.data());     // (h, ow)
+            src = bufA.data();
+        } else {
+            transpose_u8(bufB.data(), ow, h, out);
+            return 0;
+        }
+        cur_w = ow;
+    }
+    resample_rows_u8(src, h, cur_w, out, oh);
+    return 0;
+}
