@@ -307,24 +307,64 @@ def _neural_page_pipeline(torch_backend: bool, n_pages: int = 3):
     return steady, total, lines_holder[0] // n_pages
 
 
+def _build_scanned_pdf(jpeg_path: str, n_pages: int, out_path: str) -> None:
+    """Assembles a minimal scanned PDF (classic xref, one DCTDecode image
+    XObject shared by all pages) — the bench document for the sustained
+    leg, consumed through kraken_tpu.lib.pdf like any user PDF."""
+    from PIL import Image
+    with open(jpeg_path, 'rb') as fp:
+        jpeg = fp.read()
+    with Image.open(jpeg_path) as im:
+        w, h = im.size
+    objs = {}
+    kids = ' '.join(f'{3 + i} 0 R' for i in range(n_pages))
+    objs[1] = b'<< /Type /Catalog /Pages 2 0 R >>'
+    objs[2] = (f'<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>').encode()
+    img_num = 3 + n_pages
+    for i in range(n_pages):
+        objs[3 + i] = (f'<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {w} {h}] '
+                       f'/Resources << /XObject << /Im0 {img_num} 0 R >> >> '
+                       '>>').encode()
+    img_body = (f'<< /Type /XObject /Subtype /Image /Width {w} /Height {h} '
+                f'/ColorSpace /DeviceRGB /BitsPerComponent 8 '
+                f'/Filter /DCTDecode /Length {len(jpeg)} >>').encode() \
+        + b'\nstream\n' + jpeg + b'\nendstream'
+    out = bytearray(b'%PDF-1.4\n%\xe2\xe3\xcf\xd3\n')
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += f'{num} 0 obj\n'.encode() + objs[num] + b'\nendobj\n'
+    offsets[img_num] = len(out)
+    out += f'{img_num} 0 obj\n'.encode() + img_body + b'\nendobj\n'
+    xref_at = len(out)
+    out += f'xref\n0 {img_num + 1}\n'.encode() + b'0000000000 65535 f \n'
+    for num in range(1, img_num + 1):
+        out += f'{offsets[num]:010d} 00000 n \n'.encode()
+    out += (f'trailer\n<< /Size {img_num + 1} /Root 1 0 R >>\n'
+            f'startxref\n{xref_at}\n%%EOF\n').encode()
+    with open(out_path, 'wb') as fp:
+        fp.write(bytes(out))
+
+
 def _sustained_pipeline(n_pages: int = 100):
     """
-    BASELINE.md "page pipeline" target leg: pages/sec over a long
-    (100-page) document through the full neural segment+ocr streaming
-    pipeline, fill-inclusive single pass — what a 100-page document
-    actually takes (validates sustained throughput: no jit-cache churn,
-    queue growth, or memory creep over a long run). Uses the annotated
-    fixture page ×100: the frozen blla_small seg model is only trained
-    for that page's domain — on out-of-domain pages it emits 3-4x
-    spurious baselines whose polygonization measures model blindness,
-    not pipeline throughput. PDF page *decoding* stays gated on
-    pyvips/PyMuPDF (absent here); pages enter as images, which is the
-    identical downstream pipeline.
+    BASELINE.md "page pipeline" target leg: pages/sec over a 100-page PDF
+    through the full neural segment+ocr streaming pipeline, fill-inclusive
+    single pass — what a 100-page scanned document actually takes
+    (validates sustained throughput: no jit-cache churn, queue growth, or
+    memory creep, plus real per-page PDF extraction + JPEG decode via
+    kraken_tpu.lib.pdf — no pyvips/PyMuPDF needed). Pages replicate the
+    annotated fixture page: the frozen blla_small seg model is only
+    trained for that page's domain — on out-of-domain pages it emits 3-4x
+    spurious baselines whose polygonization measures model blindness, not
+    pipeline throughput.
     """
     import os
+    import tempfile
     from PIL import Image
     from kraken_tpu.configs import (RecognitionInferenceConfig,
                                     SegmentationInferenceConfig)
+    from kraken_tpu.lib.pdf import extract_page_images
     from kraken_tpu.models import load_models
     from kraken_tpu.inference.segmentation import (prepare_segmentation,
                                                    segmentation_pred,
@@ -352,17 +392,26 @@ def _sustained_pipeline(n_pages: int = 100):
         list(rec_model.predict(im, seg))
     segmentation_pred_batch(seg_model, ims[:2])
 
-    pages = [ims[i % len(ims)] for i in range(n_pages)]
+    pdf_path = os.path.join(tempfile.mkdtemp(), 'bench_document.pdf')
+    _build_scanned_pdf(os.path.join(repo, 'tests/resources',
+                                    '170025120000003,0074.jpg'),
+                       n_pages, pdf_path)
     lines = 0
+    n_seen = 0
     t0 = time.perf_counter()
+    # extract_page_images is a generator: PDF parsing + JPEG decode stream
+    # into the pipeline page by page, like any long user document
     for _im, _seg, recs in process_pages(
-            pages, rec_model, segmenter,
+            extract_page_images(pdf_path), rec_model, segmenter,
             segmenter_batch=lambda ps: segmentation_pred_batch(seg_model, ps),
             seg_batch=2):
         lines += len(recs)
+        n_seen += 1
     wall = time.perf_counter() - t0
-    return {'metric': f'{n_pages}-page document, neural segment+ocr, '
-                      'single pass incl. pipeline fill',
+    os.unlink(pdf_path)
+    assert n_seen == n_pages, f'PDF pipeline dropped pages: {n_seen}/{n_pages}'
+    return {'metric': f'{n_pages}-page scanned PDF, neural segment+ocr, '
+                      'single pass incl. PDF extraction and pipeline fill',
             'pages_per_sec': round(n_pages / wall, 3),
             'lines_per_sec': round(lines / wall, 1),
             'total_lines': lines,

@@ -135,9 +135,10 @@ class ImageInputTransforms:
             if self._center_norm:
                 im = dewarp(self._lnorm, im)
                 im = im.convert(self._mode)
-            elif self._scale[0] > 0 and self._scale[1] > 0:
-                im = im.resize((self._scale[1], self._scale[0]), Image.Resampling.LANCZOS)
             else:
+                # _fixed_resize handles both the fixed-size and the
+                # one-free-dimension cases (and routes 'L' images through
+                # the byte-exact native Lanczos)
                 im = _fixed_resize(im, self._scale)
         return self.tail(im)
 

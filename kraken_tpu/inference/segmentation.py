@@ -187,16 +187,24 @@ def _page_resize(img: 'Image.Image', scale: tuple[int, int]) -> 'Image.Image':
     frozen blla_small fixture), so inference must match training exactly.
     """
     from kraken_tpu.dataset.transforms import _fixed_resize
-    # reducing_gap=3.0: PIL box-reduces to 3x the target before the Lanczos
-    # pass — 2.3x faster on the single-core host with max pixel delta 2/255
-    # vs the exact filter (measured on the annotated test page; detection
-    # output is unchanged, tests/test_seg_parity.py). The quality-sensitive
+    from PIL import Image as PILImage
+    # the byte-exact native Lanczos (kraken_tpu/native) beats even PIL's
+    # reducing_gap=3.0 approximation on this host (118 vs 165 ms on an RGB
+    # page) while restoring the exact filter, so it is preferred; the gap
+    # path remains the fallback without a compiler. The quality-sensitive
     # failure mode documented above is box/area filtering all the way down.
-    if scale[0] > 0 and scale[1] > 0:
-        from PIL import Image as PILImage
-        return img.resize((scale[1], scale[0]), PILImage.Resampling.LANCZOS,
-                          reducing_gap=3.0)
-    return _fixed_resize(img, scale, reducing_gap=3.0)
+    w, h = img.size
+    oh, ow = scale
+    if oh == 0:
+        oh = max(1, int(h * ow / w))
+    elif ow == 0:
+        ow = max(1, int(w * oh / h))
+    if img.mode in ('L', 'RGB'):
+        from kraken_tpu import native
+        out = native.resize_lanczos_native(np.asarray(img), oh, ow)
+        if out is not None:
+            return PILImage.fromarray(out, img.mode)
+    return img.resize((ow, oh), PILImage.Resampling.LANCZOS, reducing_gap=3.0)
 
 
 def _compute_segmentation_maps(model: 'VGSLModel', ims: list) -> list[dict[str, Any]]:

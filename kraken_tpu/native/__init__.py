@@ -88,6 +88,7 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.link_endpoint_paths.restype = ctypes.c_int
         lib.resize_lanczos_u8.argtypes = [ctypes.POINTER(ctypes.c_uint8),
                                           ctypes.c_int, ctypes.c_int,
+                                          ctypes.c_int,
                                           ctypes.POINTER(ctypes.c_uint8),
                                           ctypes.c_int, ctypes.c_int]
         lib.resize_lanczos_u8.restype = ctypes.c_int
@@ -217,15 +218,16 @@ def _verify_resize(lib) -> bool:
     native path — the line-normalization contract is exact PIL output."""
     from PIL import Image
     rng = np.random.RandomState(12345)
-    for (h, w, oh, ow) in ((93, 411, 120, 530), (150, 1800, 120, 1440),
-                           (64, 64, 64, 97), (40, 333, 120, 999),
-                           (200, 120, 120, 72)):
-        a = rng.randint(0, 256, (h, w), dtype=np.uint8)
-        want = np.asarray(Image.fromarray(a, 'L').resize(
+    for (h, w, oh, ow, c) in ((93, 411, 120, 530, 1), (150, 1800, 120, 1440, 1),
+                              (64, 64, 64, 97, 1), (40, 333, 120, 999, 3),
+                              (200, 120, 120, 72, 3), (1800, 1200, 1200, 800, 1)):
+        shape = (h, w) if c == 1 else (h, w, c)
+        a = rng.randint(0, 256, shape, dtype=np.uint8)
+        want = np.asarray(Image.fromarray(a, 'L' if c == 1 else 'RGB').resize(
             (ow, oh), Image.Resampling.LANCZOS))
-        out = np.empty((oh, ow), np.uint8)
+        out = np.empty((oh, ow) if c == 1 else (oh, ow, c), np.uint8)
         rc = lib.resize_lanczos_u8(
-            a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
+            a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, c,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), oh, ow)
         if rc != 0 or not np.array_equal(out, want):
             logger.warning('native Lanczos does not match PIL byte-for-byte '
@@ -236,7 +238,7 @@ def _verify_resize(lib) -> bool:
 
 def resize_lanczos_native(img: np.ndarray, oh: int, ow: int) -> Optional[np.ndarray]:
     """
-    Byte-exact PIL-Lanczos resize of a 2-D uint8 array via the native
+    Byte-exact PIL-Lanczos resize of a 2-D (or HxWxC, C<=4) uint8 array via the native
     library (see resize_lanczos_u8 in skeletonize.cpp). Returns None when
     the library is unavailable or failed the load-time PIL-equivalence
     self-check (callers then use PIL directly).
@@ -250,12 +252,16 @@ def resize_lanczos_native(img: np.ndarray, oh: int, ow: int) -> Optional[np.ndar
     if not _RESIZE_VERIFIED:
         return None
     src = np.ascontiguousarray(img, np.uint8)
-    out = np.empty((int(oh), int(ow)), np.uint8)
+    c = 1 if src.ndim == 2 else src.shape[2]
+    if src.ndim > 3 or c > 4:
+        return None
+    out = np.empty((int(oh), int(ow)) if c == 1 else (int(oh), int(ow), c),
+                   np.uint8)
     rc = lib.resize_lanczos_u8(
         src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        src.shape[0], src.shape[1],
+        src.shape[0], src.shape[1], c,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        out.shape[0], out.shape[1])
+        int(oh), int(ow))
     if rc != 0:
         return None
     return out

@@ -370,8 +370,9 @@ void resample_rows_u8(const uint8_t *src, int h, int w, uint8_t *dst, int oh) {
     }
 }
 
-// cache-blocked transpose (h, w) -> (w, h)
-void transpose_u8(const uint8_t *src, int h, int w, uint8_t *dst) {
+// cache-blocked transpose of (h, w) pixels with c interleaved channels
+// -> (w, h) pixels
+void transpose_u8(const uint8_t *src, int h, int w, int c, uint8_t *dst) {
     constexpr int B = 64;
     for (int y0 = 0; y0 < h; y0 += B)
         for (int x0 = 0; x0 < w; x0 += B) {
@@ -379,43 +380,46 @@ void transpose_u8(const uint8_t *src, int h, int w, uint8_t *dst) {
             const int x1 = x0 + B < w ? x0 + B : w;
             for (int y = y0; y < y1; ++y)
                 for (int x = x0; x < x1; ++x)
-                    dst[static_cast<size_t>(x) * h + y] =
-                        src[static_cast<size_t>(y) * w + x];
+                    for (int k = 0; k < c; ++k)
+                        dst[(static_cast<size_t>(x) * h + y) * c + k] =
+                            src[(static_cast<size_t>(y) * w + x) * c + k];
         }
 }
 
 }  // namespace
 
-extern "C" int resize_lanczos_u8(const uint8_t *in, int h, int w,
+extern "C" int resize_lanczos_u8(const uint8_t *in, int h, int w, int c,
                                  uint8_t *out, int oh, int ow) {
-    if (h <= 0 || w <= 0 || oh <= 0 || ow <= 0) return -1;
+    if (h <= 0 || w <= 0 || oh <= 0 || ow <= 0 || c <= 0 || c > 4) return -1;
     const bool need_h = ow != w;
     const bool need_v = oh != h;
     if (!need_h && !need_v) {
-        std::memcpy(out, in, static_cast<size_t>(h) * w);
+        std::memcpy(out, in, static_cast<size_t>(h) * w * c);
         return 0;
     }
     // horizontal pass first (PIL's order) as transpose -> row-resample ->
     // transpose: the row-accumulate form vectorizes; transposes are cheap
-    // and value-preserving, so output stays byte-identical to PIL
+    // and value-preserving, so output stays byte-identical to PIL.
+    // Channels stay interleaved: a row of N pixels is N*c samples, and the
+    // per-pixel coefficients apply unchanged to each channel sample.
     std::vector<uint8_t> bufA, bufB;
     const uint8_t *src = in;
     int cur_w = w;
     if (need_h) {
-        bufA.resize(static_cast<size_t>(w) * h);
-        transpose_u8(src, h, w, bufA.data());           // (w, h)
-        bufB.resize(static_cast<size_t>(ow) * h);
-        resample_rows_u8(bufA.data(), w, h, bufB.data(), ow);  // (ow, h)
+        bufA.resize(static_cast<size_t>(w) * h * c);
+        transpose_u8(src, h, w, c, bufA.data());               // (w, h)
+        bufB.resize(static_cast<size_t>(ow) * h * c);
+        resample_rows_u8(bufA.data(), w, h * c, bufB.data(), ow);  // (ow, h)
         if (need_v) {
-            bufA.resize(static_cast<size_t>(h) * ow);
-            transpose_u8(bufB.data(), ow, h, bufA.data());     // (h, ow)
+            bufA.resize(static_cast<size_t>(h) * ow * c);
+            transpose_u8(bufB.data(), ow, h, c, bufA.data());      // (h, ow)
             src = bufA.data();
         } else {
-            transpose_u8(bufB.data(), ow, h, out);
+            transpose_u8(bufB.data(), ow, h, c, out);
             return 0;
         }
         cur_w = ow;
     }
-    resample_rows_u8(src, h, cur_w, out, oh);
+    resample_rows_u8(src, h, cur_w * c, out, oh);
     return 0;
 }
