@@ -92,7 +92,9 @@ def _ink_percentiles(flat: np.ndarray, border: float, escale: float,
     inner = flat[mh:h - mh, mw:w - mw]
     sigma = 20.0 * escale
     residual = inner - ff.gaussian_filter(inner, sigma)
-    energy = np.sqrt(ff.gaussian_filter(residual * residual, sigma))
+    # the FFT gaussian path can ring a few ULPs below zero on the squared
+    # residual; clamp before the sqrt or the percentile sees NaNs
+    energy = np.sqrt(np.maximum(ff.gaussian_filter(residual * residual, sigma), 0.0))
     texty = energy > 0.3 * energy.max()
     grow = int(50 * escale)
     texty = ff.maximum_filter(texty, (grow, 1))

@@ -108,3 +108,19 @@ def test_line_seeds_native_parity():
                     ref[y1:y0, x] = 1
         out = native.line_seeds_native(bmarked, tmarked, delta, 5 * scale)
         np.testing.assert_array_equal(out, ref)
+
+
+def test_nlbin_fft_path_no_nan(resources):
+    """The FFT gaussian pass can ring a few ULPs below zero on the squared
+    residual; nlbin must clamp before the sqrt or percentile estimation
+    sees NaNs and raises (regression: crashed on the annotated page)."""
+    from PIL import Image
+    from kraken_tpu.binarization import nlbin
+    im = Image.open(resources / '170025120000003,0074.jpg').convert('L')
+    im = im.crop((0, 0, 900, 700))
+    bw = nlbin(im)
+    assert bw.mode in ('1', 'L')
+    import numpy as _np
+    vals = _np.unique(_np.asarray(bw.convert('L')))
+    assert set(vals.tolist()) <= {0, 255}
+    assert bw.size == im.size

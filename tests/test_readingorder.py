@@ -99,3 +99,62 @@ def test_order_real_in_order():
 ])
 def test_topsort(partial, expected):
     assert np.array_equal(topsort(partial), expected)
+
+
+def test_partial_order_matches_scalar_oracle():
+    """The vectorized _partial_order must reproduce the scalar triple-loop
+    semantics exactly, including the value-equality separator exclusion
+    (duplicate extents) and both text directions."""
+    import random
+    import numpy as np
+    from kraken_tpu.lib.geometry import _partial_order
+
+    def scalar(extents, text_direction='lr'):
+        n = len(extents)
+        order = np.zeros((n, n), 'B')
+
+        def x_overlaps(u, v):
+            return u[1].start < v[1].stop and u[1].stop > v[1].start
+
+        def above(u, v):
+            return u[0].start < v[0].start
+
+        def left_of(u, v):
+            return u[1].stop < v[1].start
+
+        def separates(w, u, v):
+            if w == u or w == v:
+                return False
+            if w[0].stop < min(u[0].start, v[0].start):
+                return False
+            if w[0].start > max(u[0].stop, v[0].stop):
+                return False
+            return w[1].start < u[1].stop and w[1].stop > v[1].start
+        if text_direction == 'rl':
+            def horizontal_order(u, v):
+                return not left_of(u, v)
+        else:
+            horizontal_order = left_of
+        for i, u in enumerate(extents):
+            for j, v in enumerate(extents):
+                if x_overlaps(u, v):
+                    if above(u, v):
+                        order[i, j] = 1
+                elif (not any(separates(w, u, v) for w in extents)
+                      and horizontal_order(u, v)):
+                    order[i, j] = 1
+        return order
+
+    random.seed(7)
+    for trial in range(25):
+        n = random.randint(0, 40)
+        ex = []
+        for _ in range(n):
+            r0 = random.randint(0, 100)
+            c0 = random.randint(0, 100)
+            ex.append((slice(r0, r0 + random.randint(1, 40)),
+                       slice(c0, c0 + random.randint(1, 40))))
+        if trial % 4 == 0 and n > 2:
+            ex[1] = ex[0]
+        td = random.choice(['lr', 'rl'])
+        assert np.array_equal(_partial_order(ex, td), scalar(ex, td)), (n, td)
