@@ -57,17 +57,46 @@ _NP_PAD = {'reflect': 'symmetric', 'mirror': 'reflect',
            'nearest': 'edge', 'constant': 'constant'}
 
 
+def _pad_cols(src: np.ndarray, r: int, mode: str, transpose: bool) -> np.ndarray:
+    """Column-pads `src` (optionally transposing first) in ONE allocation —
+    np.pad after a transpose copy was two full-page copies per axis-0
+    pass. Border fills replicate np.pad's symmetric/reflect/edge/constant."""
+    a = src.T if transpose else src
+    h, w = a.shape
+    if r >= w:
+        # pad wider than the image: np.pad's cycling semantics apply
+        return np.pad(np.ascontiguousarray(a), ((0, 0), (r, r)),
+                      mode=_NP_PAD[mode])
+    out = np.empty((h, w + 2 * r), a.dtype)
+    out[:, r:r + w] = a
+    if r:
+        m = _NP_PAD[mode]
+        if m == 'symmetric':
+            out[:, :r] = a[:, r - 1::-1]
+            out[:, r + w:] = a[:, :w - r - 1:-1]
+        elif m == 'reflect':
+            out[:, :r] = a[:, r:0:-1]
+            out[:, r + w:] = a[:, w - 2:w - r - 2:-1]
+        elif m == 'edge':
+            out[:, :r] = a[:, :1]
+            out[:, r + w:] = a[:, -1:]
+        else:  # constant
+            out[:, :r] = 0
+            out[:, r + w:] = 0
+    return out
+
+
 def _fft_pass(src: np.ndarray, k: np.ndarray, axis: int, mode: str) -> np.ndarray:
     """One 1-D correlation pass along `axis` via a full-length real FFT
     (float64; deviation from the direct product ~1e-15 of the value range,
     several times faster than direct filtering for many-hundred-tap
     kernels)."""
     import scipy.fft as sfft
-    if axis == 0:
-        return np.ascontiguousarray(
-            _fft_pass(np.ascontiguousarray(src.T), k, 1, mode).T)
     r = len(k) // 2
-    padded = np.pad(src, ((0, 0), (r, r)), mode=_NP_PAD[mode])
+    if axis == 0:
+        padded = _pad_cols(src, r, mode, transpose=True)
+    else:
+        padded = _pad_cols(src, r, mode, transpose=False)
     kern = k[::-1]
     n = padded.shape[1] + len(kern) - 1
     nfast = sfft.next_fast_len(n, real=True)
@@ -75,7 +104,8 @@ def _fft_pass(src: np.ndarray, k: np.ndarray, axis: int, mode: str) -> np.ndarra
     kfreq = sfft.rfft(kern, nfast)
     full = sfft.irfft(freq * kfreq[None, :], nfast, axis=1)
     start = len(kern) - 1
-    return full[:, start:start + src.shape[1]]
+    out = full[:, start:start + (src.shape[0] if axis == 0 else src.shape[1])]
+    return np.ascontiguousarray(out.T) if axis == 0 else out
 
 
 def gaussian_filter(input: np.ndarray, sigma, order=0, mode: str = 'reflect'):
