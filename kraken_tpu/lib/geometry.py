@@ -247,8 +247,9 @@ def _extend_baseline_to_boundary(baseline, boundary) -> np.ndarray:
     they lie strictly inside it (reference: segmentation.py:1190-1210).
     """
     bl = np.array(baseline)
-    for idx, ref in ((0, 1), (-1, -2)):
-        if point_in_polygon(bl[idx], boundary):
+    inside = points_in_polygon(bl[[0, -1]].astype(float), boundary)
+    for pos, (idx, ref) in enumerate(((0, 1), (-1, -2))):
+        if inside[pos]:
             direction = bl[idx].astype(float) - bl[ref].astype(float)
             hit = ray_polygon_intersection(bl[idx].astype(float), direction, boundary)
             if hit is None:
