@@ -161,15 +161,10 @@ def vec_lines(heatmap: np.ndarray,
         other = [b for _, b in baselines[:idx] + baselines[idx + 1:]]
         other.extend(reg for reg_i, reg in enumerate(regions) if in_reg[reg_i, idx])
         jobs.append((bl, other))
-    if seam_carver == 'device':
-        from kraken_tpu.lib.polygonization import polygonize_page
-        pols = polygonize_page(jobs, im_feats, topline=topline,
-                               raise_on_error=raise_on_error)
-    else:
-        pols = [calculate_polygonal_environment(baselines=[bl], im_feats=im_feats,
-                                                suppl_obj=other, topline=topline,
-                                                raise_on_error=raise_on_error)[0]
-                for bl, other in jobs]
+    from kraken_tpu.lib.polygonization import polygonize_page
+    pols = polygonize_page(jobs, im_feats, topline=topline,
+                           raise_on_error=raise_on_error,
+                           seam_carver=seam_carver)
     lines = [(bl_type, bl, pol)
              for (bl_type, bl), pol in zip(baselines, pols) if pol is not None]
     scaled = scale_polygonal_lines([x[1:] for x in lines], scale)

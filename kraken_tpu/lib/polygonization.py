@@ -135,12 +135,26 @@ def _calc_roi(line: np.ndarray, bounds: np.ndarray,
         bound_pts = ip_line + direction * tt[:, None]
         if not len(seg_starts):
             return bound_pts
+        # AABB prune: a valid hit lies on both the ray span and the segment,
+        # so any segment whose bounding box misses the ray fan's bounding box
+        # cannot contribute — exact, only removes provably-missing segments
+        fan_min = np.minimum(ip_line.min(0), bound_pts.min(0))
+        fan_max = np.maximum(ip_line.max(0), bound_pts.max(0))
+        s_min = np.minimum(seg_starts, seg_ends)
+        s_max = np.maximum(seg_starts, seg_ends)
+        near = ((s_min <= fan_max) & (s_max >= fan_min)).all(axis=1)
+        if not near.all():
+            seg_starts_f, seg_ends_f = seg_starts[near], seg_ends[near]
+        else:
+            seg_starts_f, seg_ends_f = seg_starts, seg_ends
+        if not len(seg_starts_f):
+            return bound_pts
         # segment intersections, batched (P points × S neighbor segments)
         r = bound_pts - ip_line                                   # (P, 2)
-        s = seg_ends - seg_starts                                 # (S, 2)
+        s = seg_ends_f - seg_starts_f                             # (S, 2)
         denom = r[:, 0, None] * s[None, :, 1] - r[:, 1, None] * s[None, :, 0]
         ok = np.abs(denom) > 1e-12
-        diff = seg_starts[None, :, :] - ip_line[:, None, :]       # (P, S, 2)
+        diff = seg_starts_f[None, :, :] - ip_line[:, None, :]     # (P, S, 2)
         with np.errstate(divide='ignore', invalid='ignore'):
             t = (diff[..., 0] * s[None, :, 1] - diff[..., 1] * s[None, :, 0]) / denom
             u = (diff[..., 0] * r[:, 1, None] - diff[..., 1] * r[:, 0, None]) / denom
@@ -394,21 +408,68 @@ def _prepare_line(line, neighbors: list, bounds: np.ndarray,
                           end_points, topline, offset, im_feats)
 
 
+def _carve_rows_device(patches: list) -> list:
+    """Device seam DP over a list of (h, w) float32 patches: pads to a
+    common shape (+inf rows/fill, exactly like _polygonize_batched) and
+    runs ops/seam.carve_seams_device in one dispatch. Returns per-patch
+    seam rows with the pad offset removed."""
+    from kraken_tpu.ops.seam import carve_seams_device
+    padded = [np.pad(p, ((1, 1), (0, 0)), mode='constant',
+                     constant_values=np.inf) for p in patches]
+    h = max(p.shape[0] for p in padded)
+    w = max(p.shape[1] for p in padded)
+    batch = np.full((len(padded), h, w), np.inf, np.float32)
+    widths = np.array([p.shape[1] for p in padded], np.int32)
+    for i, p in enumerate(padded):
+        batch[i, :p.shape[0], :p.shape[1]] = p
+    rows = carve_seams_device(batch, widths)
+    return [rows[k, :widths[k]] - 1 for k in range(len(padded))]
+
+
 def polygonize_page(jobs: Sequence, im_feats: np.ndarray,
                     topline: Optional[bool] = False,
-                    raise_on_error: bool = False) -> list:
+                    raise_on_error: bool = False,
+                    seam_carver: str = 'device') -> list:
     """
     Page-level batched polygonization: every entry of `jobs` is a
     ``(baseline, suppl_obj)`` pair with its own boundary set (the other
-    lines plus any containing regions, as vec_lines builds them). All
-    2·len(jobs) seam-carve DPs of the page run as ONE jitted XLA scan.
-    Results are identical to per-line calculate_polygonal_environment calls.
+    lines plus any containing regions, as vec_lines builds them).
+    Preparation and completion run in the native C++ polygonizer when
+    available (kraken_tpu/native/polygonize.cpp — one call for the whole
+    page); the seam DPs run either there too (seam_carver='host') or as ONE
+    jitted XLA scan (seam_carver='device'). Host and device carvers return
+    identical results on identical patches.
     """
+    if not raise_on_error:
+        from kraken_tpu import native
+        if native.available():
+            out = native.polygonize_page_native(
+                [j[0] for j in jobs], [j[1] for j in jobs], im_feats, topline,
+                carve_rows=_carve_rows_device if seam_carver == 'device' else None)
+            if out is not None:
+                for idx, pol in enumerate(out):
+                    if pol is None:
+                        logger.warning(f'Polygonizer failed on line {idx}')
+                return out
+
     bounds = np.array(im_feats.shape[::-1], dtype=float) - 1
 
     def prepare_one(idx, line):
         neighbors = [np.asarray(o, float) for o in jobs[idx][1]]
         return _prepare_line(line, neighbors, bounds, topline, im_feats)
+
+    if seam_carver != 'device':
+        # pure-python fallback with the host (native/numpy) seam DP
+        def _one(idx, line):
+            try:
+                patch_u, patch_b, complete = prepare_one(idx, line)
+                return complete(_carve_seam(patch_u), _carve_seam(patch_b)).tolist()
+            except Exception as e:
+                if raise_on_error:
+                    raise
+                logger.warning(f'Polygonizer failed on line {idx}: {e}')
+                return None
+        return [_one(i, j[0]) for i, j in enumerate(jobs)]
 
     return _polygonize_batched([j[0] for j in jobs], prepare_one, raise_on_error)
 
@@ -513,6 +574,23 @@ def calculate_polygonal_environment(im=None,
         bounds = np.array(im_feats.shape[::-1], dtype=float) - 1
 
     suppl_obj = list(suppl_obj) if suppl_obj is not None else []
+
+    from kraken_tpu import native
+    if not raise_on_error and native.available():
+        # native page polygonizer: ROI + patches + DP + completion in one
+        # C++ call (the cv2/numpy code below remains the documented
+        # fallback; boundary rasterization may differ by single pixels)
+        polygons = native.polygonize_page_native(
+            baselines, [suppl_obj] * len(baselines), im_feats, topline,
+            carve_rows=_carve_rows_device if seam_carver == 'device' else None)
+        if polygons is not None:
+            for idx, pol in enumerate(polygons):
+                if pol is None:
+                    logger.warning(f'Polygonizer failed on line {idx}')
+            if scale_f is not None:
+                polygons = [(np.array(p) / scale_f).astype('uint').tolist()
+                            if p is not None else None for p in polygons]
+            return polygons
 
     def _prepare_one(idx: int, line):
         """ROI + seam-patch preparation; returns (patch_u, patch_b, complete)."""

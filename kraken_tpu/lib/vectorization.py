@@ -267,9 +267,14 @@ def _extend_to_blob_boundary(lines: list, bin_bl_map: np.ndarray) -> list:
     baseline blob (reference: _extend_boundaries, segmentation.py:250-290).
     Operates in (row, col) space.
     """
-    labels, _ = nd_label(bin_bl_map, structure=np.ones((3, 3)))
+    labels, n_labels = nd_label(bin_bl_map, structure=np.ones((3, 3)))
+    from scipy.ndimage import find_objects
     from kraken_tpu.lib.geometry import point_in_polygon, ray_polygon_intersection, nearest_point_on_polygon
 
+    # per-label bounding boxes: blob masks/traces below operate on the
+    # blob's slice instead of the full page (a full-page `labels == lab`
+    # comparison per endpoint dominated this function)
+    slices = find_objects(labels, max_label=n_labels)
     boundary_cache: dict[int, np.ndarray] = {}
 
     def _blob_boundary(pt):
@@ -278,12 +283,17 @@ def _extend_to_blob_boundary(lines: list, bin_bl_map: np.ndarray) -> list:
         if lab == 0:
             return None
         if lab not in boundary_cache:
-            mask = labels == lab
+            sl = slices[lab - 1]
+            mask = labels[sl] == lab
             if mask.sum() < 6:
                 boundary_cache[lab] = None
             else:
                 b = _trace_boundary(mask)
-                boundary_cache[lab] = douglas_peucker(b, 0.01) if b is not None else None
+                if b is not None:
+                    b = b + np.array([sl[0].start, sl[1].start])
+                    boundary_cache[lab] = douglas_peucker(b, 0.01)
+                else:
+                    boundary_cache[lab] = None
         return boundary_cache[lab]
 
     for bl in lines:

@@ -21,23 +21,24 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 __all__ = ['skeletonize_native', 'endpoints_native', 'link_paths_native',
-           'resize_lanczos_native', 'available']
+           'resize_lanczos_native', 'polygonize_page_native', 'available']
 
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 
 
 def _build_lib() -> Optional[Path]:
-    src = Path(__file__).parent / 'skeletonize.cpp'
+    srcs = [Path(__file__).parent / 'skeletonize.cpp',
+            Path(__file__).parent / 'polygonize.cpp']
     out = Path(__file__).parent / '_native.so'
-    if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
+    if out.exists() and all(out.stat().st_mtime >= s.stat().st_mtime for s in srcs):
         return out
     for compiler in ('g++', 'c++', 'clang++'):
         try:
             with tempfile.NamedTemporaryFile(suffix='.so', delete=False) as tmp:
                 tmp_path = tmp.name
             result = subprocess.run([compiler, '-O3', '-march=native', '-shared',
-                                     '-fPIC', '-o', tmp_path, str(src)],
+                                     '-fPIC', '-o', tmp_path] + [str(s) for s in srcs],
                                     capture_output=True, timeout=120)
             if result.returncode == 0:
                 os.replace(tmp_path, out)
@@ -92,6 +93,37 @@ def _load() -> Optional[ctypes.CDLL]:
                                           ctypes.POINTER(ctypes.c_uint8),
                                           ctypes.c_int, ctypes.c_int]
         lib.resize_lanczos_u8.restype = ctypes.c_int
+        lib.polyg_prepare.argtypes = [ctypes.POINTER(ctypes.c_float),
+                                      ctypes.c_int, ctypes.c_int,
+                                      ctypes.POINTER(ctypes.c_double),
+                                      ctypes.POINTER(ctypes.c_int64),
+                                      ctypes.c_int, ctypes.c_int,
+                                      ctypes.POINTER(ctypes.c_int32),
+                                      ctypes.POINTER(ctypes.c_int64),
+                                      ctypes.c_int]
+        lib.polyg_prepare.restype = ctypes.c_void_p
+        lib.polyg_n_patches.argtypes = [ctypes.c_void_p]
+        lib.polyg_n_patches.restype = ctypes.c_int
+        lib.polyg_patch_dims.argtypes = [ctypes.c_void_p,
+                                         ctypes.POINTER(ctypes.c_int32)]
+        lib.polyg_patch_dims.restype = None
+        lib.polyg_copy_patch.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                         ctypes.POINTER(ctypes.c_float)]
+        lib.polyg_copy_patch.restype = None
+        lib.polyg_set_rows.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                       ctypes.POINTER(ctypes.c_int32)]
+        lib.polyg_set_rows.restype = None
+        lib.polyg_carve.argtypes = [ctypes.c_void_p]
+        lib.polyg_carve.restype = None
+        lib.polyg_complete.argtypes = [ctypes.c_void_p]
+        lib.polyg_complete.restype = ctypes.c_int
+        lib.polyg_result_len.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.polyg_result_len.restype = ctypes.c_int
+        lib.polyg_result.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                     ctypes.POINTER(ctypes.c_int32)]
+        lib.polyg_result.restype = None
+        lib.polyg_free.argtypes = [ctypes.c_void_p]
+        lib.polyg_free.restype = None
         _LIB = lib
     except Exception as e:
         logger.warning(f'Failed to build/load native helpers: {e}')
@@ -234,6 +266,110 @@ def _verify_resize(lib) -> bool:
                            'on this platform; falling back to PIL resize')
             return False
     return True
+
+
+def polygonize_page_native(baselines: list,
+                           extras_per_line: list,
+                           im_feats: np.ndarray,
+                           topline: Optional[bool],
+                           carve_rows=None) -> Optional[list]:
+    """
+    Native page polygonization (polygonize.cpp): every baseline's ROI ray
+    casting, energy-patch preparation, seam carving, and polygon completion
+    run in one C++ call. Mirrors lib/polygonization's per-line pipeline
+    (ROI semantics of _calc_roi, seam semantics of _seam_prepare/_carve_seam,
+    completion of _prepare_seams.complete); rasterization may differ from
+    the cv2 fallback by single boundary pixels.
+
+    Args:
+        baselines: [[(x, y), ...], ...] baselines to polygonize. For line i
+            the boundary set is every other baseline plus its extras.
+        extras_per_line: per-line list of extra boundary polylines
+            ([(x, y), ...] each) — e.g. the containing regions.
+        im_feats: (H, W) float32 energy map.
+        topline: False = baseline, True = topline, None = centerline.
+        carve_rows: None runs the native seam DP. Otherwise a callable
+            ``f(patches) -> rows`` receiving the list of (h, w) float32
+            patches and returning per-patch int32 seam-row arrays (pad
+            offset removed) — the hook for the batched device DP.
+
+    Returns:
+        One polygon ([[x, y], ...]) or None per baseline; None overall when
+        the native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    n_bl = len(baselines)
+    if n_bl == 0:
+        return []
+    # polyline soup: baselines first, then the (deduplicated) extras
+    polys = [np.asarray(b, np.float64).reshape(-1, 2) for b in baselines]
+    extra_idx: list[int] = []
+    extra_off = np.zeros(n_bl + 1, np.int64)
+    seen: dict[int, int] = {}
+    for i, extras in enumerate(extras_per_line):
+        for obj in extras or ():
+            key = id(obj)
+            idx = seen.get(key)
+            if idx is None:
+                idx = len(polys)
+                polys.append(np.asarray(obj, np.float64).reshape(-1, 2))
+                seen[key] = idx
+            extra_idx.append(idx)
+        extra_off[i + 1] = len(extra_idx)
+    pts = np.concatenate(polys, axis=0) if polys else np.zeros((0, 2))
+    pts = np.ascontiguousarray(pts, np.float64)
+    poly_off = np.zeros(len(polys) + 1, np.int64)
+    np.cumsum([len(p) for p in polys], out=poly_off[1:])
+    eidx = np.ascontiguousarray(extra_idx or [0], np.int32)
+    feats = np.ascontiguousarray(im_feats, np.float32)
+    tl = -1 if topline is None else (1 if topline else 0)
+
+    ctx = lib.polyg_prepare(
+        feats.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        feats.shape[0], feats.shape[1],
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        poly_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(polys), n_bl,
+        eidx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        extra_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        tl)
+    if not ctx:
+        return None
+    try:
+        if carve_rows is None:
+            lib.polyg_carve(ctx)
+        else:
+            n_patches = lib.polyg_n_patches(ctx)
+            dims = np.zeros((n_patches, 2), np.int32)
+            if n_patches:
+                lib.polyg_patch_dims(ctx, dims.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_int32)))
+            patches = []
+            for k in range(n_patches):
+                p = np.empty((int(dims[k, 0]), int(dims[k, 1])), np.float32)
+                lib.polyg_copy_patch(ctx, k, p.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_float)))
+                patches.append(p)
+            for k, rows in enumerate(carve_rows(patches)):
+                r = np.ascontiguousarray(rows, np.int32)
+                lib.polyg_set_rows(ctx, k, r.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_int32)))
+        lib.polyg_complete(ctx)
+        out = []
+        for i in range(n_bl):
+            n = lib.polyg_result_len(ctx, i)
+            if n < 0:
+                out.append(None)
+                continue
+            buf = np.empty((n, 2), np.int32)
+            lib.polyg_result(ctx, i, buf.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int32)))
+            out.append(buf.tolist())
+        return out
+    finally:
+        lib.polyg_free(ctx)
 
 
 def resize_lanczos_native(img: np.ndarray, oh: int, ow: int) -> Optional[np.ndarray]:
