@@ -182,6 +182,15 @@ def _produce_entries(model: 'VGSLModel', im: 'Image.Image',
     transforms = ImageInputTransforms(batch, height, width, channels,
                                       (config.padding, 0), valid_norm,
                                       dtype=np.uint8 if transfer_u8 else np.float32)
+    if transforms.mode == 'L' and im.mode == 'RGB':
+        # single-channel models: convert the page once instead of every
+        # warped line patch — the extraction warp then runs on one channel
+        # (3x less sampling work; the dominant per-line host cost on RGB
+        # pages). Grayscale conversion and the bilinear warp commute to
+        # within one gray level; decoded text is pinned by the golden
+        # tests. (The reference converts per line AFTER extraction,
+        # kraken/lib/dataset/utils.py:171.)
+        im = im.convert('L')
 
     legacy = False
     if model.use_legacy_polygons and segmentation.type == 'baselines':
