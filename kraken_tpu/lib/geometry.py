@@ -341,19 +341,25 @@ def precompute_polygon_sections(baseline: Sequence[tuple[int, int]],
     hits, hit_ok = _batch_ray_polygon(origins, directions, bounds)
     k = len(u_arr)
     cache: dict[float, Optional[np.ndarray]] = {}
+    # per-distance python-int point pairs, computed once (assembling each
+    # pair's quad from tiny numpy temporaries dominated record decode)
+    pts_cache: dict[float, Optional[list]] = {}
+    hits_int = np.rint(hits).astype(np.int64)
     for i, d in enumerate(unique):
         if hit_ok[i] and hit_ok[k + i]:
             cache[d] = np.concatenate([hits[i], hits[k + i]]).round()
+            pts_cache[d] = [[int(hits_int[i, 0]), int(hits_int[i, 1])],
+                            [int(hits_int[k + i, 0]), int(hits_int[k + i, 1])]]
         else:
             cache[d] = None
+            pts_cache[d] = None
 
     polygons = []
     for d1, d2 in cut_pairs:
-        p1, p2 = cache[_clamp(d1)], cache[_clamp(d2)]
-        if p1 is not None and p2 is not None:
-            o = np.int_(p1).reshape(-1, 2).tolist()
-            o.extend(np.int_(np.roll(p2, 2)).reshape(-1, 2).tolist())
-            polygons.append(tuple(o))
+        c1, c2 = pts_cache[_clamp(d1)], pts_cache[_clamp(d2)]
+        if c1 is not None and c2 is not None:
+            # quad order matches np.roll(p2, 2): (p1+, p1-, p2-, p2+)
+            polygons.append((c1[0], c1[1], c2[1], c2[0]))
         else:
             polygons.append(compute_polygon_section(baseline, boundary, d1, d2))
     return polygons, cache, bl_length
