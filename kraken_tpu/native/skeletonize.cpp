@@ -8,6 +8,8 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <map>
+#include <mutex>
 #include <queue>
 #include <utility>
 #include <vector>
@@ -309,8 +311,9 @@ inline uint8_t clip8(int in) {
 }
 
 // returns ksize; fills bounds (2*outSize) and int coefficients (outSize*ksize)
-int precompute_coeffs_int(int inSize, int outSize,
-                          std::vector<int> &bounds, std::vector<int> &kk_int) {
+int precompute_coeffs_int_uncached(int inSize, int outSize,
+                                   std::vector<int> &bounds,
+                                   std::vector<int> &kk_int) {
     const double scale = static_cast<double>(inSize) / outSize;
     double filterscale = scale;
     if (filterscale < 1.0) filterscale = 1.0;
@@ -342,6 +345,37 @@ int precompute_coeffs_int(int inSize, int outSize,
             ki[x] = static_cast<int>(k[x] < 0 ? k[x] * (1 << kPrecisionBits) - 0.5
                                               : k[x] * (1 << kPrecisionBits) + 0.5);
     }
+    return ksize;
+}
+
+// coefficient-table cache keyed by (inSize, outSize): the sinc evaluations
+// (~2*ksize libm sin calls per output sample) dominate small-line resizes,
+// and line-normalization reuses a handful of geometry pairs per document.
+// Values are the exact tables the uncached path computes, so output stays
+// byte-identical to PIL.
+struct CoeffEntry {
+    int ksize;
+    std::vector<int> bounds, kk;
+};
+std::mutex g_coeff_mu;
+std::map<std::pair<int, int>, CoeffEntry> g_coeff_cache;
+
+int precompute_coeffs_int(int inSize, int outSize,
+                          std::vector<int> &bounds, std::vector<int> &kk_int) {
+    const std::pair<int, int> key{inSize, outSize};
+    {
+        std::lock_guard<std::mutex> lock(g_coeff_mu);
+        auto it = g_coeff_cache.find(key);
+        if (it != g_coeff_cache.end()) {
+            bounds = it->second.bounds;
+            kk_int = it->second.kk;
+            return it->second.ksize;
+        }
+    }
+    const int ksize = precompute_coeffs_int_uncached(inSize, outSize, bounds, kk_int);
+    std::lock_guard<std::mutex> lock(g_coeff_mu);
+    if (g_coeff_cache.size() >= 512) g_coeff_cache.clear();
+    g_coeff_cache.emplace(key, CoeffEntry{ksize, bounds, kk_int});
     return ksize;
 }
 
