@@ -548,6 +548,48 @@ def _piecewise_affine_warp(patch: np.ndarray, src_pts: np.ndarray,
                      borderMode=cv2.BORDER_CONSTANT, borderValue=0)
 
 
+def _extract_straight_line(page: np.ndarray, pl: np.ndarray,
+                           baseline: np.ndarray, c_min: int, c_max: int,
+                           r_min: int, r_max: int, order: int) -> np.ndarray:
+    """
+    Array-level straight-baseline extraction: polygon mask (cv2.fillPoly)
+    + derotation (the exact warp of :func:`_rotate_image`) + content-bbox
+    crop, avoiding the per-line PIL Image round-trips. Mask semantics match
+    apply_polygonal_mask up to the rasterizer's boundary pixels
+    (ImageDraw.polygon vs cv2.fillPoly); decoded text is pinned by the
+    golden tests.
+    """
+    import cv2
+    patch = page[r_min:r_max + 1, c_min:c_max + 1]
+    mask = np.zeros(patch.shape, np.uint8)
+    cv2.fillPoly(mask, [(pl - (c_min, r_min)).astype(np.int32)], 1)
+    masked = patch * mask
+
+    direction = baseline[1] - baseline[0]
+    angle = np.arctan2(direction[1], direction[0])
+    rows, cols = masked.shape
+    c, s = np.cos(angle), np.sin(angle)
+    corners = np.array([[0, 0], [0, rows - 1], [cols - 1, rows - 1],
+                        [cols - 1, 0]], float)
+    mapped = corners @ np.array([[c, s], [-s, c]]).T
+    minc, minr = mapped[:, 0].min(), mapped[:, 1].min()
+    out_w = int(np.around(mapped[:, 0].max() - minc + 1))
+    out_h = int(np.around(mapped[:, 1].max() - minr + 1))
+    inv = np.array([[c, -s, c * (minc + .5) - s * (minr + .5) - .5],
+                    [s, c, s * (minc + .5) + c * (minr + .5) - .5]], float)
+    interp = cv2.INTER_LINEAR if order else cv2.INTER_NEAREST
+    warped = cv2.warpAffine(masked, inv, (out_w, out_h),
+                            flags=interp | cv2.WARP_INVERSE_MAP,
+                            borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+    # PIL getbbox analog: crop zero borders
+    nz_rows = np.flatnonzero(warped.any(axis=1))
+    if not len(nz_rows):
+        return np.zeros((1, 1), np.uint8)
+    nz_cols = np.flatnonzero(warped.any(axis=0))
+    return np.ascontiguousarray(warped[nz_rows[0]:nz_rows[-1] + 1,
+                                       nz_cols[0]:nz_cols[-1] + 1])
+
+
 def extract_polygons(im: Image.Image, bounds, legacy: bool = False):
     """
     Yields the sub-images of `im` for every line in the segmentation,
@@ -584,7 +626,26 @@ def extract_polygons(im: Image.Image, bounds, legacy: bool = False):
                 raise ValueError('Baseline outside of image bounds')
 
             if len(baseline) == 2:
-                # straight line: mask + rotate
+                # straight line: mask + rotate. On grayscale pages the whole
+                # chain runs on arrays (cv2 fill/warp + numpy bbox) over a
+                # per-page cached array — the PIL crop/draw/paste/Image
+                # round-trips cost more than the warp itself. The PIL path
+                # below remains for other modes and may differ in single
+                # mask-boundary pixels.
+                if im.mode == 'L':
+                    page_arr = getattr(im, '_kraken_page_array', None)
+                    if page_arr is None:
+                        page_arr = np.asarray(im)
+                        try:
+                            im._kraken_page_array = page_arr
+                        except Exception:
+                            pass
+                    out = _extract_straight_line(page_arr, pl,
+                                                 baseline.astype(float),
+                                                 c_min, c_max, r_min, r_max,
+                                                 order)
+                    yield Image.fromarray(out, 'L'), line
+                    continue
                 baseline = baseline.astype(float)
                 direction = baseline[1] - baseline[0]
                 angle = np.arctan2(direction[1], direction[0])
