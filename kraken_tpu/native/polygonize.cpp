@@ -482,7 +482,12 @@ double shoelace_area(const std::vector<Pt> &poly) {
 }
 
 // largest external boundary of the nonzero pixels of `m` (max |shoelace|),
-// compressed; empty when no foreground exists
+// compressed; empty when no foreground exists. Only traced boundary pixels
+// are marked visited (O(perimeter), not O(area)): starts inside an
+// already-traced outer border land on marked pixels, and hole-adjacent
+// starts trace inner boundaries whose area can never exceed the outer
+// one, so max-area selection is unaffected (the python path's
+// cv2.findContours RETR_EXTERNAL + max contourArea semantics).
 std::vector<Pt> largest_external_contour(Mask &m) {
     std::vector<Pt> best;
     double best_area = -1.0;
@@ -491,23 +496,10 @@ std::vector<Pt> largest_external_contour(Mask &m) {
     for (int y = 0; y < m.h; ++y)
         for (int x = 0; x < m.w; ++x) {
             if (!m.at(y, x) || seen.at(y, x)) continue;
-            if (x > 0 && m.at(y, x - 1)) continue;  // not an outer-border start
+            if (x > 0 && m.at(y, x - 1)) continue;  // not a border start
             std::vector<Pt> chain = trace_boundary(m, y, x);
-            // mark the whole component visited via flood fill (stack-based)
-            std::vector<std::pair<int, int>> stack{{y, x}};
-            seen.set(y, x, 1);
-            while (!stack.empty()) {
-                auto [py, px] = stack.back();
-                stack.pop_back();
-                for (int dy = -1; dy <= 1; ++dy)
-                    for (int dx = -1; dx <= 1; ++dx) {
-                        const int ny = py + dy, nx = px + dx;
-                        if (ny < 0 || ny >= m.h || nx < 0 || nx >= m.w) continue;
-                        if (!m.at(ny, nx) || seen.at(ny, nx)) continue;
-                        seen.set(ny, nx, 1);
-                        stack.emplace_back(ny, nx);
-                    }
-            }
+            for (const auto &p : chain)
+                seen.set(static_cast<int>(p.y), static_cast<int>(p.x), 1);
             const double area = chain.size() >= 3 ? shoelace_area(chain) : 0.0;
             if (area > best_area) {
                 best_area = area;
