@@ -408,7 +408,7 @@ void carve_seam_rows(const std::vector<float> &patch, int h, int w,
 // (pixel, backtrack) state of the start repeats). (sy, sx) must be an
 // outer-border start pixel, i.e. its west neighbor is background. Returns
 // boundary pixels as (x, y).
-std::vector<Pt> trace_boundary(const Mask &m, int sy, int sx) {
+std::vector<Pt> trace_boundary(const Mask &m, int sy, int sx, Mask &state) {
     // ring positions clockwise (y down): W, NW, N, NE, E, SE, S, SW
     static const int dy8[8] = {0, -1, -1, -1, 0, 1, 1, 1};
     static const int dx8[8] = {-1, -1, 0, 1, 1, 1, 0, -1};
@@ -419,6 +419,7 @@ std::vector<Pt> trace_boundary(const Mask &m, int sy, int sx) {
     out.push_back({static_cast<double>(sx), static_cast<double>(sy)});
     int cy = sy, cx = sx;
     int b_dir = 0;  // direction from the current pixel to its backtrack (W)
+    state.v[static_cast<size_t>(sy) * m.w + sx] |= 1;  // bit per b_dir
     const size_t cap = static_cast<size_t>(m.h) * m.w * 4 + 16;
     for (size_t guard = 0; guard < cap; ++guard) {
         int found = -1;
@@ -445,7 +446,12 @@ std::vector<Pt> trace_boundary(const Mask &m, int sy, int sx) {
             }
         if (nb < 0) break;  // unreachable: consecutive ring cells are adjacent
         b_dir = nb;
-        if (cy == sy && cx == sx && b_dir == 0) break;  // state repeats
+        // terminate on ANY repeated (pixel, backtrack) state — robust for
+        // both outer borders and inner (hole) boundaries, where the walk
+        // never returns to the scan-start state
+        uint8_t &bits = state.v[static_cast<size_t>(cy) * m.w + cx];
+        if (bits & (1 << b_dir)) break;
+        bits |= (1 << b_dir);
         out.push_back({static_cast<double>(cx), static_cast<double>(cy)});
     }
     return out;
@@ -491,15 +497,13 @@ double shoelace_area(const std::vector<Pt> &poly) {
 std::vector<Pt> largest_external_contour(Mask &m) {
     std::vector<Pt> best;
     double best_area = -1.0;
-    Mask seen;
-    seen.init(m.h, m.w, 0);
+    Mask state;  // per-pixel bitmask of visited backtrack directions
+    state.init(m.h, m.w, 0);
     for (int y = 0; y < m.h; ++y)
         for (int x = 0; x < m.w; ++x) {
-            if (!m.at(y, x) || seen.at(y, x)) continue;
+            if (!m.at(y, x) || state.at(y, x)) continue;
             if (x > 0 && m.at(y, x - 1)) continue;  // not a border start
-            std::vector<Pt> chain = trace_boundary(m, y, x);
-            for (const auto &p : chain)
-                seen.set(static_cast<int>(p.y), static_cast<int>(p.x), 1);
+            std::vector<Pt> chain = trace_boundary(m, y, x, state);
             const double area = chain.size() >= 3 ? shoelace_area(chain) : 0.0;
             if (area > best_area) {
                 best_area = area;
