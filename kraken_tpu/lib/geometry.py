@@ -43,7 +43,11 @@ except ImportError:  # pragma: no cover
 # ----------------------------------------------------------- polyline utils
 def polyline_dists(pts: np.ndarray) -> np.ndarray:
     """Cumulative arc length at each vertex of a polyline."""
-    return np.cumsum(np.insert(np.linalg.norm(np.diff(pts, axis=0), axis=1), 0, 0))
+    seg = np.linalg.norm(np.diff(pts, axis=0), axis=1)
+    out = np.empty(len(seg) + 1)
+    out[0] = 0
+    np.cumsum(seg, out=out[1:])
+    return out
 
 
 def douglas_peucker(pts: np.ndarray, tolerance: float) -> np.ndarray:
@@ -793,14 +797,21 @@ def polygonal_reading_order(lines: Sequence, text_direction: Literal['lr', 'rl']
     region_lines: list[list] = [[] for _ in regions]
     bounds = []
     indices = {}
+    # batched midpoint-in-region tests (one crossing test per region over
+    # all line midpoints; the scalar per-(line, region) loop dominated the
+    # reading-order stage) — first containing region wins, as before
+    if regions and len(lines):
+        mids = np.array([line_midpoint(line.baseline) for line in lines])
+        hits = np.stack([points_in_polygon(mids, reg.boundary)
+                         for reg in regions])          # (R, L)
+    else:
+        hits = np.zeros((len(regions), len(lines)), bool)
     for line_idx, line in enumerate(lines):
-        in_region = False
-        for reg_idx, region in enumerate(regions):
-            if is_in_region(line.baseline, region.boundary):
-                region_lines[reg_idx].append((line_idx, _baseline_bounds(line.baseline)))
-                in_region = True
-                break
-        if not in_region:
+        reg_hit = np.flatnonzero(hits[:, line_idx])
+        if len(reg_hit):
+            region_lines[int(reg_hit[0])].append(
+                (line_idx, _baseline_bounds(line.baseline)))
+        else:
             bounds.append(_baseline_bounds(line.baseline))
             indices[line_idx] = ('line', line_idx)
     intra = [[] for _ in regions]
