@@ -57,54 +57,73 @@ _NP_PAD = {'reflect': 'symmetric', 'mirror': 'reflect',
            'nearest': 'edge', 'constant': 'constant'}
 
 
-def _pad_cols(src: np.ndarray, r: int, mode: str, transpose: bool) -> np.ndarray:
+def _pad_cols(src: np.ndarray, r: int, mode: str, transpose: bool,
+              total_w: int = 0) -> np.ndarray:
     """Column-pads `src` (optionally transposing first) in ONE allocation —
     np.pad after a transpose copy was two full-page copies per axis-0
-    pass. Border fills replicate np.pad's symmetric/reflect/edge/constant."""
+    pass. Border fills replicate np.pad's symmetric/reflect/edge/constant.
+    `total_w` > the padded width additionally zero-fills up to `total_w`
+    (the FFT fast length), so scipy.fft skips its own padding copy."""
     a = src.T if transpose else src
     h, w = a.shape
     if r >= w:
         # pad wider than the image: np.pad's cycling semantics apply
-        return np.pad(np.ascontiguousarray(a), ((0, 0), (r, r)),
-                      mode=_NP_PAD[mode])
-    out = np.empty((h, w + 2 * r), a.dtype)
+        out = np.pad(np.ascontiguousarray(a), ((0, 0), (r, r)),
+                     mode=_NP_PAD[mode])
+        if total_w > out.shape[1]:
+            full = np.zeros((h, total_w), a.dtype)
+            full[:, :out.shape[1]] = out
+            return full
+        return out
+    cols = max(w + 2 * r, total_w)
+    out = np.empty((h, cols), a.dtype)
     out[:, r:r + w] = a
+    if cols > w + 2 * r:
+        out[:, w + 2 * r:] = 0
     if r:
         m = _NP_PAD[mode]
         if m == 'symmetric':
             out[:, :r] = a[:, r - 1::-1]
-            out[:, r + w:] = a[:, :w - r - 1:-1]
+            out[:, r + w:2 * r + w] = a[:, :w - r - 1:-1]
         elif m == 'reflect':
             out[:, :r] = a[:, r:0:-1]
-            out[:, r + w:] = a[:, w - 2:w - r - 2:-1]
+            out[:, r + w:2 * r + w] = a[:, w - 2:w - r - 2:-1]
         elif m == 'edge':
             out[:, :r] = a[:, :1]
-            out[:, r + w:] = a[:, -1:]
+            out[:, r + w:2 * r + w] = a[:, -1:]
         else:  # constant
             out[:, :r] = 0
-            out[:, r + w:] = 0
+            out[:, r + w:2 * r + w] = 0
     return out
+
+
+_KFREQ_CACHE: dict = {}
 
 
 def _fft_pass(src: np.ndarray, k: np.ndarray, axis: int, mode: str) -> np.ndarray:
     """One 1-D correlation pass along `axis` via a full-length real FFT
     (float64; deviation from the direct product ~1e-15 of the value range,
     several times faster than direct filtering for many-hundred-tap
-    kernels)."""
+    kernels). The border pad zero-fills straight to the FFT fast length
+    (scipy would otherwise copy again), and kernel spectra are cached per
+    (kernel, length)."""
     import scipy.fft as sfft
     r = len(k) // 2
-    if axis == 0:
-        padded = _pad_cols(src, r, mode, transpose=True)
-    else:
-        padded = _pad_cols(src, r, mode, transpose=False)
-    kern = k[::-1]
-    n = padded.shape[1] + len(kern) - 1
+    row_w = src.shape[0] if axis == 0 else src.shape[1]
+    n = row_w + 2 * r + len(k) - 1
     nfast = sfft.next_fast_len(n, real=True)
+    padded = _pad_cols(src, r, mode, transpose=axis == 0, total_w=nfast)
     freq = sfft.rfft(padded, nfast, axis=1)
-    kfreq = sfft.rfft(kern, nfast)
+    key = (k.tobytes(), nfast)
+    kfreq = _KFREQ_CACHE.get(key)
+    if kfreq is None:
+        if len(_KFREQ_CACHE) > 64:
+            _KFREQ_CACHE.clear()
+        kfreq = sfft.rfft(k[::-1], nfast)
+        _KFREQ_CACHE[key] = kfreq
     full = sfft.irfft(freq * kfreq[None, :], nfast, axis=1)
-    start = len(kern) - 1
-    out = full[:, start:start + (src.shape[0] if axis == 0 else src.shape[1])]
+    start = len(k) - 1
+    out = full[:, start:start + row_w]
     return np.ascontiguousarray(out.T) if axis == 0 else out
 
 

@@ -36,17 +36,26 @@ def _objects(binary: np.ndarray):
     return morph.find_objects(labels)
 
 
+def _slice_areas(objs) -> np.ndarray:
+    """Bounding-box pixel areas of find_objects slices in one array (the
+    per-slice np.prod of morph.slice_area dominated estimate_scale)."""
+    return np.array([(o[0].stop - o[0].start) * (o[1].stop - o[1].start)
+                     for o in objs], dtype=np.int64)
+
+
 def estimate_scale(binary: np.ndarray) -> float:
     """
     Estimates the typical grapheme scale from the median sqrt-area of
     midsized connected components.
     """
-    bysize = sorted(_objects(binary), key=morph.slice_area)
+    objs = _objects(binary)
+    areas = _slice_areas(objs)
     scalemap = np.zeros(binary.shape)
-    for obj in bysize:
-        if np.amax(scalemap[obj]) > 0:
+    for i in np.argsort(areas, kind='stable'):
+        obj = objs[i]
+        if scalemap[obj].max() > 0:
             continue
-        scalemap[obj] = morph.slice_area(obj) ** 0.5
+        scalemap[obj] = areas[i] ** 0.5
     return float(np.median(scalemap[(scalemap > 3) & (scalemap < 100)]))
 
 
@@ -55,10 +64,12 @@ def compute_boxmap(binary: np.ndarray, scale: float,
                    dtype: str = 'i') -> np.ndarray:
     """Marks grapheme-cluster-sized connected components."""
     boxmap = np.zeros(binary.shape, dtype)
-    for obj in sorted(_objects(binary), key=morph.slice_area):
-        area_sqrt = morph.slice_area(obj) ** 0.5
-        if threshold[0] * scale <= area_sqrt <= threshold[1] * scale:
-            boxmap[obj] = 1
+    objs = _objects(binary)
+    # membership only sets constant 1s, so the size order is irrelevant
+    area_sqrt = np.sqrt(_slice_areas(objs))
+    for i in np.flatnonzero((threshold[0] * scale <= area_sqrt)
+                            & (area_sqrt <= threshold[1] * scale)):
+        boxmap[objs[i]] = 1
     return boxmap
 
 
