@@ -193,6 +193,8 @@ def maximum_filter(input: np.ndarray, size, mode: str = 'reflect', **kwargs):
         return ndi.maximum_filter(input, sizes, mode=mode, **kwargs)
     was_bool = input.dtype == bool
     src = np.ascontiguousarray(input, np.uint8 if was_bool else np.float64)
+    # one 2-D dilate: cv2's rect-kernel dilation is already O(1) per pixel
+    # (two separable 1-D passes measured slower — extra memory traffic)
     kernel = np.ones((sizes[0], sizes[1]), np.uint8)
     out = cv2.dilate(src, kernel, anchor=(sizes[1] // 2, sizes[0] // 2),
                      borderType=cv2.BORDER_REFLECT)

@@ -46,17 +46,39 @@ def _slice_areas(objs) -> np.ndarray:
 def estimate_scale(binary: np.ndarray) -> float:
     """
     Estimates the typical grapheme scale from the median sqrt-area of
-    midsized connected components.
+    midsized connected components: smallest-first, each unclaimed bbox
+    contributes its sqrt-area once per pixel; the median runs over that
+    pixel multiset. Claimed regions are disjoint (a bbox is only accepted
+    when untouched), so the multiset is an area-weighted value list — the
+    weighted median below is exactly np.median over the materialized map.
     """
     objs = _objects(binary)
     areas = _slice_areas(objs)
-    scalemap = np.zeros(binary.shape)
+    claimed = np.zeros(binary.shape, bool)
+    vals = []
+    wts = []
     for i in np.argsort(areas, kind='stable'):
         obj = objs[i]
-        if scalemap[obj].max() > 0:
+        if claimed[obj].any():
             continue
-        scalemap[obj] = areas[i] ** 0.5
-    return float(np.median(scalemap[(scalemap > 3) & (scalemap < 100)]))
+        claimed[obj] = True
+        v = areas[i] ** 0.5
+        if 3 < v < 100:
+            vals.append(v)
+            wts.append(int(areas[i]))
+    if not vals:
+        return float(np.median(np.zeros(0)))  # nan, like the empty selection
+    vals = np.asarray(vals)
+    wts = np.asarray(wts)
+    order = np.argsort(vals)
+    vals = vals[order]
+    cum = np.cumsum(wts[order])
+    total = int(cum[-1])
+    if total % 2:
+        return float(vals[np.searchsorted(cum, (total - 1) // 2 + 1)])
+    lo = vals[np.searchsorted(cum, total // 2)]
+    hi = vals[np.searchsorted(cum, total // 2 + 1)]
+    return float((lo + hi) / 2)
 
 
 def compute_boxmap(binary: np.ndarray, scale: float,
