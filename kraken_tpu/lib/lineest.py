@@ -59,16 +59,16 @@ def _bilinear_diag(img: np.ndarray, inv_scale: float,
     fr = r - r0
     fc = c - c0
     # pad one constant row/col so r0+1/c0+1 gathers stay in bounds; points
-    # sampling beyond the input are overwritten with cval below
+    # sampling beyond the input are overwritten with cval below. The
+    # diagonal matrix makes the interpolation separable: lerp rows, then
+    # columns (fp-associativity differences vs the per-pixel form are
+    # below the float32 output rounding).
     padded = np.full((h + 1, w + 1), float(cval))
     padded[:h, :w] = img
     rr0 = np.clip(r0, 0, h - 1)
     cc0 = np.clip(c0, 0, w - 1)
-    top = padded[rr0[:, None], cc0[None, :]] * (1 - fc)[None, :] + \
-        padded[rr0[:, None], cc0[None, :] + 1] * fc[None, :]
-    bot = padded[rr0[:, None] + 1, cc0[None, :]] * (1 - fc)[None, :] + \
-        padded[rr0[:, None] + 1, cc0[None, :] + 1] * fc[None, :]
-    out = top * (1 - fr)[:, None] + bot * fr[:, None]
+    rows = padded[rr0] * (1 - fr)[:, None] + padded[rr0 + 1] * fr[:, None]
+    out = rows[:, cc0] * (1 - fc)[None, :] + rows[:, cc0 + 1] * fc[None, :]
     # scipy fills any coordinate strictly outside the input extent
     # [0, h-1] x [0, w-1] with pure cval (no edge blending)
     out[(r < 0) | (r > h - 1), :] = cval
