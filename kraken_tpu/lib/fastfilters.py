@@ -34,7 +34,11 @@ if _HAS_CV2:
 
 
 def _gauss_kernel1d(sigma: float, order: int) -> np.ndarray:
-    """scipy-identical 1-D gaussian (derivative) correlation kernel."""
+    """scipy-identical 1-D gaussian (derivative) correlation kernel.
+    sigma 0 is the identity (callers use it to skip an axis and share the
+    other axis' pass across several filters)."""
+    if sigma == 0:
+        return np.ones(1)
     radius = int(4.0 * sigma + 0.5)
     x = np.arange(-radius, radius + 1, dtype=np.float64)
     phi = np.exp(-0.5 * x * x / (sigma * sigma))
@@ -135,7 +139,9 @@ def gaussian_filter(input: np.ndarray, sigma, order=0, mode: str = 'reflect'):
     sigmas = (sigma, sigma) if np.isscalar(sigma) else tuple(sigma)
     orders = (order, order) if np.isscalar(order) else tuple(order)
     if (not _HAS_CV2 or input.ndim != 2 or mode not in _BORDER
-            or any(o not in (0, 1, 2) for o in orders) or any(s <= 0 for s in sigmas)):
+            or any(o not in (0, 1, 2) for o in orders)
+            or any(s < 0 for s in sigmas)
+            or any(s == 0 and o != 0 for s, o in zip(sigmas, orders))):
         return ndi.gaussian_filter(input, sigmas, order=orders, mode=mode)
     # scipy correlates with the reversed kernel; cv2.sepFilter2D correlates
     # with the kernel as given, so pass the reversed kernel through
@@ -187,7 +193,8 @@ def maximum_filter(input: np.ndarray, size, mode: str = 'reflect', **kwargs):
     mode='reflect' and origin 0.
     """
     sizes = (size, size) if np.isscalar(size) else tuple(size)
-    sizes = tuple(int(s) for s in sizes)
+    # scipy treats a 0 extent as size 1 (no filtering along that axis)
+    sizes = tuple(int(s) if int(s) != 0 else 1 for s in sizes)
     if (not _HAS_CV2 or input.ndim != 2 or mode != 'reflect' or kwargs
             or any(s < 1 for s in sizes)):
         return ndi.maximum_filter(input, sizes, mode=mode, **kwargs)

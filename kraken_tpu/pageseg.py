@@ -120,10 +120,13 @@ def compute_separators_morph(binary: np.ndarray, scale: float,
 def compute_colseps_conv(binary: np.ndarray, scale: float = 1.0,
                          minheight: int = 10, maxcolseps: int = 2) -> np.ndarray:
     """Finds whitespace column separators by smoothing and thresholding."""
-    smoothed = gaussian_filter(1.0 * binary, (scale, scale * 0.5))
+    # the order-0 and order-(0,1) filters share sigmas, so they share the
+    # whole axis-0 pass (bit-identical: the axis passes run sequentially)
+    vpass = gaussian_filter(1.0 * binary, (scale, 0))
+    smoothed = gaussian_filter(vpass, (0, scale * 0.5))
     smoothed = uniform_filter(smoothed, (5.0 * scale, 1))
     thresh = (smoothed < np.amax(smoothed) * 0.1)
-    grad = gaussian_filter(1.0 * binary, (scale, scale * 0.5), order=(0, 1))
+    grad = gaussian_filter(vpass, (0, scale * 0.5), order=(0, 1))
     grad = uniform_filter(grad, (10.0 * scale, 1))
     grad = (grad > 0.5 * np.amax(grad))
     seps = np.minimum(thresh, maximum_filter(grad, (int(scale), int(5 * scale))))
