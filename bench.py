@@ -247,10 +247,12 @@ def _neural_page_pipeline(torch_backend: bool, n_pages: int = 3):
     im.load()
     seg_model = load_models(os.path.join(repo, 'tests/resources/blla_small.safetensors'))[0]
     # uint8 transfer options: production config for remote/tunneled TPU
-    # links (quantizes heatmaps and line batches on device; parity-tested)
+    # links (quantizes heatmaps, line batches, and page tensors on device;
+    # parity-tested)
     prepare_segmentation(seg_model, SegmentationInferenceConfig(
         precision='32-true' if torch_backend else 'bf16',
-        heatmap_precision='float32' if torch_backend else 'uint8'))
+        heatmap_precision='float32' if torch_backend else 'uint8',
+        input_transfer='float' if torch_backend else 'uint8'))
     rec_model = _flagship_model()
     rec_model.prepare_for_inference(RecognitionInferenceConfig(
         batch_size=32, num_line_workers=1,
@@ -377,7 +379,8 @@ def _sustained_pipeline(n_pages: int = 100):
     ims[0].load()
     seg_model = load_models(os.path.join(repo, 'tests/resources/blla_small.safetensors'))[0]
     prepare_segmentation(seg_model, SegmentationInferenceConfig(
-        precision='bf16', heatmap_precision='uint8'))
+        precision='bf16', heatmap_precision='uint8',
+        input_transfer='uint8'))
     rec_model = _flagship_model()
     rec_model.prepare_for_inference(RecognitionInferenceConfig(
         batch_size=32, num_line_workers=1, precision='bf16',
@@ -548,7 +551,8 @@ def _stage_budget():
     im.load()
     seg_model = load_models(os.path.join(repo, 'tests/resources/blla_small.safetensors'))[0]
     prepare_segmentation(seg_model, SegmentationInferenceConfig(
-        precision='bf16', heatmap_precision='uint8'))
+        precision='bf16', heatmap_precision='uint8',
+        input_transfer='uint8'))
     rec_model = _flagship_model()
     rec_model.prepare_for_inference(RecognitionInferenceConfig(
         batch_size=32, num_line_workers=1, precision='bf16',

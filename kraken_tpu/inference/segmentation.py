@@ -73,9 +73,14 @@ def prepare_segmentation(model: 'VGSLModel', config) -> None:
             (model.user_metadata.get('class_mapping') or {})
             .get('baselines', {}).values())) if fused_ridge else ()
         ridge_threshold = float(getattr(config, 'ridge_threshold', 0.17))
+        # byte page uploads: dequantize on device (the host tail produced
+        # the quantized payload; values match the float pipeline exactly)
+        dequant = getattr(config, 'input_transfer', 'float') == 'uint8'
 
         def fwd(params, x, out_h, out_w, seq_lens=None):
             from kraken_tpu.ops.ridge import _sato_core_batch
+            if dequant:
+                x = (x.astype(jnp.float32) / 255.0).astype(dtype)
             logits, _ = net.apply(params, x, seq_lens)
             logits = jax.image.resize(logits.astype(jnp.float32),
                                       (logits.shape[0], logits.shape[1], out_h, out_w),
@@ -218,8 +223,10 @@ def _compute_segmentation_maps(model: 'VGSLModel', ims: list) -> list[dict[str, 
     elif len(padding) == 2:
         padding = (padding[0], padding[0], padding[1], padding[1])
 
+    transfer_u8 = getattr(config, 'input_transfer', 'float') == 'uint8'
     transforms = ImageInputTransforms(batch, height, width, channels, padding,
-                                      valid_norm=False, dtype=np.float32)
+                                      valid_norm=False,
+                                      dtype=np.uint8 if transfer_u8 else np.float32)
     pages = []
     for im in ims:
         # scaled grayscale image (pre-tensor stage of the transform pipeline)
@@ -246,11 +253,13 @@ def _compute_segmentation_maps(model: 'VGSLModel', ims: list) -> list[dict[str, 
         from kraken_tpu.inference.recognition import width_bucket
         max_w = width_bucket(max_w)
     stack = np.zeros((len(pages), pages[0]['tensor'].shape[0],
-                      pages[0]['tensor'].shape[1], max_w), np.float32)
+                      pages[0]['tensor'].shape[1], max_w),
+                     np.uint8 if transfer_u8 else np.float32)
     for i, p in enumerate(pages):
         stack[i, :, :, :p['tensor'].shape[2]] = p['tensor']
     max_padded_h = max(p['padded_h'] for p in pages)
-    x = jax.device_put(jnp.asarray(stack.astype(model._m_dtype)), model._device)
+    payload = stack if transfer_u8 else stack.astype(model._m_dtype)
+    x = jax.device_put(jnp.asarray(payload), model._device)
     # upsample in bucket space (static args stay bucketed), then crop the
     # padding back off on the host. Per-page valid widths thread through as
     # seq_lens so the padding-aware GroupNorm layers exclude the shared

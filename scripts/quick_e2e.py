@@ -29,7 +29,8 @@ def main(n_pages: int = 6, passes: int = 2):
     im.load()
     seg_model = load_models(os.path.join(repo, 'tests/resources/blla_small.safetensors'))[0]
     prepare_segmentation(seg_model, SegmentationInferenceConfig(
-        precision='bf16', heatmap_precision='uint8'))
+        precision='bf16', heatmap_precision='uint8',
+        input_transfer='uint8'))
     rec_model = benchmod._flagship_model()
     rec_model.prepare_for_inference(RecognitionInferenceConfig(
         batch_size=32, num_line_workers=1, precision='bf16',

@@ -155,6 +155,27 @@ def test_device_vectorize_segmentation_equivalence():
         assert a.boundary == b.boundary
 
 
+def test_uint8_input_transfer_segmentation_equivalence():
+    """SegmentationInferenceConfig(input_transfer='uint8') ships the page
+    as bytes and rescales on device; the quantized payload contract makes
+    the resulting Segmentation identical to the float path."""
+    from kraken_tpu.configs import SegmentationInferenceConfig
+    from kraken_tpu.inference.segmentation import prepare_segmentation, segmentation_pred
+    from kraken_tpu.models import load_models
+    model = load_models('tests/resources/blla_small.safetensors')[0]
+    im = Image.open('tests/resources/170025120000003,0074.jpg')
+    prepare_segmentation(model, SegmentationInferenceConfig(precision='32-true'))
+    ref = segmentation_pred(model, im)
+    model._seg_fwd = None
+    prepare_segmentation(model, SegmentationInferenceConfig(precision='32-true',
+                                                            input_transfer='uint8'))
+    u8 = segmentation_pred(model, im)
+    assert len(ref.lines) == len(u8.lines)
+    for a, b in zip(ref.lines, u8.lines):
+        assert a.baseline == b.baseline
+        assert a.boundary == b.boundary
+
+
 def test_polygonal_environment_failure_returns_none():
     im = Image.fromarray(np.full((50, 50), 255, np.uint8))
     # degenerate single-point baseline
