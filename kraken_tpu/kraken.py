@@ -423,9 +423,13 @@ def binarize(ctx, threshold, zoom, escale, border, perc, range, low, high, accel
               help='Run the ridge filter and batched seam carving on the '
                    'accelerator instead of the host (identical results; '
                    'useful when host cores are scarce).')
+@click.option('--transfer', default='float', type=click.Choice(['float', 'bytes']),
+              help='Device-link payload format: "bytes" ships page tensors '
+                   'as uint8 and returns quantized heatmaps (2-4x less '
+                   'transfer on remote links; equivalence-tested).')
 def segment(ctx, model, boxes, text_direction, legacy_scale, legacy_maxcolseps,
             legacy_black_colseps, legacy_no_hlines, bbox_line_padding, input_padding,
-            device_vectorize):
+            device_vectorize, transfer):
     """
     Segments page images into text lines.
     """
@@ -439,6 +443,8 @@ def segment(ctx, model, boxes, text_direction, legacy_scale, legacy_maxcolseps,
                                          bbox_line_padding=bbox_line_padding,
                                          input_padding=input_padding,
                                          device_vectorize=device_vectorize,
+                                         input_transfer='uint8' if transfer == 'bytes' else 'float',
+                                         heatmap_precision='uint8' if transfer == 'bytes' else 'float32',
                                          device=ctx.meta['device'],
                                          precision=ctx.meta['precision'],
                                          raise_on_error=ctx.meta['raise_failed'])
@@ -512,9 +518,13 @@ def segment(ctx, model, boxes, text_direction, legacy_scale, legacy_maxcolseps,
               help='CTC decoding strategy.')
 @click.option('--beam-size', default=3, type=int,
               help='Beam width for the beam decoder.')
+@click.option('--transfer', default='float', type=click.Choice(['float', 'bytes']),
+              help='Device-link payload format: "bytes" ships line batches '
+                   'as uint8 and rescales on device (2-4x less upload on '
+                   'remote links; bit-identical payload).')
 def ocr(ctx, model, batch_size, pad, temperature, num_line_workers, devices,
         reorder, base_dir, no_segmentation, text_direction, no_legacy_polygons,
-        linetype, decoder, beam_size):
+        linetype, decoder, beam_size, transfer):
     """
     Recognizes text in line images.
     """
@@ -550,6 +560,7 @@ def ocr(ctx, model, batch_size, pad, temperature, num_line_workers, devices,
                                         text_direction=text_direction,
                                         no_legacy_polygons=no_legacy_polygons,
                                         linetype=linetype,
+                                        input_transfer='uint8' if transfer == 'bytes' else 'float',
                                         device=ctx.meta['device'],
                                         precision=ctx.meta['precision'],
                                         raise_on_error=ctx.meta['raise_failed'])
