@@ -189,8 +189,17 @@ def _produce_entries(model: 'VGSLModel', im: 'Image.Image',
         # pages). Grayscale conversion and the bilinear warp commute to
         # within one gray level; decoded text is pinned by the golden
         # tests. (The reference converts per line AFTER extraction,
-        # kraken/lib/dataset/utils.py:171.)
-        im = im.convert('L')
+        # kraken/lib/dataset/utils.py:171.) Cached on the image so repeated
+        # predictions of one page reuse the conversion and the page-array
+        # cache extraction attaches to it.
+        gray = getattr(im, '_kraken_gray', None)
+        if gray is None:
+            gray = im.convert('L')
+            try:
+                im._kraken_gray = gray
+            except Exception:
+                pass
+        im = gray
 
     legacy = False
     if model.use_legacy_polygons and segmentation.type == 'baselines':
