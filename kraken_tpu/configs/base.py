@@ -151,10 +151,13 @@ class SegmentationInferenceConfig(Config):
         self.fused_ridge = kwargs.pop('fused_ridge', True)
         self.ridge_threshold = kwargs.pop('ridge_threshold', 0.17)
         # 'uint8' ships the page tensor as bytes and rescales on device —
-        # bit-identical to the float pipeline (pages are natively 8-bit;
-        # the quantized payload contract is shared with the recognition
-        # engine's input_transfer) at a half (vs bf16) / quarter (vs fp32)
-        # upload, the dominant per-dispatch cost on remote TPU links
+        # the payload is the float pipeline's exactly (pages are natively
+        # 8-bit; contract shared with the recognition engine's
+        # input_transfer), and the on-device dequantization matches the
+        # host float path to within 1 ulp of float32 (Segmentation
+        # equality on the parity fixture is regression-tested) — at a half
+        # (vs bf16) / quarter (vs fp32) upload, the dominant per-dispatch
+        # cost on remote TPU links
         self.input_transfer = kwargs.pop('input_transfer', 'float')
         super().__init__(**kwargs)
 

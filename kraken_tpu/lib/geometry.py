@@ -585,10 +585,12 @@ def _extract_straight_line(page: np.ndarray, pl: np.ndarray,
     warped = cv2.warpAffine(masked, inv, (out_w, out_h),
                             flags=interp | cv2.WARP_INVERSE_MAP,
                             borderMode=cv2.BORDER_CONSTANT, borderValue=0)
-    # PIL getbbox analog: crop zero borders
+    # PIL getbbox analog: crop zero borders; an all-zero warp returns the
+    # full patch like Image.crop(None) does (downstream emits an empty
+    # record either way via the max==min check)
     nz_rows = np.flatnonzero(warped.any(axis=1))
     if not len(nz_rows):
-        return np.zeros((1, 1), np.uint8)
+        return warped
     nz_cols = np.flatnonzero(warped.any(axis=0))
     return np.ascontiguousarray(warped[nz_rows[0]:nz_rows[-1] + 1,
                                        nz_cols[0]:nz_cols[-1] + 1])
@@ -637,8 +639,11 @@ def extract_polygons(im: Image.Image, bounds, legacy: bool = False):
                 # below remains for other modes and may differ in single
                 # mask-boundary pixels.
                 if im.mode == 'L':
+                    # per-page array cache (predictions treat the input
+                    # image as immutable, like the reference; the size
+                    # guard catches at least resized/replaced content)
                     page_arr = getattr(im, '_kraken_page_array', None)
-                    if page_arr is None:
+                    if page_arr is None or page_arr.shape != (im.height, im.width):
                         page_arr = np.asarray(im)
                         try:
                             im._kraken_page_array = page_arr

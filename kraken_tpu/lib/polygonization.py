@@ -414,6 +414,8 @@ def _carve_rows_device(patches: list) -> list:
     runs ops/seam.carve_seams_device in one dispatch. Returns per-patch
     seam rows with the pad offset removed."""
     from kraken_tpu.ops.seam import carve_seams_device
+    if not patches:
+        return []
     padded = [np.pad(p, ((1, 1), (0, 0)), mode='constant',
                      constant_values=np.inf) for p in patches]
     h = max(p.shape[0] for p in padded)

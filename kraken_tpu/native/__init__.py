@@ -303,11 +303,15 @@ def polygonize_page_native(baselines: list,
     n_bl = len(baselines)
     if n_bl == 0:
         return []
-    # polyline soup: baselines first, then the (deduplicated) extras
+    # polyline soup: baselines first, then the (deduplicated) extras. An
+    # extra that IS one of the baseline objects maps to the baseline's own
+    # index; the C++ side already includes every other baseline in each
+    # line's boundary set and skips such extras, so callers passing "the
+    # other baselines + regions" (vec_lines) don't double the segment soup
     polys = [np.asarray(b, np.float64).reshape(-1, 2) for b in baselines]
     extra_idx: list[int] = []
     extra_off = np.zeros(n_bl + 1, np.int64)
-    seen: dict[int, int] = {}
+    seen: dict[int, int] = {id(b): i for i, b in enumerate(baselines)}
     for i, extras in enumerate(extras_per_line):
         for obj in extras or ():
             key = id(obj)

@@ -359,48 +359,22 @@ bool roi_env(const std::vector<Pt> &ip, const Pt &dir, double bx, double by,
     return true;
 }
 
-// seam DP over a (h, w) float patch with +inf padding rows added here
-// (the same DP as carve_seam in skeletonize.cpp, tie priority up > center
-// > down); writes one row per column, WITHOUT the pad offset.
+// the shared seam DP (skeletonize.cpp) — ONE implementation decides ties
+// for the host, polygonizer, and (equivalence-tested) device paths
+extern "C" void carve_seam(const float *patch, int h, int w, int32_t *out_rows);
+
+// seam DP over a (h, w) float patch: adds the +inf padding rows carve_seam
+// expects and strips the pad offset from the returned rows.
 void carve_seam_rows(const std::vector<float> &patch, int h, int w,
                      std::vector<int32_t> &out_rows) {
-    const int H = h + 2;
-    std::vector<float> prev(H), cost(H);
-    std::vector<int32_t> back(static_cast<size_t>(H) * w);
     const float inf = std::numeric_limits<float>::infinity();
-    prev[0] = prev[H - 1] = inf;
-    for (int y = 0; y < h; ++y) prev[y + 1] = patch[static_cast<size_t>(y) * w];
-    for (int x = 1; x < w; ++x) {
-        for (int y = 1; y < H - 1; ++y) {
-            float best = prev[y - 1];
-            int32_t arg = y - 1;
-            if (prev[y] < best) {
-                best = prev[y];
-                arg = y;
-            }
-            if (prev[y + 1] < best) {
-                best = prev[y + 1];
-                arg = y + 1;
-            }
-            cost[y] = patch[static_cast<size_t>(y - 1) * w + x] + best;
-            back[static_cast<size_t>(y) * w + x] = arg;
-        }
-        cost[0] = inf;
-        cost[H - 1] = inf;
-        std::swap(cost, prev);
-    }
-    int32_t y = 1;
-    float best = prev[1];
-    for (int i = 2; i < H - 1; ++i)
-        if (prev[i] < best) {
-            best = prev[i];
-            y = i;
-        }
+    std::vector<float> padded(static_cast<size_t>(h + 2) * w);
+    for (int x = 0; x < w; ++x) padded[x] = inf;
+    std::memcpy(&padded[w], patch.data(), sizeof(float) * h * w);
+    for (int x = 0; x < w; ++x) padded[static_cast<size_t>(h + 1) * w + x] = inf;
     out_rows.resize(w);
-    for (int x = w - 1; x >= 0; --x) {
-        out_rows[x] = y - 1;
-        if (x > 0) y = back[static_cast<size_t>(y) * w + x];
-    }
+    carve_seam(padded.data(), h + 2, w, out_rows.data());
+    for (int x = 0; x < w; ++x) --out_rows[x];
 }
 
 // Moore-neighbor outer boundary trace of the component containing (sy, sx)
@@ -895,7 +869,9 @@ void *polyg_prepare(const float *feats, int H, int W, const double *pts,
         if (extra_idx && extra_off) {
             for (int64_t k = extra_off[i]; k < extra_off[i + 1]; ++k) {
                 const int32_t e = extra_idx[k];
-                if (e >= 0 && e < n_polys)
+                // extras indexing a baseline are already in the soup (every
+                // other baseline is included above; self is excluded)
+                if (e >= n_baselines && e < n_polys)
                     segs.insert(segs.end(), poly_segs[e].begin(), poly_segs[e].end());
             }
         }

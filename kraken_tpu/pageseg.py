@@ -120,13 +120,21 @@ def compute_separators_morph(binary: np.ndarray, scale: float,
 def compute_colseps_conv(binary: np.ndarray, scale: float = 1.0,
                          minheight: int = 10, maxcolseps: int = 2) -> np.ndarray:
     """Finds whitespace column separators by smoothing and thresholding."""
-    # the order-0 and order-(0,1) filters share sigmas, so they share the
-    # whole axis-0 pass (bit-identical: the axis passes run sequentially)
-    vpass = gaussian_filter(1.0 * binary, (scale, 0))
-    smoothed = gaussian_filter(vpass, (0, scale * 0.5))
+    # the order-0 and order-(0,1) filters share sigmas, so in the FFT
+    # regime (kernels beyond the ~100-tap crossover, where axis passes
+    # already run sequentially) they share the whole axis-0 pass —
+    # bit-identical there. Below the crossover the fused cv2 kernel order
+    # differs in the last ulp, so the original two-filter form is kept.
+    from kraken_tpu.lib.fastfilters import _FFT_TAPS, _gauss_kernel1d
+    if len(_gauss_kernel1d(scale, 0)) > _FFT_TAPS:
+        vpass = gaussian_filter(1.0 * binary, (scale, 0))
+        smoothed = gaussian_filter(vpass, (0, scale * 0.5))
+        grad = gaussian_filter(vpass, (0, scale * 0.5), order=(0, 1))
+    else:
+        smoothed = gaussian_filter(1.0 * binary, (scale, scale * 0.5))
+        grad = gaussian_filter(1.0 * binary, (scale, scale * 0.5), order=(0, 1))
     smoothed = uniform_filter(smoothed, (5.0 * scale, 1))
     thresh = (smoothed < np.amax(smoothed) * 0.1)
-    grad = gaussian_filter(vpass, (0, scale * 0.5), order=(0, 1))
     grad = uniform_filter(grad, (10.0 * scale, 1))
     grad = (grad > 0.5 * np.amax(grad))
     seps = np.minimum(thresh, maximum_filter(grad, (int(scale), int(5 * scale))))

@@ -151,6 +151,17 @@ def test_native_failure_semantics():
     assert out[1] is not None
 
 
+def test_device_carver_all_lines_failed():
+    """The device seam carver honors per-line failure semantics when EVERY
+    line fails native preparation (the empty patch list must not crash the
+    batched DP)."""
+    from kraken_tpu.lib.polygonization import polygonize_page
+    im_feats = np.zeros((50, 50), np.float32)
+    jobs = [([[10, 10], [10, 10]], []), ([[5, 5], [5, 5]], [])]
+    out = polygonize_page(jobs, im_feats, seam_carver='device')
+    assert out == [None, None]
+
+
 def test_host_and_device_carvers_identical():
     """polygonize_page with the host DP and the device XLA scan return the
     same polygons (shared native preparation/completion; the DPs are

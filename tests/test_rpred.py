@@ -377,3 +377,56 @@ def test_production_precision_cer_ceiling(resources):
     chars = sum(len(v) for v in golden.values())
     assert chars > 100
     assert errs / chars <= 0.02, f'bf16+uint8 CER {errs / chars:.4f} vs fp32 golden'
+
+
+def test_rgb_page_gray_early_deviation_bounded(resources):
+    """The page-level early grayscale conversion (a deliberate deviation
+    from the reference's per-line convert-after-warp order; see
+    inference/recognition._produce_entries) changes decoded text only at
+    the single-gray-level rounding edge. Bound the deviation against a
+    forced late-conversion run on the RGB fixture page — an adversarial
+    case (untrained model, out-of-domain page) where rounding noise
+    matters most."""
+    import numpy as np
+
+    from kraken_tpu.configs import SegmentationInferenceConfig
+    from kraken_tpu.containers import BaselineOCRRecord
+    from kraken_tpu.dataset import ImageInputTransforms
+    from kraken_tpu.inference import recognition as R
+    from kraken_tpu.inference.segmentation import (prepare_segmentation,
+                                                   segmentation_pred)
+    from kraken_tpu.train.metrics import levenshtein
+
+    im = Image.open(resources / '170025120000003,0074.jpg')
+    seg_model = load_models(resources / 'blla_small.safetensors')[0]
+    prepare_segmentation(seg_model, SegmentationInferenceConfig(precision='32-true'))
+    seg = segmentation_pred(seg_model, im)
+    rec = load_models(resources / 'overfit.mlmodel')[0]
+    rec.prepare_for_inference(RecognitionInferenceConfig(
+        batch_size=16, num_line_workers=0, precision='32-true'))
+    early = [r.prediction for r in rec.predict(im, seg)]
+
+    # reference-order control: extract from the RGB page, convert per line
+    batch, channels, height, width = rec.input
+    transforms = ImageInputTransforms(batch, height, width, channels,
+                                      (rec._inf_config.padding, 0), False,
+                                      dtype=np.float32)
+    late = {}
+    queue = []
+    for i in range(len(seg.lines)):
+        line_im, idx = R._extract_line(im, seg, i, False)
+        if line_im is None or 0 in line_im.size:
+            late[idx] = ''
+            continue
+        ts = transforms(line_im)
+        if ts.max() == ts.min():
+            late[idx] = ''
+        else:
+            queue.append((ts, line_im, idx, seg))
+    for i in range(0, len(queue), 16):
+        out, lines = R._dispatch_batch(rec, queue[i:i + 16])
+        for r, idx in R._decode_batch_results(rec, (out, lines)[0], lines):
+            late[idx] = r.prediction
+    errs = sum(levenshtein(e, late[i]) for i, e in enumerate(early))
+    chars = max(sum(len(e) for e in early), 1)
+    assert errs / chars <= 0.005, f'gray-early deviation {errs}/{chars}'
