@@ -50,8 +50,15 @@ def _resample(page: np.ndarray, out_hw: tuple) -> np.ndarray:
 def _sliding_percentile(arr: np.ndarray, q: float, window: tuple) -> np.ndarray:
     """
     Same-size 2-D sliding-window percentile with symmetric edge padding,
-    evaluated in row blocks to bound the window-stack memory.
+    evaluated per pixel in the native library (bit-identical to the numpy
+    form below — selection + np.percentile's lerp — and ~5x faster on the
+    small nlbin windows), or in row blocks of numpy window stacks as the
+    fallback.
     """
+    from kraken_tpu import native
+    out = native.sliding_percentile_native(arr, q, window)
+    if out is not None:
+        return out
     wh, ww = window
     top, left = (wh - 1) // 2, (ww - 1) // 2
     padded = np.pad(arr, ((top, wh - 1 - top), (left, ww - 1 - left)),

@@ -124,6 +124,12 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.polyg_result.restype = None
         lib.polyg_free.argtypes = [ctypes.c_void_p]
         lib.polyg_free.restype = None
+        lib.sliding_percentile_f64.argtypes = [ctypes.POINTER(ctypes.c_double),
+                                               ctypes.c_int, ctypes.c_int,
+                                               ctypes.c_int, ctypes.c_int,
+                                               ctypes.c_double,
+                                               ctypes.POINTER(ctypes.c_double)]
+        lib.sliding_percentile_f64.restype = None
         _LIB = lib
     except Exception as e:
         logger.warning(f'Failed to build/load native helpers: {e}')
@@ -374,6 +380,27 @@ def polygonize_page_native(baselines: list,
         return out
     finally:
         lib.polyg_free(ctx)
+
+
+def sliding_percentile_native(arr: np.ndarray, q: float,
+                              window: tuple) -> Optional[np.ndarray]:
+    """
+    Same-size 2-D sliding-window percentile with symmetric padding
+    (sliding_percentile_f64 in skeletonize.cpp) — bit-identical to
+    np.percentile('linear') over the window stack, ~5x numpy's blocked
+    partition for the small nlbin windows. Returns None when the library
+    is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(arr, np.float64)
+    out = np.empty_like(src)
+    lib.sliding_percentile_f64(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        src.shape[0], src.shape[1], int(window[0]), int(window[1]),
+        float(q), out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return out
 
 
 def resize_lanczos_native(img: np.ndarray, oh: int, ow: int) -> Optional[np.ndarray]:

@@ -5,6 +5,7 @@
 // ctypes (see kraken_tpu/native/__init__.py). These are the host-side hot
 // loops of baseline vectorization that neither XLA nor numpy express well
 // (data-dependent iteration until fixpoint).
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -281,6 +282,107 @@ int link_endpoint_paths(const uint8_t *skel, int h, int w,
 }
 
 }  // extern "C"
+
+// Same-size 2-D sliding-window percentile with symmetric edge padding —
+// the background-estimation hot loop of nlbin binarization
+// (kraken_tpu/binarization._sliding_percentile). Per output pixel the
+// window's order statistics are selected with nth_element and linearly
+// interpolated exactly like np.percentile(..., 'linear'): virtual index
+// v = (n-1)*q/100, result = s[floor(v)] + frac*(s[floor(v)+1]-s[floor(v)]).
+// Windows are tiny (tens of values), so selection beats numpy's blocked
+// window-stack partition ~5x and avoids its stack copies entirely.
+extern "C" void sliding_percentile_f64(const double *arr, int h, int w,
+                                       int wh, int ww, double q, double *out) {
+    const int top = (wh - 1) / 2, bottom = wh - 1 - top;
+    const int left = (ww - 1) / 2, right = ww - 1 - left;
+    const int ph = h + wh - 1, pw = w + ww - 1;
+    std::vector<double> padded(static_cast<size_t>(ph) * pw);
+    // numpy 'symmetric' padding: reflect including the edge sample
+    auto sym = [](int i, int n) {
+        // fold i into [0, n) with symmetric (edge-inclusive) reflection
+        if (n == 1) return 0;
+        const int period = 2 * n;
+        int m = i % period;
+        if (m < 0) m += period;
+        return m < n ? m : period - 1 - m;
+    };
+    for (int y = 0; y < ph; ++y) {
+        const int sy = sym(y - top, h);
+        const double *src = arr + static_cast<size_t>(sy) * w;
+        double *dst = &padded[static_cast<size_t>(y) * pw];
+        for (int x = 0; x < pw; ++x) dst[x] = src[sym(x - left, w)];
+    }
+    (void)bottom;
+    (void)right;
+    const int n = wh * ww;
+    // numpy computes the virtual index as (q/100) * (n-1) in this float
+    // order; any other association changes the last-ulp fraction
+    const double v = (q / 100.0) * (n - 1);
+    const int k_lo = static_cast<int>(v);
+    const double frac = v - k_lo;
+    std::vector<double> sorted(n);
+
+    auto emit = [&](size_t idx) {
+        const double lo = sorted[k_lo];
+        double val = lo;
+        if (frac > 0.0 && k_lo + 1 < n) {
+            const double hi = sorted[k_lo + 1];
+            // numpy's _lerp switches to the b-anchored form at t>=0.5; the
+            // volatile store rounds the product before the add/subtract
+            // like numpy's separate ops (defeats FMA contraction, which
+            // differs in the last ulp)
+            volatile double prod = frac >= 0.5 ? (hi - lo) * (1.0 - frac)
+                                               : (hi - lo) * frac;
+            val = frac >= 0.5 ? hi - prod : lo + prod;
+        }
+        out[idx] = val;
+    };
+    auto replace = [&](double old_v, double new_v) {
+        // remove old_v, insert new_v, keeping `sorted` ordered (one memmove
+        // over at most n doubles — windows here are tens of values)
+        double *base = sorted.data();
+        double *po = std::lower_bound(base, base + n, old_v);
+        double *pn = std::lower_bound(base, base + n, new_v);
+        if (pn > po) {
+            std::memmove(po, po + 1, (pn - po - 1) * sizeof(double));
+            pn[-1] = new_v;
+        } else {
+            std::memmove(pn + 1, pn, (po - pn) * sizeof(double));
+            *pn = new_v;
+        }
+    };
+
+    // slide along the axis whose cross-section is smaller: a y-step swaps
+    // ww values, an x-step swaps wh values
+    const bool slide_y = ww <= wh;
+    const int outer = slide_y ? w : h;
+    const int inner = slide_y ? h : w;
+    const int cross = slide_y ? ww : wh;
+    for (int o = 0; o < outer; ++o) {
+        int m = 0;
+        for (int dy = 0; dy < wh; ++dy) {
+            const size_t row = static_cast<size_t>(slide_y ? dy : o + dy) * pw;
+            const int col = slide_y ? o : 0;
+            for (int dx = 0; dx < ww; ++dx) sorted[m++] = padded[row + col + dx];
+        }
+        std::sort(sorted.begin(), sorted.end());
+        for (int i = 0; i < inner; ++i) {
+            emit(slide_y ? static_cast<size_t>(i) * w + o
+                         : static_cast<size_t>(o) * w + i);
+            if (i + 1 >= inner) break;
+            for (int k = 0; k < cross; ++k) {
+                if (slide_y) {
+                    const size_t col = static_cast<size_t>(o) + k;
+                    replace(padded[static_cast<size_t>(i) * pw + col],
+                            padded[static_cast<size_t>(i + wh) * pw + col]);
+                } else {
+                    const size_t row = static_cast<size_t>(o + k) * pw;
+                    replace(padded[row + i], padded[row + i + ww]);
+                }
+            }
+        }
+    }
+}
 
 // Exact reimplementation of Pillow's Lanczos resampling for single-channel
 // uint8 images (Resample.c: precompute_coeffs + normalize_coeffs_8bpc +

@@ -177,3 +177,25 @@ def test_host_and_device_carvers_identical():
     host = polygonize_page(jobs, im_feats, seam_carver='host')
     dev = polygonize_page(jobs, im_feats, seam_carver='device')
     assert host == dev
+
+
+def test_sliding_percentile_matches_numpy():
+    """The native moving-window percentile (nlbin's background estimator)
+    is bit-identical to np.percentile('linear') over the symmetric-padded
+    window stack, including pads wider than the array and interpolated
+    ranks on either side of t=0.5."""
+    from numpy.lib.stride_tricks import sliding_window_view
+    rng = np.random.RandomState(0)
+    for _ in range(15):
+        h, w = rng.randint(5, 100), rng.randint(5, 100)
+        arr = rng.rand(h, w)
+        win = (int(rng.choice([2, 3, 7, 20])), int(rng.choice([2, 3, 7, 20])))
+        q = float(rng.choice([80, 50, 31.7, 5, 95]))
+        wh, ww = win
+        top, left = (wh - 1) // 2, (ww - 1) // 2
+        padded = np.pad(arr, ((top, wh - 1 - top), (left, ww - 1 - left)),
+                        mode='symmetric')
+        view = sliding_window_view(padded, win)[:, :arr.shape[1]]
+        ref = np.percentile(view, q, axis=(-2, -1))
+        fast = native.sliding_percentile_native(arr, q, win)
+        assert np.array_equal(ref, fast), (win, q)
