@@ -142,13 +142,13 @@ def nlbin(im: 'Image.Image',
     im_str = get_im_str(im)
     logger.info(f'Binarizing {im_str}')
     if is_bitonal(im):
-        logger.info(f'Skipping binarization because {im_str} is bitonal.')
+        logger.info(f'Binarization skipped: {im_str} is bitonal.')
         return im
     gray = pil2array(im.convert('L'))
     gray = gray / float(np.iinfo(gray.dtype).max)
     span = gray.max() - gray.min()
     if span == 0:
-        logger.warning(f'Trying to binarize empty image {im_str}')
+        logger.warning(f'Refusing to binarize empty input image {im_str}')
         raise KrakenInputException('Image is empty')
     page = (gray - gray.min()) / span
 

@@ -52,7 +52,7 @@ def segment(im: PIL.Image.Image,
     warnings.warn('`blla.segment()` is deprecated; use `SegmentationTaskModel` instead.',
                   DeprecationWarning)
     if model is None:
-        logger.info('No segmentation model given. Loading default model.')
+        logger.info('Segmentation model not specified; falling back to the default model.')
         task = SegmentationTaskModel.load_model()
     else:
         models = model if isinstance(model, list) else [model]
@@ -68,8 +68,8 @@ def segment(im: PIL.Image.Image,
         if getattr(mask, 'mode', None) != '1' and not _is_bitonal_mask(mask):
             raise KrakenInputException('Mask is not bitonal')
         if hasattr(mask, 'size') and mask.size != im.size:
-            raise KrakenInputException(f'Mask size {mask.size} doesn\'t match image '
-                                       f'size {im.size}')
+            raise KrakenInputException(f'Mask size {mask.size} differs from the page '
+                                       f'image size {im.size}')
         logger.warning('Masking is not yet supported by the baseline segmenter; ignoring.')
 
     config = SegmentationInferenceConfig(text_direction=text_direction,

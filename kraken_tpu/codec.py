@@ -57,15 +57,29 @@ class Codec:
         else:
             counts = Counter(charset)
             if len(counts) < len(charset):
-                raise KrakenCodecException(f'Duplicate entry in codec definition string: {counts}')
+                raise KrakenCodecException(f'Codec charset contains duplicate graphemes: {counts}')
             self.c2l = {char: [label] for label, char in enumerate(sorted(charset), start=1)}
-        # longest grapheme sequences first for greedy encoding
-        self.c_sorted = sorted(self.c2l.keys(), key=len, reverse=True)
         self.l2c: dict[tuple[int, ...], str] = {tuple(v): k for k, v in self.c2l.items()}
         self.l2c_single = {k[0]: v for k, v in self.l2c.items() if len(k) == 1}
+        # character trie for longest-match encoding: each node is
+        # {char: child, ...} with the label list of a complete grapheme
+        # sequence stored under the None key.
+        self._enc_trie: dict = {}
+        for cseq, enc in self.c2l.items():
+            node = self._enc_trie
+            for ch in cseq:
+                node = node.setdefault(ch, {})
+            node[None] = enc
+        # label trie for longest-match decoding of multi-label sequences
+        self._dec_trie: dict = {}
+        for lseq, cseq in self.l2c.items():
+            node = self._dec_trie
+            for label in lseq:
+                node = node.setdefault(label, {})
+            node[None] = cseq
         self.strict = strict
         if not self.is_valid:
-            raise KrakenCodecException('Codec is not valid (non-singular/non-prefix free).')
+            raise KrakenCodecException('Invalid codec: the label mapping must be non-singular and prefix-free.')
 
     def __len__(self) -> int:
         """Total number of label sequences the codec can decode."""
@@ -110,26 +124,31 @@ class Codec:
                                    codec is strict.
         """
         labels: list[int] = []
+        n = len(s)
         idx = 0
-        while idx < len(s):
-            matched = False
-            for code in self.c_sorted:
-                if len(code) == 1:
-                    # single-char entries are handled by the dict lookup below
+        while idx < n:
+            # walk the character trie to the deepest node that completes a
+            # grapheme sequence (longest match wins)
+            node = self._enc_trie
+            best_enc = None
+            best_len = 0
+            depth = 0
+            while idx + depth < n:
+                node = node.get(s[idx + depth])
+                if node is None:
                     break
-                if s.startswith(code, idx):
-                    labels.extend(self.c2l[code])
-                    idx += len(code)
-                    matched = True
-                    break
-            if not matched and s[idx] in self.c2l:
-                labels.extend(self.c2l[s[idx]])
-                idx += 1
-                matched = True
-            if not matched:
+                depth += 1
+                enc = node.get(None)
+                if enc is not None:
+                    best_enc = enc
+                    best_len = depth
+            if best_enc is not None:
+                labels.extend(best_enc)
+                idx += best_len
+            else:
                 if self.strict:
-                    raise KrakenEncodeException(f'Non-encodable sequence {s[idx:idx + 5]}... encountered.')
-                logger.warning(f'Non-encodable sequence {s[idx:idx + 5]}... encountered. Advancing one code point.')
+                    raise KrakenEncodeException(f'No codec mapping for input starting at {s[idx:idx + 5]!r} (index {idx})')
+                logger.warning(f'No codec mapping for input starting at {s[idx:idx + 5]!r} (index {idx}); skipping one code point')
                 idx += 1
         return np.asarray(labels, dtype=np.int32)
 
@@ -151,28 +170,39 @@ class Codec:
         ends = [x for _, _, x, _ in labels]
         confs = [x for _, _, _, x in labels]
         seq = tuple(int(x) for x, _, _, _ in labels)
+        n = len(seq)
         decoded = []
         idx = 0
-        while idx < len(seq):
-            matched = False
-            if seq[idx] in self.l2c_single:
-                code = self.l2c_single[seq[idx]]
+        while idx < n:
+            code = self.l2c_single.get(seq[idx])
+            if code is not None:
                 decoded.extend((c, starts[idx], ends[idx], confs[idx]) for c in code)
                 idx += 1
-                matched = True
+                continue
+            # longest label-sequence match via the label trie; prefix-freedom
+            # guarantees at most one complete sequence on the walked path
+            node = self._dec_trie
+            best_code = None
+            best_len = 0
+            depth = 0
+            while idx + depth < n:
+                node = node.get(seq[idx + depth])
+                if node is None:
+                    break
+                depth += 1
+                cseq = node.get(None)
+                if cseq is not None:
+                    best_code = cseq
+                    best_len = depth
+            if best_code is not None:
+                conf = float(np.mean(confs[idx:idx + best_len]))
+                end = ends[idx + best_len - 1]
+                decoded.extend((c, starts[idx], end, conf) for c in best_code)
+                idx += best_len
             else:
-                for lseq, code in self.l2c.items():
-                    if lseq == seq[idx:idx + len(lseq)]:
-                        conf = float(np.mean(confs[idx:idx + len(lseq)]))
-                        end = ends[idx + len(lseq) - 1]
-                        decoded.extend((c, starts[idx], end, conf) for c in code)
-                        idx += len(lseq)
-                        matched = True
-                        break
-            if not matched:
                 if self.strict:
-                    raise KrakenEncodeException(f'Non-decodable sequence {seq[idx:idx + 5]}... encountered.')
-                logger.debug(f'Non-decodable sequence {seq[idx:idx + 5]}... encountered. Advancing one label.')
+                    raise KrakenEncodeException(f'No codec mapping for labels starting at {seq[idx:idx + 5]} (index {idx})')
+                logger.debug(f'No codec mapping for labels starting at {seq[idx:idx + 5]} (index {idx}); skipping one label')
                 idx += 1
         return decoded
 

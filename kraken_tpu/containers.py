@@ -364,7 +364,7 @@ class BaselineOCRRecord(ocr_record, BaselineLine):
         if not isinstance(line, dict):
             line = _line_asdict(line)
         if line['type'] != 'baselines':
-            raise TypeError('Invalid argument type (non-baseline line)')
+            raise TypeError('Expected a baseline-type line record')
         BaselineLine.__init__(self, **line)
         self._line_base_dir = self.base_dir
         self.base_dir = base_dir
@@ -398,7 +398,7 @@ class BaselineOCRRecord(ocr_record, BaselineLine):
         if key < 0:
             key += len(self)
         if key >= len(self):
-            raise IndexError('Index (%d) is out of range' % key)
+            raise IndexError('Record index %d out of range' % key)
         return (self.prediction[key], self._cuts[key], self.confidences[key])
 
     def __getitem__(self, key):
@@ -423,7 +423,7 @@ class BaselineOCRRecord(ocr_record, BaselineLine):
             if key < 0:
                 key += len(self)
             if key >= len(self):
-                raise IndexError('Index (%d) is out of range' % key)
+                raise IndexError('Record index %d out of range' % key)
             return (self.prediction[key], self._polygon_cuts[key], self.confidences[key])
         raise TypeError('Invalid argument type')
 
@@ -484,7 +484,7 @@ class BBoxOCRRecord(ocr_record, BBoxLine):
         if not isinstance(line, dict):
             line = _line_asdict(line)
         if line['type'] != 'bbox':
-            raise TypeError('Invalid argument type (non-bbox line)')
+            raise TypeError('Expected a bbox-type line record')
         BBoxLine.__init__(self, **line)
         self._line_base_dir = self.base_dir
         self.base_dir = base_dir
@@ -503,7 +503,7 @@ class BBoxOCRRecord(ocr_record, BBoxLine):
         if key < 0:
             key += len(self)
         if key >= len(self):
-            raise IndexError('Index (%d) is out of range' % key)
+            raise IndexError('Record index %d out of range' % key)
         return (self.prediction[key], self.cuts[key], self.confidences[key])
 
     def __getitem__(self, key):

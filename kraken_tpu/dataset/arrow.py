@@ -45,7 +45,7 @@ def parse_path(path: Union[str, 'PathLike'],
     gt_path = Path(str(base) + suffix)
     gt = gt_path.read_text(encoding='utf-8').strip('\n\r')
     if not gt and skip_empty_lines:
-        raise KrakenInputException(f'No text for ground truth line {path}.')
+        raise KrakenInputException(f'Ground truth line has no transcription: {path}.')
     return {'image': path, 'lines': [{'text': gt}]}
 
 
@@ -137,14 +137,14 @@ def build_binary_dataset(files=None,
         parse_fn = partial(XMLPage, linetype=effective_linetype)
     elif format_type == 'path':
         if not ignore_splits:
-            logger.warning('ignore_splits is False and format_type is path. Will not serialize splits.')
+            logger.warning('Split serialization is unsupported for path-format input; ignoring splits.')
         parse_fn = partial(parse_path, skip_empty_lines=skip_empty_lines)
         extract_fn = partial(_extract_path_line, skip_empty_lines=skip_empty_lines)
     elif format_type is not None:
-        raise ValueError(f'invalid format {format_type} for parse_(xml,alto,page,path)')
+        raise ValueError(f'invalid format {format_type} (expected one of xml, alto, page, path)')
 
     if force_type and force_type not in ('kraken_recognition_baseline', 'kraken_recognition_bbox'):
-        raise ValueError(f'force_type set to invalid value {force_type}')
+        raise ValueError(f'Unsupported force_type value {force_type}')
 
     docs = []
     if parse_fn:

@@ -90,7 +90,7 @@ class _RecognitionDatasetBase:
         if is_bitonal(im):
             mode = b'1'
         if mode > self._im_mode_val:
-            logger.info(f'Upgrading "im_mode" from {self._im_mode_val} to {mode}')
+            logger.info(f'Promoting dataset im_mode from {self._im_mode_val} to {mode}')
             self._im_mode_val = mode
 
     @property
@@ -101,7 +101,7 @@ class _RecognitionDatasetBase:
         self.failed_samples.add(index)
         idx = np.random.randint(0, len(self))
         logger.debug(traceback.format_exc())
-        logger.info(f'Failed. Replacing with sample {idx}')
+        logger.info(f'Sample load failed; substituting random sample {idx}')
         return self[idx]
 
 
@@ -205,7 +205,7 @@ class ArrowIPCRecognitionDataset(_RecognitionDatasetBase):
 
     def __getitem__(self, index: int) -> dict:
         if len(self.failed_samples) == len(self):
-            raise ValueError(f'All {len(self)} samples in dataset invalid.')
+            raise ValueError(f'All {len(self)} dataset samples failed to load.')
         try:
             sample = self.arrow_table.column('lines')[index].as_py()
             im = Image.open(io.BytesIO(sample['im']))
@@ -253,11 +253,11 @@ class PolygonGTDataset(_RecognitionDatasetBase):
         if page:
             self.add_page(page)
         if not (line or page):
-            raise ValueError('Neither line nor page data provided in dataset builder')
+            raise ValueError('Dataset builder needs either line or page data')
 
     def add_page(self, page: Segmentation) -> None:
         if page.type != 'baselines':
-            raise ValueError(f'Invalid segmentation of type {page.type} (expected "baselines")')
+            raise ValueError(f'Unsupported segmentation type {page.type} (expected "baselines")')
         for line in page.lines:
             try:
                 self.add_line(dataclasses.replace(line, imagename=page.imagename))
@@ -269,11 +269,11 @@ class PolygonGTDataset(_RecognitionDatasetBase):
             raise ValueError(f'Invalid line of type {line.type} (expected "baselines")')
         text = self._transform_text(line.text or '')
         if not text and self.skip_empty_lines:
-            raise ValueError(f'Text line "{line.text}" is empty after transformations')
+            raise ValueError(f'Text line "{line.text}" produced an empty tensor after the transform stack')
         if not line.baseline:
-            raise ValueError('No baseline given for line')
+            raise ValueError('Line record lacks a baseline')
         if not line.boundary:
-            raise ValueError('No boundary given for line')
+            raise ValueError('Line record lacks a boundary polygon')
         self._images.append((line.imagename, line.baseline, line.boundary))
         self._gt.append(text)
         self.alphabet.update(text)
@@ -288,7 +288,7 @@ class PolygonGTDataset(_RecognitionDatasetBase):
 
     def __getitem__(self, index: int) -> dict:
         if len(self.failed_samples) == len(self):
-            raise ValueError(f'All {len(self)} samples in dataset invalid.')
+            raise ValueError(f'All {len(self)} dataset samples failed to load.')
         item = self.training_set[index]
         try:
             imagename, baseline, boundary = item[0]
@@ -333,11 +333,11 @@ class GroundTruthDataset(_RecognitionDatasetBase):
         if page:
             self.add_page(page)
         if not (line or page):
-            raise ValueError('Neither line nor page data provided in dataset builder')
+            raise ValueError('Dataset builder needs either line or page data')
 
     def add_page(self, page: Segmentation) -> None:
         if page.type != 'bbox':
-            raise ValueError(f'Invalid segmentation of type {page.type} (expected "bbox")')
+            raise ValueError(f'Unsupported segmentation type {page.type} (expected "bbox")')
         for line in page.lines:
             try:
                 self.add_line(dataclasses.replace(line, imagename=page.imagename))
@@ -349,9 +349,9 @@ class GroundTruthDataset(_RecognitionDatasetBase):
             raise ValueError(f'Invalid line of type {line.type} (expected "bbox")')
         text = self._transform_text(line.text or '')
         if not text and self.skip_empty_lines:
-            raise ValueError(f'Text line "{line.text}" is empty after transformations')
+            raise ValueError(f'Text line "{line.text}" produced an empty tensor after the transform stack')
         if not line.bbox:
-            raise ValueError('No bounding box given for line')
+            raise ValueError('Line record lacks a bounding box')
         self._images.append((line.imagename, line.bbox))
         self._gt.append(text)
         self.alphabet.update(text)
@@ -366,7 +366,7 @@ class GroundTruthDataset(_RecognitionDatasetBase):
 
     def __getitem__(self, index: int) -> dict:
         if len(self.failed_samples) == len(self):
-            raise ValueError(f'All {len(self)} samples in dataset invalid.')
+            raise ValueError(f'All {len(self)} dataset samples failed to load.')
         item = self.training_set[index]
         try:
             imagename, bbox = item[0]

@@ -48,16 +48,16 @@ class BaselineSet:
                  augmentation: bool = False) -> None:
         required = {'aux', 'baselines', 'regions'}
         if set(class_mapping.keys()) != required:
-            raise ValueError(f'class_mapping must have exactly keys {required}, '
+            raise ValueError(f'class_mapping requires exactly the keys {required}, '
                              f'got {set(class_mapping.keys())}')
         for req in ('_start_separator', '_end_separator'):
             if req not in class_mapping['aux']:
-                raise ValueError(f"class_mapping['aux'] must contain '{req}'")
+                raise ValueError(f"aux class mapping is missing required key '{req}'")
         for section, sub in class_mapping.items():
             for key, val in sub.items():
                 if not isinstance(val, int) or isinstance(val, bool) or val < 0:
-                    raise ValueError(f'class_mapping[{section!r}][{key!r}] must be a '
-                                     f'non-negative integer, got {val!r}')
+                    raise ValueError(f'class_mapping[{section!r}][{key!r}] needs a '
+                                     f'non-negative integer index, got {val!r}')
         for section in ('baselines', 'regions'):
             for key, val in class_mapping[section].items():
                 if val < 2:
@@ -65,8 +65,8 @@ class BaselineSet:
                                      'but indices 0 and 1 are reserved for aux classes.')
         overlap = set(class_mapping['baselines'].values()) & set(class_mapping['regions'].values())
         if overlap:
-            raise ValueError('Baseline and region class mappings must not share indices. '
-                             f'Overlapping indices: {overlap}')
+            raise ValueError('Baseline and region classes must use disjoint indices; '
+                             f'shared: {overlap}')
         self.class_mapping = class_mapping
         self.line_width = line_width
         self.pad = padding
@@ -202,7 +202,7 @@ class BaselineSet:
 
     def __getitem__(self, idx: int) -> dict:
         if len(self.failed_samples) == len(self):
-            raise ValueError(f'All {len(self)} samples in dataset invalid.')
+            raise ValueError(f'All {len(self)} dataset samples failed to load.')
         im = self.imgs[idx]
         target = self.targets[idx]
         try:
@@ -215,7 +215,7 @@ class BaselineSet:
             self.failed_samples.add(idx)
             new_idx = np.random.randint(0, len(self.imgs))
             logger.debug(traceback.format_exc())
-            logger.info(f'Failed. Replacing with sample {new_idx}')
+            logger.info(f'Sample load failed; substituting random sample {new_idx}')
             return self[new_idx]
 
     def __len__(self) -> int:

@@ -239,7 +239,7 @@ class ImageInputTransforms:
     @pad.setter
     def pad(self, pad) -> None:
         if not isinstance(pad, (numbers.Number, tuple, list)):
-            raise TypeError('Got inappropriate padding arg')
+            raise TypeError('Unsupported padding argument')
         self._pad = pad
         self._configure()
 

@@ -102,7 +102,7 @@ def vec_regions(heatmap: np.ndarray, cls_map: dict, scale, **kwargs) -> dict[str
     """Vectorizes all region classes of the heatmap stack into Regions."""
     regions = {}
     for region_type, idx in cls_map['regions'].items():
-        logger.debug(f'Vectorizing regions of type {region_type}')
+        logger.debug(f'Extracting region polygons for class {region_type}')
         polygons = vectorize_regions(heatmap[idx])
         regions[region_type] = [Region(id=f'_{uuid.uuid4()}', boundary=x,
                                        tags={'type': [{'type': region_type}]})
@@ -146,7 +146,7 @@ def vec_lines(heatmap: np.ndarray,
                    maximum_filter(heatmap[end_sep], size=20))
     baselines = []
     for bl_type, idx in cls_map['baselines'].items():
-        logger.debug(f'Vectorizing lines of type {bl_type}')
+        logger.debug(f'Extracting baselines for class {bl_type}')
         baselines.extend((bl_type, bl) for bl in
                          vectorize_lines(heatmap[(st_sep, end_sep, idx), :, :],
                                          text_direction=text_direction[:-3],
@@ -331,8 +331,8 @@ def segmentation_pred(model: 'VGSLModel', im: 'Image.Image') -> Segmentation:
     region association → reading order.
     """
     if model.input[1] == 1 and model.one_channel_mode == '1' and not is_bitonal(im):
-        logger.warning(f'Running binary model on non-binary input image (mode {im.mode}). '
-                       'This will result in severely degraded performance')
+        logger.warning(f'Binary-input model applied to a non-bitonal image (mode {im.mode}); '
+                       'expect severely degraded segmentation quality')
     rets = _compute_segmentation_map(model, im)
     return _vectorize_page(model, im, rets)
 

@@ -25,7 +25,7 @@ def convert(ctx, output, fmt, checkpoints):
     from kraken_tpu.ketos import message
 
     if not checkpoints:
-        raise click.UsageError('No checkpoints to convert were provided.')
+        raise click.UsageError('Checkpoint conversion requires at least one input checkpoint.')
     models = []
     for ckpt in checkpoints:
         models.extend(load_models(ckpt))

@@ -54,7 +54,7 @@ def binarizer(threshold, zoom, escale, border, perc, range, low, high, accel,
             input = get_input_parser(ctx.meta['input_format_type'])(input).imagename
         ctx.meta['first_process'] = False
     else:
-        raise click.UsageError('Binarization has to be the initial process.')
+        raise click.UsageError('binarize must be the first stage of the pipeline.')
     try:
         im = Image.open(input)
         if accel == 'device':
@@ -69,7 +69,7 @@ def binarizer(threshold, zoom, escale, border, perc, range, low, high, accel,
         if ext in ('.jpg', '.jpeg', '.JPG', '.JPEG', ''):
             form = 'png'
             if ext:
-                logger.warning('jpeg does not support 1bpp images. Forcing to png.')
+                logger.warning('JPEG cannot store 1bpp output; writing PNG instead.')
         res.save(f'{output}', format=form)
         ctx.meta['base_image'] = output
     except Exception:

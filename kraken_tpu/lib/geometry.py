@@ -296,7 +296,7 @@ def compute_polygon_section(baseline: Sequence[tuple[int, int]],
         try:
             cut_points.append(perpendicular_cuts(pt, unit, bounds).round())
         except ValueError:
-            logger.debug('No intercepts with polygon (possibly misshaped polygon)')
+            logger.debug('Cut ray does not intersect the line polygon (degenerate polygon?)')
             cut_points.append(None)
     if any(p is None for p in cut_points):
         # degenerate polygon: fall back to the raw baseline points
@@ -618,18 +618,18 @@ def extract_polygons(im: Image.Image, bounds, legacy: bool = False):
             order = 1
         for line in bounds.lines:
             if line.boundary is None:
-                raise ValueError('No boundary given for line')
+                raise ValueError('Line record lacks a boundary polygon')
             baseline = np.array(line.baseline)
             if len(baseline) < 2 or polyline_dists(baseline)[-1] < 5:
-                raise ValueError('Baseline length below minimum 5px')
+                raise ValueError('Baseline shorter than the 5px minimum')
             pl = np.array(line.boundary)
             c_min, c_max = int(pl[:, 0].min()), int(pl[:, 0].max())
             r_min, r_max = int(pl[:, 1].min()), int(pl[:, 1].max())
             imshape = np.array([im.height, im.width])
             if (pl < 0).any() or (pl.max(axis=0)[::-1] >= imshape).any():
-                raise ValueError('Line polygon outside of image bounds')
+                raise ValueError('Line boundary lies outside the page image')
             if (baseline < 0).any() or (baseline.max(axis=0)[::-1] >= imshape).any():
-                raise ValueError('Baseline outside of image bounds')
+                raise ValueError('Baseline lies outside the page image')
 
             if len(baseline) == 2:
                 # straight line: mask + rotate. On grayscale pages the whole
@@ -699,7 +699,7 @@ def extract_polygons(im: Image.Image, bounds, legacy: bool = False):
             if (box < [0, 0, 0, 0] or box[::2] >= [im.size[0], im.size[0]]
                     or box[1::2] >= [im.size[1], im.size[1]]):
                 logger.error(f'bbox {box} is outside of image bounds {im.size}')
-                raise ValueError('Line outside of image bounds')
+                raise ValueError('Line lies outside the page image')
             yield im.crop(box).rotate(angle, expand=True), line
 
 

@@ -161,7 +161,7 @@ class CenterNormalizer:
 
     def dewarp(self, img: np.ndarray, cval: int = 0, dtype=np.dtype('f')) -> np.ndarray:
         if img.shape != self.shape:
-            raise Exception('Measured and dewarp image shapes different')
+            raise Exception('dewarp input shape differs from the measured shape')
         h, w = img.shape
         padded = np.vstack([cval * np.ones((h, w)), img, cval * np.ones((h, w))])
         center = self.center + h

@@ -42,7 +42,7 @@ class SeqRecognizer:
         self.outputs: Optional[np.ndarray] = None
         self.seq_lens: Optional[np.ndarray] = None
         if 'recognition' not in nn.model_type and nn.model_type:
-            raise ValueError(f'Model {nn} is of type {nn.model_type} while `recognition` is expected.')
+            raise ValueError(f'Model {nn} is of type {nn.model_type} but a `recognition` model is required.')
         if not train and self.codec is None:
             raise ValueError('Non-trainable model set but no codec given.')
         self.seg_type = nn.seg_type

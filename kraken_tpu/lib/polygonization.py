@@ -451,7 +451,7 @@ def polygonize_page(jobs: Sequence, im_feats: np.ndarray,
             if out is not None:
                 for idx, pol in enumerate(out):
                     if pol is None:
-                        logger.warning(f'Polygonizer failed on line {idx}')
+                        logger.warning(f'Polygonization failed for line {idx}')
                 return out
 
     bounds = np.array(im_feats.shape[::-1], dtype=float) - 1
@@ -469,7 +469,7 @@ def polygonize_page(jobs: Sequence, im_feats: np.ndarray,
             except Exception as e:
                 if raise_on_error:
                     raise
-                logger.warning(f'Polygonizer failed on line {idx}: {e}')
+                logger.warning(f'Polygonization failed for line {idx}: {e}')
                 return None
         return [_one(i, j[0]) for i, j in enumerate(jobs)]
 
@@ -492,7 +492,7 @@ def _polygonize_batched(baselines, prepare_one, raise_on_error: bool) -> list:
         except Exception as e:
             if raise_on_error:
                 raise
-            logger.warning(f'Polygonizer failed on line {idx}: {e}')
+            logger.warning(f'Polygonization failed for line {idx}: {e}')
             preps.append(None)
 
     padded = [np.pad(p, ((1, 1), (0, 0)), mode='constant', constant_values=np.inf)
@@ -521,7 +521,7 @@ def _polygonize_batched(baselines, prepare_one, raise_on_error: bool) -> list:
         except Exception as e:
             if raise_on_error:
                 raise
-            logger.warning(f'Polygonizer failed on line {idx}: {e}')
+            logger.warning(f'Polygonization failed for line {idx}: {e}')
             polygons.append(None)
     return polygons
 
@@ -588,7 +588,7 @@ def calculate_polygonal_environment(im=None,
         if polygons is not None:
             for idx, pol in enumerate(polygons):
                 if pol is None:
-                    logger.warning(f'Polygonizer failed on line {idx}')
+                    logger.warning(f'Polygonization failed for line {idx}')
             if scale_f is not None:
                 polygons = [(np.array(p) / scale_f).astype('uint').tolist()
                             if p is not None else None for p in polygons]
@@ -607,7 +607,7 @@ def calculate_polygonal_environment(im=None,
         except Exception as e:
             if raise_on_error:
                 raise
-            logger.warning(f'Polygonizer failed on line {idx}: {e}')
+            logger.warning(f'Polygonization failed for line {idx}: {e}')
             return None
 
     if seam_carver == 'device':

@@ -103,7 +103,7 @@ def parse_gt_path(path: Union[str, PathLike],
         raise ValueError(f'No transcription file {gt_path} for image {path}')
     text = gt_path.read_text(encoding='utf-8').strip('\n\r')
     if not text and skip_empty_lines:
-        raise ValueError(f'No text for ground truth line {gt_path}')
+        raise ValueError(f'Ground truth line has no transcription: {gt_path}')
     return BBoxLine(id=f'_{path.name}',
                     bbox=(0, 0, w, h),
                     text=text,

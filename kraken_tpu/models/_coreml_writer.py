@@ -261,7 +261,7 @@ def _serialize_layers(prefix: str, names, layer_objs, params: dict,
             out.append(_layer(name, [current], [name], 120, body))
             current = name
         elif isinstance(layer, L.GroupNorm):
-            body = _custom_body('groupnorm', 'A Group Normalization layer',
+            body = _custom_body('groupnorm', 'kraken group normalization custom layer',
                                 int_params={'in_channels': layer.in_channels,
                                             'num_groups': layer.num_groups},
                                 weights=[np.asarray(p['layer.weight']),
@@ -269,13 +269,13 @@ def _serialize_layers(prefix: str, names, layer_objs, params: dict,
             out.append(_layer(name, [current], [name], 500, body))
             current = name
         elif isinstance(layer, L.Dropout):
-            body = _custom_body('dropout', 'An n-dimensional dropout layer',
+            body = _custom_body('dropout', 'kraken dropout custom layer',
                                 int_params={'dim': layer.dim},
                                 double_params={'p': layer.p})
             out.append(_layer(name, [current], [name], 500, body))
             current = name
         elif isinstance(layer, L.Reshape):
-            body = _custom_body('reshape', 'A generalized reshape layer',
+            body = _custom_body('reshape', 'kraken reshape custom layer',
                                 int_params={'src_dim': layer.src_dim,
                                             'part_a': layer.part_a,
                                             'part_b': layer.part_b,

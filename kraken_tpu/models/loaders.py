@@ -98,31 +98,31 @@ def load_safetensors(path: Union[str, PathLike], tasks: Optional[Sequence[_T_tas
         with safe_open(path, framework='np') as f:
             metadata = f.metadata()
     except Exception as e:
-        raise ValueError(f'Invalid safetensors file {path}: {e}') from e
+        raise ValueError(f'Cannot parse safetensors container {path}: {e}') from e
     if metadata is None:
-        raise ValueError(f'No model metadata found in {path}.')
+        raise ValueError(f'Missing kraken metadata header in {path}.')
     try:
         model_map = json.loads(metadata.get('kraken_meta', 'null'))
     except json.JSONDecodeError as e:
-        raise ValueError(f'Invalid `kraken_meta` JSON in {path}: {e}') from e
+        raise ValueError(f'Unparseable `kraken_meta` JSON in {path}: {e}') from e
     if not isinstance(model_map, dict):
-        raise ValueError(f'Invalid `kraken_meta` metadata in {path}: expected object, '
+        raise ValueError(f'Malformed `kraken_meta` record in {path}: expected object, '
                          f'got {type(model_map).__name__}.')
 
     for prefix, model_data in model_map.items():
         if not isinstance(model_data, dict):
-            raise ValueError(f'Invalid metadata for model `{prefix}` in {path}: expected '
+            raise ValueError(f'Malformed metadata entry for model `{prefix}` in {path}: expected '
                              f'object, got {type(model_data).__name__}.')
         model_tasks = model_data.get('_tasks') or []
         if not isinstance(model_tasks, list) or not all(isinstance(x, str) for x in model_tasks):
-            raise ValueError(f'Invalid `_tasks` for model `{prefix}` in {path}: expected list[str] or null.')
+            raise ValueError(f'Bad `_tasks` field for model `{prefix}` in {path}: needs a list of strings or null.')
         if tasks and not set(tasks).intersection(model_tasks):
             logger.info(f'Model {prefix} in model file {path} not in demanded tasks {tasks}')
             skipped.append(prefix)
             continue
         model_name = model_data.get('_model')
         if not isinstance(model_name, str):
-            raise ValueError(f'Missing or invalid `_model` for model `{prefix}` in {path}.')
+            raise ValueError(f'`_model` entry absent or malformed for model `{prefix}` in {path}.')
         model_args = dict(model_data)
         model_args.pop('_tasks', None)
         model_args.pop('_kraken_min_version', None)
@@ -136,8 +136,8 @@ def load_safetensors(path: Union[str, PathLike], tasks: Optional[Sequence[_T_tas
         # skipped with a warning (reference: models/loaders.py:114-119)
         min_ver = getattr(model, '_kraken_min_version', '5.0.0')
         if _version_tuple(min_ver) > _version_tuple(KRAKEN_COMPAT_VERSION):
-            logger.warning(f'Model {prefix} in model file {path} requires minimum '
-                           f'kraken version {min_ver} (supported {KRAKEN_COMPAT_VERSION})')
+            logger.warning(f'Model {prefix} in model file {path} declares a minimum supported '
+                           f'kraken version of {min_ver} (this build supports {KRAKEN_COMPAT_VERSION})')
             skipped.append(prefix)
             continue
         models[prefix] = model
@@ -178,7 +178,7 @@ def load_safetensors(path: Union[str, PathLike], tasks: Optional[Sequence[_T_tas
         try:
             model.load_state_dict(sub, prefix=f'{prefix}.nn.')
         except Exception as e:
-            raise RuntimeError(f'Error(s) in loading state_dict from {path} for model {prefix}: {e}') from e
+            raise RuntimeError(f'Weight tensors failed to apply from {path} for model {prefix}: {e}') from e
     return list(models.values())
 
 
@@ -195,32 +195,32 @@ def load_coreml(path: Union[str, PathLike], tasks: Optional[Sequence[_T_tasks]] 
     try:
         spec = _coreml.parse_mlmodel(Path(path).read_bytes())
     except Exception as e:
-        raise ValueError(f'Failure parsing model protobuf: {e}') from e
+        raise ValueError(f'CoreML protobuf parse failed: {e}') from e
 
     user_meta = spec.user_defined_metadata
     has_kraken_meta = 'kraken_meta' in user_meta
     try:
         metadata = json.loads(user_meta.get('kraken_meta', '{}'))
     except json.JSONDecodeError as e:
-        raise ValueError(f'Invalid `kraken_meta` JSON in {path}: {e}') from e
+        raise ValueError(f'Unparseable `kraken_meta` JSON in {path}: {e}') from e
     if not isinstance(metadata, dict):
-        raise ValueError(f'Invalid `kraken_meta` metadata in {path}: expected object, '
+        raise ValueError(f'Malformed `kraken_meta` record in {path}: expected object, '
                          f'got {type(metadata).__name__}.')
     model_type = metadata.get('model_type')
     if isinstance(model_type, str):
         model_type = [model_type] if model_type else []
     if not isinstance(model_type, list) or not model_type or not all(isinstance(x, str) and x for x in model_type):
         if has_kraken_meta:
-            raise ValueError(f'Invalid `model_type` metadata in {path}.')
+            raise ValueError(f'Unrecognized `model_type` metadata in {path}.')
         # pre-kraken_meta model files are always recognition models
-        logger.warning(f'No `kraken_meta` metadata in {path}; assuming legacy recognition model.')
+        logger.warning(f'`kraken_meta` absent from {path}; treating as a legacy recognition model.')
         model_type = ['recognition']
     metadata['model_type'] = model_type
     vgsl_spec = user_meta.get('vgsl') or metadata.get('vgsl')
     metadata.pop('codec', None)
     metadata.pop('vgsl', None)
     if not vgsl_spec:
-        raise ValueError(f'No VGSL spec in model metadata for {path}')
+        raise ValueError(f'Model metadata lacks a VGSL spec for {path}')
     if tasks and not set(model_type).intersection(tasks):
         logger.info(f'Model file {path} not in demanded tasks {tasks}')
         return []
@@ -234,18 +234,18 @@ def load_coreml(path: Union[str, PathLike], tasks: Optional[Sequence[_T_tasks]] 
     try:
         model.load_state_dict(weights, prefix='nn.')
     except Exception as e:
-        raise ValueError(f'Failed to load weights from CoreML model {path}: {e}') from e
+        raise ValueError(f'CoreML weight import failed for {path}: {e}') from e
     models = [model]
 
     if 'aux_layers' in user_meta:
-        logger.info('Deserializing auxiliary layers.')
+        logger.info('Importing auxiliary (reading order) layers.')
         for name in json.loads(user_meta['aux_layers']).keys():
             if name == 'ro_model':
                 level = 'baselines'
             elif name == 'ro_model_regions':
                 level = 'regions'
             else:
-                logger.warning(f'Unknown auxiliary layer key {name}, skipping.')
+                logger.warning(f'Unrecognized auxiliary layer key {name}, skipping.')
                 continue
             class_mapping = model.user_metadata.get('class_mapping', {}).get(level, {})
             try:

@@ -65,7 +65,7 @@ def greedy_decoder(outputs, seq_lens=None) -> list[list[tuple[int, int, int, flo
         arr = arr[None]
     if seq_lens is None:
         if arr.shape[0] != 1:
-            raise ValueError('seq_lens need to be set for batch decoding.')
+            raise ValueError('Batch decoding requires seq_lens.')
         seq_lens = [arr.shape[-1]]
     labels = arr.argmax(axis=1)
     confs = arr.max(axis=1)

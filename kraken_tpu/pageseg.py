@@ -291,7 +291,7 @@ def segment(im: PIL.Image.Image,
 
     _, ccs = morph.label(1 - binary)
     if ccs > np.dot(*im.size) / (30 * 30):
-        logger.warning(f'Too many connected components for a page image: {ccs}')
+        logger.warning(f'Connected component count implausible for a page: {ccs}')
         return _empty()
 
     if not scale:
@@ -305,16 +305,16 @@ def segment(im: PIL.Image.Image,
                 raise KrakenInputException('Mask is not bitonal')
             mask = mask.convert('1')
             if mask.size != im.size:
-                raise KrakenInputException(f'Mask size {mask.size} doesn\'t match '
-                                           f'image size {im.size}')
-            logger.info('Masking enabled in segmenter. Disabling column detection.')
+                raise KrakenInputException(f'Mask size {mask.size} differs from the '
+                                           f'page image size {im.size}')
+            logger.info('Segmenter received a mask; column detection turned off.')
             colseps = pil2array(mask.rotate(angle, expand=True))
         elif black_colseps:
             colseps, binary = compute_black_colseps(binary, scale, maxcolseps)
         else:
             colseps = compute_white_colseps(binary, scale, maxcolseps)
     except ValueError:
-        logger.warning(f'Exception in column finder (probably empty image) for {im_str}')
+        logger.warning(f'Column finder raised (empty page image?) for {im_str}')
         return _empty()
 
     bottom, top, boxmap = compute_gradmaps(binary, scale)

@@ -66,7 +66,7 @@ class Wav2Vec2Mask(Layer):
             return x, seq_len
         N, C, H, W = x.shape
         if H != 1:
-            raise ValueError(f'Height has to be 1, not {H} for Wav2Vec2 masking layer.')
+            raise ValueError(f'Height has to be 1, not {H} for the wav2vec2-style masking layer.')
         feats = jnp.transpose(x, (0, 3, 2, 1)).reshape(N, W, C)
         k1, k2 = jax.random.split(rng)
         mask = compute_mask_indices(k1, (N, W), self.mask_prob, self.mask_width)

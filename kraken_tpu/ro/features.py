@@ -31,5 +31,5 @@ def element_features(element, image_size, class_mapping: dict, num_classes: int)
         start = np.array([boundary[:, 0].min(), boundary[:, 1].min()]) / (w, h)
         end = np.array([boundary[:, 0].max(), boundary[:, 1].max()]) / (w, h)
     else:
-        raise ValueError('Neural reading order only supports baselines or regions with polygons.')
+        raise ValueError('Neural reading order needs baseline lines or polygon regions.')
     return tag, np.concatenate([cls, center, start, end]).astype(np.float32)

@@ -31,10 +31,10 @@ class ROMLP:
     def __init__(self, rng=None, **kwargs):
         self.class_mapping = kwargs.get('class_mapping')
         if self.class_mapping is None:
-            raise ValueError('`class_mapping` missing in reading order model arguments.')
+            raise ValueError('Reading order model arguments lack `class_mapping`.')
         self.level = kwargs.get('level')
         if self.level is None:
-            raise ValueError('`level` missing in reading order model arguments.')
+            raise ValueError('Reading order model arguments lack `level`.')
         self.user_metadata = dict(kwargs)
         num_classes = max(0, *self.class_mapping.values()) + 1 if self.class_mapping else 1
         self.feature_size = 2 * num_classes + 12

@@ -79,15 +79,15 @@ class mm_rpred:
         tags_ignore = tags_ignore or []
         self.have_tags = bounds.script_detection
         if bounds.type not in seg_types or len(seg_types) > 1:
-            logger.warning(f'Recognizers with segmentation types {seg_types} will be applied '
-                           f'to segmentation of type {bounds.type}. This will likely result '
-                           'in severely degraded performance')
+            logger.warning(f'Models expecting segmentation types {seg_types} are being run on '
+                           f'a segmentation of type {bounds.type}; recognition quality '
+                           'will likely suffer badly')
         one_channel_modes = set(rec.nn.one_channel_mode for rec in nets.values())
         if '1' in one_channel_modes and len(one_channel_modes) > 1:
-            raise ValueError('Mixing binary and non-binary recognition models is not supported.')
+            raise ValueError('Cannot mix binary-input and grayscale-input recognition models.')
         if '1' in one_channel_modes and not is_bitonal(im):
-            logger.warning('Running binary models on non-binary input image '
-                           f'(mode {im.mode}). This will result in severely degraded performance')
+            logger.warning('Binary-input models applied to a non-bitonal image '
+                           f'(mode {im.mode}); expect severely degraded recognition quality')
 
         self.len = len(bounds.lines)
         self.line_iter = iter(bounds.lines)
@@ -110,7 +110,7 @@ class mm_rpred:
 
         if self.have_tags:
             tags = set(_get_type(x.tags) for x in bounds.lines)
-            logger.info(f'Running {len(nets)} multi-script recognizers on {get_im_str(im)} '
+            logger.info(f'Running {len(nets)} script-specific recognizers over {get_im_str(im)} '
                         f'with {self.len} lines')
             missing = []
             filtered = []
@@ -128,7 +128,7 @@ class mm_rpred:
                 self.ts[tag] = ImageInputTransforms(batch, height, width, channels,
                                                     (pad, 0), valid_norm)
         if not isinstance(self.ts, defaultdict) and not self.ts:
-            raise ValueError('No tags in input data and no default model in mapping given.')
+            raise ValueError('Input lines carry no tags and the model mapping has no default.')
 
         self.im = im
         self.nets = nets
@@ -142,11 +142,11 @@ class mm_rpred:
     def _choose_legacy(self, net) -> bool:
         if net.nn.use_legacy_polygons:
             if self.no_legacy_polygons:
-                warnings.warn('Enforcing use of the new polygon extractor for models trained '
-                              'with old version. Accuracy may be affected.')
+                warnings.warn('Forcing the new polygon extractor on a legacy-trained model; '
+                              'accuracy may drop.')
                 return False
-            warnings.warn('Using legacy polygon extractor, as the model was not trained with '
-                          'the new method. Please retrain your model to get speed improvement.')
+            warnings.warn('Falling back to the slow legacy polygon extractor (model predates '
+                          'the new method); retraining enables the fast path.')
             return True
         return False
 
@@ -165,7 +165,7 @@ class mm_rpred:
         or an empty record."""
         if self.have_tags and self.tags_ignore:
             if (ltype := _get_type(line.tags)) in self.tags_ignore:
-                logger.info(f'Ignoring line segment with type {ltype}.')
+                logger.info(f'Skipping line of unsupported type {ltype}.')
                 return empty('', (), (), line), None, None, None
         tag, net = self._resolve(line.tags, self.nets)
         legacy = self._choose_legacy(net)
@@ -177,15 +177,15 @@ class mm_rpred:
             return empty('', [], [], line), None, None, None
         self.box = box
         if 0 in box.size:
-            logger.warning(f'{line} with zero dimension. Emitting empty record.')
+            logger.warning(f'{line} has a zero-sized extent; yielding an empty record.')
             return empty('', [], [], line), None, None, None
         try:
             ts_box = self.ts[tag](box)
         except Exception as e:
-            logger.warning(f'Tensor conversion failed with {e}. Emitting empty record.')
+            logger.warning(f'Line tensor conversion raised {e}. Emitting empty record.')
             return empty('', [], [], line), None, None, None
         if ts_box.max() == ts_box.min():
-            logger.warning('Empty line after tensor conversion. Emitting empty record.')
+            logger.warning('Line image came out empty after transforms; yielding an empty record.')
             return empty('', [], [], line), None, None, None
         return None, box, ts_box, net
 

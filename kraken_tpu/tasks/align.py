@@ -36,9 +36,9 @@ class ForcedAlignmentTaskModel:
     def __init__(self, models: list):
         models = [net for net in models if 'recognition' in net.model_type]
         if not models:
-            raise ValueError(f'No recognition model in model list {models}.')
+            raise ValueError(f'Model list contains no recognition model: {models}.')
         if len(models) > 1:
-            logger.warning('More than one recognition model in model collection. Using first model.')
+            logger.warning('Multiple recognition models supplied; only the first is used.')
         if not isinstance(models[0], VGSLModel):
             raise ValueError('Forced alignment is only supported by VGSL networks.')
         self.net = models[0]
@@ -51,10 +51,10 @@ class ForcedAlignmentTaskModel:
         Returns a Segmentation whose lines are aligned OCR records.
         """
         if not config.return_logits:
-            logger.info('Forced alignment requires logits in output records. Enabling.')
+            logger.info('Enabling logits in output records (required for forced alignment).')
             config.return_logits = True
         if not config.return_line_image:
-            logger.info('Forced alignment requires line images in output records. Enabling.')
+            logger.info('Enabling line images in output records (required for forced alignment).')
             config.return_line_image = True
         self.net.prepare_for_inference(config)
 

@@ -33,9 +33,9 @@ class RecognitionTaskModel:
     def __init__(self, models: list):
         models = [net for net in models if 'recognition' in net.model_type]
         if not models:
-            raise ValueError(f'No recognition model in model list {models}.')
+            raise ValueError(f'Model list contains no recognition model: {models}.')
         if len(models) > 1:
-            logger.warning('More than one recognition model in model collection. Using first model.')
+            logger.warning('Multiple recognition models supplied; only the first is used.')
         self.net = models[0]
         self.one_channel_mode = self.net.one_channel_mode
         self.seg_type = self.net.seg_type
@@ -46,7 +46,7 @@ class RecognitionTaskModel:
         Streams one ocr_record per line of the segmentation.
         """
         if config.precision in ('bf16-true', '16-true'):
-            logger.warning(f'Selected float precision {config.precision} is fixed length '
+            logger.warning(f'Requested float precision {config.precision} is fixed length '
                            '16 bit and may cause unstable recognition.')
         self.net.prepare_for_inference(config)
         return self.net.predict(im, segmentation)

@@ -51,21 +51,21 @@ class SegmentationTaskModel:
         self.seg_models = [net for net in models if 'segmentation' in net.model_type]
         self.ro_models = [net for net in models if 'reading_order' in net.model_type]
         if not self.seg_models:
-            raise ValueError(f'No segmentation models in model list {models}.')
+            raise ValueError(f'Model list contains no segmentation model: {models}.')
         seg_class_mapping = self.seg_models[0].user_metadata.get('class_mapping', {})
         levels = set()
         for m in self.ro_models:
             level = m.user_metadata.get('level', 'baselines')
             if level in levels:
-                raise ValueError(f'Multiple reading order models at level `{level}`.')
+                raise ValueError(f'More than one reading order model at level `{level}`.')
             levels.add(level)
             ro_cm = m.user_metadata.get('class_mapping', {}) or m.class_mapping or {}
             seg_cm = seg_class_mapping.get(level, {})
             diff = set(ro_cm.keys()).symmetric_difference(seg_cm.keys())
             diff.discard('default')
             if diff:
-                raise ValueError(f'Reading order model class mapping at level `{level}` '
-                                 f'does not match segmentation model: {diff}')
+                raise ValueError(f'RO model class mapping at level `{level}` is '
+                                 f'incompatible with the segmentation model: {diff}')
 
     def predict(self, im: 'Image.Image', config: 'SegmentationInferenceConfig') -> Segmentation:
         """
@@ -89,7 +89,7 @@ class SegmentationTaskModel:
         if not path:
             from importlib import resources
             path = resources.files('kraken_tpu').joinpath('blla.mlmodel')
-            logger.info(f'No segmentation model given. Loading default model from {path}.')
+            logger.info(f'Segmentation model not specified; using the default from {path}.')
         return cls(load_models(path))
 
     @staticmethod
@@ -106,7 +106,7 @@ class SegmentationTaskModel:
             script_detection = script_detection or seg.script_detection
             languages.update(seg.language or [])
             if lines and seg.lines:
-                logger.warning('Multiple models produced line output. This is likely unintended.')
+                logger.warning('Line output came from more than one model; check your model list.')
             lines.extend(seg.lines)
             for reg_type, regs in seg.regions.items():
                 regions.setdefault(reg_type, []).extend(regs)
@@ -120,8 +120,8 @@ class SegmentationTaskModel:
             merged_lines.append(replace(line, regions=containing))
 
         if len(ltypes := {type(line) for line in merged_lines}) > 1:
-            raise ValueError('Mixed line data models in one segmentation task are not '
-                             f'supported. Got {ltypes}')
+            raise ValueError('A segmentation task cannot mix line data '
+                             f'models; got {ltypes}')
 
         all_regions = [reg for regs in regions.values() for reg in regs]
         if merged_lines:
@@ -159,10 +159,10 @@ class SegmentationTaskModel:
                 line_ro = model
 
         if not segmentation.lines or not isinstance(segmentation.lines[0], BaselineLine):
-            logger.warning('Neural reading order only supports baselines. Skipping.')
+            logger.warning('Neural reading order applies to baselines only; skipping.')
             return segmentation
         if im_size is None:
-            logger.warning('No image size available. Cannot compute neural reading order.')
+            logger.warning('Neural reading order needs the page size, which is unavailable.')
             return segmentation
 
         seg_class_mapping = self.seg_models[0].user_metadata.get('class_mapping', {})

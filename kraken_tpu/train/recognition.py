@@ -135,12 +135,12 @@ class RecognitionDataModule:
                 status = self.train_set.dataset.legacy_polygons_status
                 val_status = getattr(self.val_set.dataset, 'legacy_polygons_status', status)
                 if val_status != status:
-                    logger.warning('Train and validation set have different legacy '
-                                   f'polygon status: {status} and {val_status}. '
-                                   'Train set status prevails.')
+                    logger.warning('Legacy polygon status differs between train and validation '
+                                   f'sets ({status} vs {val_status}); keeping the '
+                                   'train set status.')
                 if status == 'mixed':
-                    logger.warning('Mixed legacy polygon status in training dataset. '
-                                   'Consider recompilation.')
+                    logger.warning('Training data mixes legacy and new polygon extraction; '
+                                   'recompiling the dataset is recommended.')
                     status = False
                 if status != getattr(cfg, 'legacy_polygons', False):
                     logger.warning(f'Setting dataset legacy polygon status to {status} '
@@ -220,16 +220,16 @@ class RecognitionModel:
             elif self.net.codec is not None:
                 codec = self.net.codec
             else:
-                raise ValueError('No valid codec found in model.')
+                raise ValueError('Loaded model carries no usable codec.')
             codec.strict = True
             try:
                 train_set.encode(codec)
             except KrakenEncodeException:
                 alpha_diff = set(train_set.alphabet).difference(set(codec.c2l.keys()))
                 if cfg.resize == 'fail':
-                    raise ValueError(f'Training data and model codec alphabets mismatch: {alpha_diff}')
+                    raise ValueError(f'Model codec does not cover the training alphabet: {alpha_diff}')
                 if cfg.resize == 'union':
-                    logger.info(f'Resizing codec to include {len(alpha_diff)} new code points.')
+                    logger.info(f'Growing codec with {len(alpha_diff)} new code points.')
                     codec = codec.add_labels(alpha_diff)
                     self.net.add_codec(codec)
                     self.net.resize_output(codec.max_label + 1)
@@ -242,7 +242,7 @@ class RecognitionModel:
                     self.net.resize_output(codec.max_label + 1, del_labels)
                     train_set.encode(codec)
                 else:
-                    raise ValueError(f'invalid resize parameter value {cfg.resize}')
+                    raise ValueError(f'Unknown codec resize mode {cfg.resize}')
             codec.strict = False
             self.net.add_codec(codec)
             cfg.spec = self.net.spec
@@ -265,7 +265,7 @@ class RecognitionModel:
 
         # validation codec with dummy labels for unseen code points
         val_diff = set(val_set.alphabet).difference(set(train_set.codec.c2l.keys()))
-        logger.info(f'Adding {len(val_diff)} dummy labels to validation set codec.')
+        logger.info(f'Adding {len(val_diff)} placeholder labels to the validation codec.')
         self._val_codec = self.net.codec.add_labels(val_diff)
         val_set.encode(self._val_codec)
 
@@ -278,8 +278,8 @@ class RecognitionModel:
                                                  pad=(pad, 0), valid_norm=valid_norm)
 
         if self.net.one_channel_mode and train_set.im_mode != self.net.one_channel_mode:
-            logger.warning(f'Model trained on mode {self.net.one_channel_mode} images, '
-                           f'training set contains mode {train_set.im_mode} data.')
+            logger.warning(f'Model trained on mode {self.net.one_channel_mode} images while '
+                           f'the training set is mode {train_set.im_mode}.')
         self.net.user_metadata['metrics'] = []
         self.net.model_type = ['recognition']
         if not self.net.seg_type:

@@ -212,15 +212,15 @@ class _Parser:
         nl = m.group('type')
         outdim = int(m.group('out'))
         if dim == 0:
-            raise ValueError('categorical output not supported, yet.')
+            raise ValueError('categorical (c) output layers are not implemented')
         if nl == 'c' and dim == 2:
-            raise ValueError('CTC not supported for heatmap output')
+            raise ValueError('heatmap (2D) outputs cannot train with CTC')
         if nl in ('l', 's') and outdim >= 1:
             self.criterion = 'bce'
         elif nl == 'c':
             self.criterion = 'ctc'
         else:
-            raise ValueError('unsupported output specification')
+            raise ValueError('output spec not recognized')
         if dim == 2:
             # heatmap output: 1x1 conv (sigmoid emits logits, see ActConv2D)
             act = 's' if nl == 'l' else 'm'
@@ -280,7 +280,7 @@ class _Parser:
             if depth == 0:
                 break
         if depth:
-            raise ValueError('Unbalanced parentheses in VGSL spec')
+            raise ValueError('VGSL spec has unbalanced brackets')
         inner = [blocks[idx][1:]] + blocks[idx + 1:idx + bl_idx] + [blocks[idx + bl_idx][:-1]]
         named_spec, layer, oshape = self.parse(input, inner, parallel=True, target_output_shape=target_output_shape)
         named_spec[0].block = '(' + named_spec[0].block
@@ -323,12 +323,12 @@ class _Parser:
                         name = [name]
                         break
             if not oshape:
-                raise ValueError('{} invalid layer definition'.format(blocks[idx]))
+                raise ValueError('{} is not a valid VGSL layer definition'.format(blocks[idx]))
             if not parallel:
                 input = oshape
             else:
                 if prev_oshape and prev_oshape[2:] != oshape[2:]:
-                    raise ValueError('Output shape in parallel block not equal!')
+                    raise ValueError('Branches of a parallel block must produce identical shapes')
                 prev_oshape = oshape
                 target_output_shape = oshape
                 channels += oshape[1]
@@ -352,7 +352,7 @@ def parse_vgsl(spec: str) -> tuple[tuple, layers.Series, tuple, Optional[str], l
     """
     spec = spec.strip()
     if spec[0] != '[' or spec[-1] != ']':
-        raise ValueError('Non-sequential models not supported')
+        raise ValueError('Only sequential top-level models are supported')
     blocks = spec[1:-1].split(' ')
     m = re.match(r'(\d+),(\d+),(\d+),(\d+)', blocks[0])
     if not m:
@@ -386,7 +386,7 @@ class VGSLModel:
 
     def __init__(self, vgsl: Optional[str] = None, codec=None, rng=None, **kwargs) -> None:
         if vgsl is None:
-            raise ValueError('vgsl specification argument is missing in args.')
+            raise ValueError('model arguments lack a vgsl spec.')
         self.spec = vgsl
         self.codec: Optional[Codec] = None
         self.user_metadata: dict[str, Any] = {'accuracy': [],
@@ -493,9 +493,9 @@ class VGSLModel:
         """
         from kraken_tpu.configs import RecognitionInferenceConfig, SegmentationInferenceConfig
         if isinstance(config, RecognitionInferenceConfig) and 'recognition' not in self.model_type:
-            raise ValueError(f'{self} is a {self.model_type} model. Got incompatible {type(config).__name__}.')
+            raise ValueError(f'{self} is a {self.model_type} model but received incompatible {type(config).__name__}.')
         if isinstance(config, SegmentationInferenceConfig) and 'segmentation' not in self.model_type:
-            raise ValueError(f'{self} is a {self.model_type} model. Got incompatible {type(config).__name__}.')
+            raise ValueError(f'{self} is a {self.model_type} model but received incompatible {type(config).__name__}.')
         if 'recognition' in self.model_type:
             from kraken_tpu.inference.recognition import prepare_recognition
             prepare_recognition(self, config)
@@ -599,7 +599,7 @@ class VGSLModel:
         last_name = self.net.names[-1]
         last_layer = self.net.layers[-1]
         if not isinstance(last_layer, (layers.ActConv2D, layers.LinSoftmax)):
-            raise ValueError('last layer is neither linear nor convolutional layer')
+            raise ValueError('output resizing needs a linear or convolutional final layer')
         self.params[last_name] = last_layer.resize(self.params[last_name], output_size, del_indices)
         if isinstance(last_layer, layers.LinSoftmax):
             new_layer = layers.LinSoftmax(last_layer.input_size, output_size, last_layer.augmentation)
@@ -612,7 +612,7 @@ class VGSLModel:
         self.output = self.output[:1] + (output_size,) + self.output[2:]
         m = re.match(r'(O)(?P<name>{\w+})?(?P<dim>2|1|0)(?P<type>l|s|c)(?P<aug>a)?(?P<out>\d+)', self.named_spec[-1])
         if not m:
-            raise ValueError('Output specification is not parsable')
+            raise ValueError('Cannot parse output spec')
         aug = m.group('aug') or ''
         self.named_spec[-1] = 'O{}{}{}{}{}'.format(m.group('name') or '', m.group('dim'), m.group('type'), aug, output_size)
         self.spec = '[' + ' '.join(self.named_spec) + ']'

@@ -71,10 +71,10 @@ class XMLPage:
         self._lines: dict = {}
         self._orders: dict[str, dict[str, Any]] = {
             'line_implicit': {'order': [], 'is_total': True,
-                              'description': 'Implicit line order derived from element sequence',
+                              'description': 'Line order implied by document element sequence',
                               'level': 'line'},
             'region_implicit': {'order': [], 'is_total': True,
-                                'description': 'Implicit region order derived from element sequence',
+                                'description': 'Region order implied by document element sequence',
                                 'level': 'region'},
         }
         try:
@@ -163,12 +163,12 @@ class XMLPage:
         if ro not in self._orders:
             raise ValueError(f'Unknown reading order {ro}')
         if self._orders[ro]['is_total'] is False:
-            raise ValueError('Fetching lines by region of a non-total order is not supported')
+            raise ValueError('Cannot fetch lines by region for a partial reading order')
         region_lines = [ln for ln in self._lines.values() if ln.regions and ln.regions[0] == region]
         order = self._orders[ro]['order']
         for ln in region_lines:
             if ln.id not in order:
-                raise ValueError('Fetching lines by region is only possible for flat orders')
+                raise ValueError('Lines-by-region requires a flat (unnested) reading order')
         return sorted(region_lines, key=lambda ln: order.index(ln.id))
 
     def get_lines_by_tag(self, key, value):

@@ -63,27 +63,27 @@ def parse_alto(doc, filename, linetype: str) -> dict:
     base_dir_path = filename.parent
 
     if (mu := doc.find('.//{*}MeasurementUnit')) is not None and mu.text.strip() != 'pixel':
-        raise ValueError(f'Measurement unit in ALTO file {filename} is '
+        raise ValueError(f'ALTO MeasurementUnit in {filename} is '
                          f'"{mu.text.strip()}" not "pixel".')
     if (image := doc.find('.//{*}fileName')) is None or not image.text:
-        raise ValueError(f'No valid image filename found in ALTO file {filename}')
+        raise ValueError(f'ALTO file carries no usable image filename: {filename}')
     imagename = base_dir_path.joinpath(image.text)
     if (page := doc.find('.//{*}Page')) is None:
-        raise ValueError(f'No "Page" element found in ALTO file {filename}')
+        raise ValueError(f'ALTO document lacks a Page element: {filename}')
     try:
         image_size = int(page.get('WIDTH')), int(page.get('HEIGHT'))
     except (ValueError, TypeError) as e:
-        raise ValueError(f'Invalid image dimensions in {filename}: {e}')
+        raise ValueError(f'Unusable page dimensions in {filename}: {e}')
     if not image_size[0] or not image_size[1]:
-        logger.warning(f'Invalid image dimensions {image_size} in {filename}. '
-                       'Attempting to read from image file.')
+        logger.warning(f'Unusable page dimensions {image_size} in {filename}; '
+                       'reading the size from the image file instead.')
         try:
             from kraken_tpu.lib.util import open_image
             with open_image(imagename) as im:
                 image_size = im.size
         except Exception as e:
-            raise ValueError(f'Invalid image dimensions {image_size} in {filename} '
-                             f'and unable to read image file {imagename}: {e}')
+            raise ValueError(f'Unusable page dimensions {image_size} in {filename}, '
+                             f'and the image file could not be opened: {imagename}: {e}')
 
     page_lang = page.get('LANG')
 
@@ -159,7 +159,7 @@ def parse_alto(doc, filename, linetype: str) -> dict:
                                           for a in ('HPOS', 'VPOS', 'WIDTH', 'HEIGHT'))
                     bbox = (x_min, y_min, x_min + w, y_min + h)
                 except (ValueError, TypeError):
-                    logger.info(f'TextLine {line_id} without complete bounding box data.')
+                    logger.info(f'TextLine {line_id} missing full bounding box attributes.')
                     continue
 
             text = ''

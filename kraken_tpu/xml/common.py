@@ -45,9 +45,9 @@ def parse_alto_pointstype(coords: str) -> list[tuple[int, int]]:
     try:
         values = [int(float(m.group())) for m in _FLOAT_RE.finditer(coords)]
     except (ValueError, TypeError):
-        raise ValueError(f'Invalid points sequence string: {coords}')
+        raise ValueError(f'Unparseable points attribute: {coords}')
     if len(values) % 2:
-        raise ValueError(f'Odd number of points in points sequence: {values}')
+        raise ValueError(f'Points attribute has an odd coordinate count: {values}')
     return [pt for pt, _ in groupby(zip(values[::2], values[1::2]))]
 
 
@@ -96,8 +96,8 @@ def parse_reading_order_groups(ro_el, ref_attr: str):
 
     def _collect(el):
         if el.tag.endswith('UnorderedGroup'):
-            logger.warning('Nested UnorderedGroup found in reading order, '
-                           'flattening in document order.')
+            logger.warning('Reading order nests an UnorderedGroup; '
+                           'flattening to document order.')
             refs = []
             for child in el:
                 sub = _collect(child)
@@ -142,13 +142,13 @@ def flatten_order_to_lines(raw_order: list[str],
             result.extend(lid for lid in line_implicit_order
                           if lines[lid].regions and lines[lid].regions[0] == ref)
         elif missing_region_ids and ref in missing_region_ids:
-            logger.warning(f'Reading order references region {ref} without coordinates, skipping.')
+            logger.warning(f'Reading order points at region {ref} that has no coordinates; skipped.')
         elif string_to_line and ref in string_to_line:
             parent = string_to_line[ref]
             if not result or result[-1] != parent:
                 result.append(parent)
         else:
-            logger.info(f'Unknown element ID {ref} in reading order, skipping.')
+            logger.info(f'Unknown element ID {ref} named in the reading order; skipped.')
     return result
 
 
@@ -171,7 +171,7 @@ def flatten_order_to_regions(raw_order: list[str],
         if ref in region_ids:
             _push_region(ref)
         elif missing_region_ids and ref in missing_region_ids:
-            logger.warning(f'Reading order references region {ref} without coordinates, skipping.')
+            logger.warning(f'Reading order points at region {ref} that has no coordinates; skipped.')
         elif ref in lines:
             _push_region(lines[ref].regions[0] if lines[ref].regions else None)
         elif string_to_line and ref in string_to_line:
@@ -179,7 +179,7 @@ def flatten_order_to_regions(raw_order: list[str],
             if parent in lines:
                 _push_region(lines[parent].regions[0] if lines[parent].regions else None)
         else:
-            logger.info(f'Unknown element ID {ref} in reading order, skipping.')
+            logger.info(f'Unknown element ID {ref} named in the reading order; skipped.')
     return result
 
 
@@ -190,10 +190,10 @@ def validate_and_clean_order(order: list[str], valid_ids: set[str]) -> tuple[lis
     clean = True
     for ref in order:
         if ref not in valid_ids:
-            logger.info(f'ID {ref} in reading order not found in document, removing.')
+            logger.info(f'ID {ref} listed in the reading order but absent from the document; dropped.')
             clean = False
         elif ref in seen:
-            logger.info(f'Duplicate ID {ref} in reading order, removing duplicate.')
+            logger.info(f'Duplicate ID {ref} repeated in the reading order; duplicate dropped.')
             clean = False
         else:
             seen.add(ref)

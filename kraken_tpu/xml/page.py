@@ -51,21 +51,21 @@ def parse_page(doc, filename, linetype: str) -> dict:
     """
     base_path = filename.parent
     if (page := doc.find('.//{*}Page')) is None or page.get('imageFilename') is None:
-        raise ValueError(f'No valid image filename found in PageXML file {filename}')
+        raise ValueError(f'PageXML file carries no usable image filename: {filename}')
     page_dir = base_direction(page.get('readingDirection'))
     page_lang = _element_langs(page)
     imagename = base_path.joinpath(page.get('imageFilename'))
     image_size = int(page.get('imageWidth')), int(page.get('imageHeight'))
     if not image_size[0] or not image_size[1]:
-        logger.warning(f'Invalid image dimensions {image_size} in {filename}. '
-                       'Attempting to read from image file.')
+        logger.warning(f'Unusable page dimensions {image_size} in {filename}; '
+                       'reading the size from the image file instead.')
         try:
             from kraken_tpu.lib.util import open_image
             with open_image(imagename) as im:
                 image_size = im.size
         except Exception as e:
-            raise ValueError(f'Invalid image dimensions {image_size} in {filename} '
-                             f'and unable to read image file {imagename}: {e}')
+            raise ValueError(f'Unusable page dimensions {image_size} in {filename}, '
+                             f'and the image file could not be opened: {imagename}: {e}')
 
     tag_set: set = {'default'}
     region_data = defaultdict(list)
@@ -99,8 +99,8 @@ def parse_page(doc, filename, linetype: str) -> dict:
                 if has_coords:
                     tr_region_order.append((region_id, int(idx)))
                 else:
-                    logger.warning(f'Region {region_id} in custom reading order lacks '
-                                   'coordinates; skipping.')
+                    logger.warning(f'Region {region_id} from the custom reading order has '
+                                   'no coordinates; skipped.')
             tags.update(cs)
         if region_lang is None:
             region_lang = page_lang
@@ -149,10 +149,10 @@ def parse_page(doc, filename, linetype: str) -> dict:
                     parent_custom = line.getparent().get('custom')
                     reg_cus = parse_page_custom(parent_custom) if parent_custom else {}
                     if 'readingOrder' not in reg_cus or 'index' not in reg_cus['readingOrder'][0]:
-                        logger.info('Incomplete `custom` attribute reading order found.')
+                        logger.info('Custom-attribute reading order is incomplete; ignoring it.')
                     elif not has_coords:
-                        logger.warning(f'Region {region_id} in custom reading order lacks '
-                                       'coordinates; skipping.')
+                        logger.warning(f'Region {region_id} from the custom reading order has '
+                                       'no coordinates; skipped.')
                     else:
                         tr_line_order_tmp[int(reg_cus['readingOrder'][0]['index'])].append(
                             (int(lidx), line_id))
@@ -185,7 +185,7 @@ def parse_page(doc, filename, linetype: str) -> dict:
         'region_transkribus': {
             'order': [rid for rid, _ in sorted(tr_region_order, key=lambda kv: kv[1])],
             'is_total': len({rid for rid, _ in tr_region_order}) == len(tr_region_order),
-            'description': 'Explicit region order from `custom` attribute',
+            'description': 'Region order taken from `custom` attributes',
             'level': 'region'}
     }
     if tr_line_order_tmp:
@@ -194,7 +194,7 @@ def parse_page(doc, filename, linetype: str) -> dict:
             order.extend(lid for _, lid in sorted(entries))
         transkribus_orders['line_transkribus'] = {'order': order,
                                                   'is_total': True,
-                                                  'description': 'Explicit line order from `custom` attribute',
+                                                  'description': 'Line order taken from `custom` attributes',
                                                   'level': 'line'}
 
     raw_orders = {}

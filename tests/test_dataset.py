@@ -184,6 +184,41 @@ def test_levenshtein_and_cer():
     assert wer.compute() == pytest.approx(1 / 3)
 
 
+def test_script_attribution_ucd_exact(resources):
+    """
+    Per-script attribution uses exact UCD Script property ranges
+    (kraken_tpu/dataset/_scripts_ranges.json, generated by
+    contrib/generate_scripts.py from the regex module's Unicode tables).
+
+    Deviation from the reference recorded here: the reference's shipped
+    scripts.json is lossy — its Arabic entry covers only U+0641..U+064A, so
+    most of the Arabic block (U+0621..U+063A) falls to 'Unknown' in its test
+    reports. This table follows the UCD, so the arabic fixture buckets
+    entirely into Arabic/Inherited/Common.
+    """
+    import pickle
+    from collections import Counter
+    from kraken_tpu.dataset.utils import _get_script
+
+    # exact property spot checks, incl. cases the old name-prefix heuristic
+    # got wrong (DEVANAGARI DANDA is Script=Common; combining marks are
+    # Inherited)
+    assert _get_script('a') == 'Latin'
+    assert _get_script('ب') == 'Arabic'
+    assert _get_script('א') == 'Hebrew'
+    assert _get_script('।') == 'Common'      # DEVANAGARI DANDA
+    assert _get_script('̀') == 'Inherited'   # COMBINING GRAVE ACCENT
+    assert _get_script('。') == 'Common'      # IDEOGRAPHIC FULL STOP
+    assert _get_script('\U0010fffe') == 'Unknown'  # unassigned
+
+    # bucketing of the arabic golden records is total and correct
+    with open(resources / 'arabic_bl_records.pkl', 'rb') as fp:
+        recs = pickle.load(fp)
+    text = ''.join(r['prediction'] for r in recs)
+    counts = Counter(_get_script(c) for c in text)
+    assert counts == {'Arabic': 1278, 'Inherited': 52, 'Common': 293}
+
+
 def test_global_align_roundtrip():
     from kraken_tpu.dataset.utils import global_align
     d, algn_gt, algn_pred = global_align('abcde', 'abde')

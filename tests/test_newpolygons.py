@@ -297,5 +297,5 @@ def test_arrow_mixed_status_warning(resources, tmp_path, arrow_pair, caplog):
                                  [arrow_pair[False], arrow_pair[True]])
     assert result.exit_code == 0, result.output
     warnings_ = [r.message for r in caplog.records if r.levelno >= logging.WARNING]
-    assert any('Mixed legacy polygon' in m for m in warnings_)
+    assert any('mixes legacy and new polygon' in m for m in warnings_)
     assert load_models(tmp_path / 'm5_best.safetensors')[0].use_legacy_polygons is False
