@@ -132,7 +132,16 @@ class SegmentationInferenceConfig(Config):
         # relative to the reference's exact-width computation)
         self.width_bucketing = kwargs.pop('width_bucketing', False)
         # 'uint8' quantizes heatmaps on device before the host transfer
-        # (4x less data over remote-TPU links); 'float32' is parity-exact
+        # (4x less data over remote-TPU links); 'float32' is parity-exact.
+        # 'packbits' goes further: every map the host vectorizer actually
+        # consumes is computed ON DEVICE as a binary mask (region masks
+        # >0.5, separator-orientation masks from the max-filtered
+        # start/end difference, thresholded ridge maps) and bit-packed
+        # 8 pixels/byte before the transfer (~10x less data than 'uint8';
+        # requires fused_ridge and a baseline class_mapping, else it
+        # degrades to 'uint8'). 'auto' probes the host->device bandwidth
+        # once at prepare time and picks 'packbits' on tunnel-grade links
+        # (<500 Mbps), 'uint8' on local PCIe.
         self.heatmap_precision = kwargs.pop('heatmap_precision', 'float32')
         # run the baseline-vectorization hot spots on the accelerator: the
         # Sato ridge filter as fused XLA convolutions (ops/ridge.py) and all

@@ -411,6 +411,8 @@ def _dispatch_batch(model: 'VGSLModel', lines: list):
     else:
         payload = batch.astype(model._m_dtype)
     target = model._batch_sharding if mesh is not None else model._device
+    from kraken_tpu.lib import telemetry
+    telemetry.record_up(payload.nbytes + seq_lens.nbytes)
     outputs = model._rec_fwd(
         model._inf_params,
         jax.device_put(jnp.asarray(payload), target),
@@ -432,6 +434,9 @@ def _decode_batch_results(model: 'VGSLModel', outputs, lines: list):
     # host copies asynchronously before blocking, so the tunneled link
     # pays one round trip instead of three sequential ones
     labels, confs, olens = jax.device_get((labels, confs, olens))
+    from kraken_tpu.lib import telemetry
+    telemetry.record_down(np.asarray(labels).nbytes + np.asarray(confs).nbytes
+                          + np.asarray(olens).nbytes)
 
     from kraken_tpu.ops.ctc import _group_runs, greedy_decoder
     use_fast_path = config.decoder is greedy_decoder
@@ -441,6 +446,7 @@ def _decode_batch_results(model: 'VGSLModel', outputs, lines: list):
     # device (C× less transfer)
     if config.return_logits or not use_fast_path:
         model.outputs = np.asarray(probs)
+        telemetry.record_down(model.outputs.nbytes)
     else:
         model.outputs = None
 

@@ -41,6 +41,44 @@ __all__ = ['prepare_segmentation', 'segmentation_pred',
            'segmentation_pred_batch', 'vec_regions', 'vec_lines']
 
 
+def _probe_link_mbps(device) -> float:
+    """One-shot host→device bandwidth probe (4 MB byte upload, best of 2)
+    used by heatmap_precision='auto' to pick the transfer policy: the
+    tunnel to a remote TPU swings 2-10x between minutes but stays orders
+    of magnitude below local PCIe, which is the distinction that matters."""
+    import time
+    x = np.zeros((4, 1024, 1024), np.uint8)
+    f = jax.jit(lambda a: a.sum(dtype=jnp.int32))
+    int(f(jax.device_put(jnp.asarray(x), device)))  # compile + warm
+    best = float('inf')
+    for _ in range(2):
+        t0 = time.perf_counter()
+        int(f(jax.device_put(jnp.asarray(x), device)))
+        best = min(best, time.perf_counter() - t0)
+    return 4 * 8 / best  # Mbit/s
+
+
+def _maxpool20(x: jnp.ndarray) -> jnp.ndarray:
+    """scipy.ndimage.maximum_filter(size=20, mode='reflect') on a (N, H, W)
+    stack: symmetric edge padding (scipy 'reflect' == np.pad 'symmetric')
+    then a VALID 20x20 max-window with scipy's origin-0 anchor (offsets
+    -10..+9 for even sizes)."""
+    xp = jnp.pad(x, ((0, 0), (10, 9), (10, 9)), mode='symmetric')
+    return jax.lax.reduce_window(xp, -jnp.inf, jax.lax.max,
+                                 (1, 20, 20), (1, 1, 1), 'VALID')
+
+
+def _packbits_w(m: jnp.ndarray) -> jnp.ndarray:
+    """Bit-packs a boolean (..., W) array along W, 8 pixels/byte, MSB
+    first — the exact layout np.unpackbits(axis=-1) reverses."""
+    w = m.shape[-1]
+    w8 = -(-w // 8)
+    pad = [(0, 0)] * (m.ndim - 1) + [(0, w8 * 8 - w)]
+    m = jnp.pad(m, pad).reshape(*m.shape[:-1], w8, 8).astype(jnp.uint8)
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    return (m * weights).sum(-1, dtype=jnp.uint8)
+
+
 def prepare_segmentation(model: 'VGSLModel', config) -> None:
     """Sets up device placement and the jitted forward+upsample+sigmoid."""
     from kraken_tpu.inference.recognition import _PRECISION_DTYPES, _resolve_device
@@ -55,11 +93,7 @@ def prepare_segmentation(model: 'VGSLModel', config) -> None:
     model._inf_params = jax.tree.map(cast, model.params)
     if getattr(model, '_seg_fwd', None) is None:
         net = model.net
-        # 'uint8' quantizes the sigmoid heatmaps on device before the
-        # host transfer (4x less data — the dominant cost on remote TPUs);
-        # vectorization thresholds are coarse, so 1/255 quantization is
-        # inconsequential, but 'float32' remains the parity-exact default
-        quantize = getattr(config, 'heatmap_precision', 'float32') == 'uint8'
+        cls_map = model.user_metadata.get('class_mapping') or {}
         # fused ridge: the Sato tubularity filter of every baseline channel
         # runs inside the SAME dispatch as the forward (ops/ridge._sato_core
         # over the full-precision sigmoid, pre-quantization) and only the
@@ -70,32 +104,76 @@ def prepare_segmentation(model: 'VGSLModel', config) -> None:
         # doesn't.
         fused_ridge = bool(getattr(config, 'fused_ridge', True))
         bl_channels = tuple(sorted(
-            (model.user_metadata.get('class_mapping') or {})
-            .get('baselines', {}).values())) if fused_ridge else ()
+            cls_map.get('baselines', {}).values())) if fused_ridge else ()
         ridge_threshold = float(getattr(config, 'ridge_threshold', 0.17))
         # byte page uploads: dequantize on device (the host tail produced
         # the quantized payload; values match the float pipeline exactly)
         dequant = getattr(config, 'input_transfer', 'float') == 'uint8'
 
-        def fwd(params, x, out_h, out_w, seq_lens=None):
-            from kraken_tpu.ops.ridge import _sato_core_batch
-            if dequant:
-                x = (x.astype(jnp.float32) / 255.0).astype(dtype)
-            logits, _ = net.apply(params, x, seq_lens)
-            logits = jax.image.resize(logits.astype(jnp.float32),
-                                      (logits.shape[0], logits.shape[1], out_h, out_w),
-                                      method='bilinear')
-            probs = jax.nn.sigmoid(logits)
-            heat = jnp.round(probs * 255).astype(jnp.uint8) if quantize else probs
-            if bl_channels:
+        hm_prec = getattr(config, 'heatmap_precision', 'float32')
+        if hm_prec == 'auto':
+            # tunnel-grade link → every byte counts → packed binary masks;
+            # local PCIe → keep the near-parity quantized heatmaps
+            hm_prec = 'packbits' if _probe_link_mbps(device) < 500 else 'uint8'
+        region_channels = tuple(sorted(cls_map.get('regions', {}).values()))
+        aux = cls_map.get('aux', {})
+        if hm_prec == 'packbits' and (not bl_channels
+                                      or '_start_separator' not in aux
+                                      or '_end_separator' not in aux):
+            hm_prec = 'uint8'  # packed masks need the fused-ridge layout
+        # 'uint8' quantizes the sigmoid heatmaps on device before the
+        # host transfer (4x less data — the dominant cost on remote TPUs);
+        # vectorization thresholds are coarse, so 1/255 quantization is
+        # inconsequential, but 'float32' remains the parity-exact default
+        quantize = hm_prec == 'uint8'
+
+        if hm_prec == 'packbits':
+            st_sep, end_sep = aux['_start_separator'], aux['_end_separator']
+
+            def fwd(params, x, out_h, out_w, seq_lens=None):
+                from kraken_tpu.ops.ridge import _sato_core_batch
+                if dequant:
+                    x = (x.astype(jnp.float32) / 255.0).astype(dtype)
+                logits, _ = net.apply(params, x, seq_lens)
+                logits = jax.image.resize(logits.astype(jnp.float32),
+                                          (logits.shape[0], logits.shape[1], out_h, out_w),
+                                          method='bilinear')
+                probs = jax.nn.sigmoid(logits)
+                masks = [probs[:, c] > 0.5 for c in region_channels]
+                # separator orientation: the host consumes the 20x20
+                # max-filtered start/end maps ONLY through sign tests of
+                # their difference against +-0.2 (lib/vectorization.py
+                # orientation votes), so ship the two decision masks —
+                # computed from the full-precision sigmoid, one bit each
+                diff = _maxpool20(probs[:, st_sep]) - _maxpool20(probs[:, end_sep])
+                masks += [diff > 0.2, diff < -0.2]
                 p = probs[:, jnp.array(bl_channels)]
                 n, c, h, w = p.shape
                 ridges = _sato_core_batch(p.reshape(n * c, h, w)).reshape(n, c, h, w)
-                return heat, (ridges > ridge_threshold).astype(jnp.uint8)
-            return heat
+                masks += [ridges[:, j] > ridge_threshold for j in range(c)]
+                return _packbits_w(jnp.stack(masks, 1))
+        else:
+            def fwd(params, x, out_h, out_w, seq_lens=None):
+                from kraken_tpu.ops.ridge import _sato_core_batch
+                if dequant:
+                    x = (x.astype(jnp.float32) / 255.0).astype(dtype)
+                logits, _ = net.apply(params, x, seq_lens)
+                logits = jax.image.resize(logits.astype(jnp.float32),
+                                          (logits.shape[0], logits.shape[1], out_h, out_w),
+                                          method='bilinear')
+                probs = jax.nn.sigmoid(logits)
+                heat = jnp.round(probs * 255).astype(jnp.uint8) if quantize else probs
+                if bl_channels:
+                    p = probs[:, jnp.array(bl_channels)]
+                    n, c, h, w = p.shape
+                    ridges = _sato_core_batch(p.reshape(n * c, h, w)).reshape(n, c, h, w)
+                    return heat, (ridges > ridge_threshold).astype(jnp.uint8)
+                return heat
 
         model._seg_fwd = jax.jit(fwd, static_argnums=(2, 3))
         model._seg_fused_channels = bl_channels
+        model._seg_transfer = hm_prec
+        model._seg_packed_regions = region_channels
 
 
 def vec_regions(heatmap: np.ndarray, cls_map: dict, scale, **kwargs) -> dict[str, list[Region]]:
@@ -121,6 +199,7 @@ def vec_lines(heatmap: np.ndarray,
               raise_on_error: bool = False,
               device_vectorize: bool = False,
               bin_maps: Optional[dict] = None,
+              sep_filters: Optional[tuple] = None,
               **kwargs) -> list[dict[str, Any]]:
     """
     Vectorizes and polygonizes all baseline classes of the heatmap stack.
@@ -129,6 +208,9 @@ def vec_lines(heatmap: np.ndarray,
         device_vectorize: run the Sato ridge filter and the seam-carve DPs
             on the accelerator (ops/ridge.py, ops/seam.py) instead of the
             host; identical results, fewer host cycles per page.
+        sep_filters: precomputed max-filtered (start, end) separator maps
+            (supplied by the packed-binary transfer path, which runs the
+            20x20 max filter on device); computed on the host otherwise.
 
     Returns:
         list of dicts with tags/baseline/boundary per line.
@@ -141,9 +223,10 @@ def vec_lines(heatmap: np.ndarray,
         seam_carver = 'device'
     st_sep = cls_map['aux']['_start_separator']
     end_sep = cls_map['aux']['_end_separator']
-    from kraken_tpu.lib.fastfilters import maximum_filter
-    sep_filters = (maximum_filter(heatmap[st_sep], size=20),
-                   maximum_filter(heatmap[end_sep], size=20))
+    if sep_filters is None:
+        from kraken_tpu.lib.fastfilters import maximum_filter
+        sep_filters = (maximum_filter(heatmap[st_sep], size=20),
+                       maximum_filter(heatmap[end_sep], size=20))
     baselines = []
     for bl_type, idx in cls_map['baselines'].items():
         logger.debug(f'Extracting baselines for class {bl_type}')
@@ -259,6 +342,8 @@ def _compute_segmentation_maps(model: 'VGSLModel', ims: list) -> list[dict[str, 
         stack[i, :, :, :p['tensor'].shape[2]] = p['tensor']
     max_padded_h = max(p['padded_h'] for p in pages)
     payload = stack if transfer_u8 else stack.astype(model._m_dtype)
+    from kraken_tpu.lib import telemetry
+    telemetry.record_up(payload.nbytes)
     x = jax.device_put(jnp.asarray(payload), model._device)
     # upsample in bucket space (static args stay bucketed), then crop the
     # padding back off on the host. Per-page valid widths thread through as
@@ -272,6 +357,38 @@ def _compute_segmentation_maps(model: 'VGSLModel', ims: list) -> list[dict[str, 
         # unpadded batch: omit seq_lens so externally-supplied forwards
         # (e.g. the bench's torch mirror) keep their 4-arg signature
         out = model._seg_fwd(model._inf_params, x, max_padded_h, max_w)
+    if getattr(model, '_seg_transfer', None) == 'packbits':
+        packed_all = np.asarray(out)  # (n, K, h, ceil(w/8)) uint8
+        telemetry.record_down(packed_all.nbytes)
+        cls_map = model.user_metadata['class_mapping']
+        n_classes = 1 + max(c for grp in cls_map.values() for c in grp.values())
+        n_reg = len(model._seg_packed_regions)
+        results = []
+        for i, p in enumerate(pages):
+            bits = np.unpackbits(packed_all[i], axis=-1)
+            m = bits[:, :p['padded_h'], :p['padded_w']]
+            m = m[:, padding[2]:m.shape[1] - padding[3] or None,
+                  padding[0]:m.shape[2] - padding[1] or None]
+            # boolean stand-in for the heatmap stack: region channels carry
+            # their device-thresholded masks (vec_regions' >0.5 test is the
+            # identity on them); baseline/separator channels are consumed
+            # through bin_maps/sep_filters instead and stay empty
+            heat = np.zeros((n_classes,) + m.shape[1:], bool)
+            for j, c in enumerate(model._seg_packed_regions):
+                heat[c] = m[j]
+            sep_filters = (m[n_reg].astype(np.float32),
+                           m[n_reg + 1].astype(np.float32))
+            bin_maps = {c: m[n_reg + 2 + j].astype(bool)
+                        for j, c in enumerate(model._seg_fused_channels)}
+            results.append({'heatmap': heat,
+                            'cls_map': cls_map,
+                            'bounding_regions': model.user_metadata.get('bounding_regions', None),
+                            'scale': np.divide(p['im'].size, heat.shape[:0:-1]),
+                            'scal_im': p['scal_im'],
+                            'bin_maps': bin_maps,
+                            'sep_filters': sep_filters})
+        return results
+
     if isinstance(out, tuple):
         # one async gather for both maps: a single tunnel round trip
         # instead of two sequential blocking downloads
@@ -279,6 +396,8 @@ def _compute_segmentation_maps(model: 'VGSLModel', ims: list) -> list[dict[str, 
         heat_all, ridges_all = np.asarray(heat_all), np.asarray(ridges_all)
     else:
         heat_all, ridges_all = np.asarray(out), None
+    telemetry.record_down(heat_all.nbytes +
+                          (ridges_all.nbytes if ridges_all is not None else 0))
 
     results = []
     for i, p in enumerate(pages):

@@ -1,10 +1,22 @@
 """
-End-to-end segmentation quality regression against XML ground truth
+End-to-end segmentation quality tests against XML ground truth
 (BASELINE.md measurement plan step 2; methodology of the reference's
-validation-time vectorization, kraken/train/blla.py:321-348). The frozen
-blla_small model (scripts/train_seg_golden.py) drives the full heatmap →
-vectorize → polygonize → reading-order stack; metrics in docs/SEG_PARITY.md.
+validation-time vectorization, kraken/train/blla.py:321-348), in three
+tiers:
+
+1. STACK REGRESSION (same-page): the frozen blla_small model is trained on
+   the very page it is evaluated on, so its floors verify that the heatmap
+   → vectorize → polygonize → reading-order stack recovers what the net
+   learned — NOT that the model generalizes.
+2. HELD-OUT generalization: blla_heldout_top is trained on the top half of
+   the annotated page only (scripts/train_seg_heldout.py) and its floors
+   are asserted on the disjoint bottom-half lines.
+3. PERTURBATION robustness: the same-page model re-evaluated on scaled and
+   rotated variants of its page, with GT transformed identically.
+
+Metrics and measured values in docs/SEG_PARITY.md.
 """
+import math
 import warnings
 
 import numpy as np
@@ -12,6 +24,21 @@ import pytest
 from PIL import Image
 
 PAGE = '170025120000003,0074'
+
+
+def _detection(pred_seg, gt_polylines, tol=25.0):
+    from kraken_tpu.lib.segmentation_metrics import (compute_detection_metrics,
+                                                     interpolate_polyline)
+    pred_pl = [interpolate_polyline(np.array(l.baseline, float))
+               for l in pred_seg.lines]
+    return compute_detection_metrics(pred_pl, gt_polylines, tol=tol)
+
+
+def _gt_polylines(seg, transform=lambda p: p):
+    from kraken_tpu.lib.segmentation_metrics import interpolate_polyline
+    return [interpolate_polyline(np.array([transform(p) for p in l.baseline],
+                                          float))
+            for l in seg.lines]
 
 
 @pytest.fixture(scope='module')
@@ -31,18 +58,100 @@ def pred_seg(resources):
         return blla.segment(im, model=model)
 
 
-def test_baseline_detection_floor(gt_seg, pred_seg):
-    from kraken_tpu.lib.segmentation_metrics import (compute_detection_metrics,
-                                                     interpolate_polyline)
-    pred_pl = [interpolate_polyline(np.array(l.baseline, float)) for l in pred_seg.lines]
-    gt_pl = [interpolate_polyline(np.array(l.baseline, float)) for l in gt_seg.lines]
-    det = compute_detection_metrics(pred_pl, gt_pl, tol=25.0)
+def test_baseline_detection_floor_stack_regression(gt_seg, pred_seg):
+    """SAME-PAGE floor: blla_small is trained on this page, so this is a
+    stack regression (does vectorize/polygonize recover what the net
+    learned), not generalization evidence — see the held-out test below."""
+    det = _detection(pred_seg, _gt_polylines(gt_seg))
     # floors raised after duplicate-baseline pruning (round 3): measured
     # F1 0.966 / P 0.955 / R 0.977 host fp32 (was F1 0.912 with 8 duplicate
     # lines among 52 predictions vs 44 GT)
     assert det['f1'] >= 0.93, det
     assert det['precision'] >= 0.90, det
     assert det['recall'] >= 0.95, det
+
+
+def test_heldout_detection_floor(resources):
+    """GENERALIZATION floor: blla_heldout_top never saw the bottom-half
+    lines it is evaluated on (same page distribution, disjoint lines —
+    the reference's held-out-validation protocol,
+    kraken/train/blla.py:321-348). Measured on creation: see
+    docs/SEG_PARITY.md."""
+    import pathlib
+    import sys
+    from kraken_tpu import blla
+    from kraken_tpu.models import load_models
+    from kraken_tpu.xml import XMLPage
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / 'scripts'))
+    from train_seg_heldout import find_split_y, split_page
+
+    model_path = resources / 'blla_heldout_top.safetensors'
+    if not model_path.exists():
+        pytest.skip('held-out fixture model not trained yet')
+    im = Image.open(resources / f'{PAGE}.jpg')
+    im.load()
+    gt = XMLPage(resources / f'{PAGE}.xml').to_container()
+    split_y = find_split_y(gt, im.height)
+    _, (bot_im, bot_seg) = split_page(im, gt, split_y)
+    model = load_models(model_path)[0]
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore')
+        pred = blla.segment(bot_im, model=model)
+    det = _detection(pred, _gt_polylines(bot_seg))
+    assert det['f1'] >= 0.80, det
+    assert det['recall'] >= 0.80, det
+
+
+def test_perturbation_scale_floor(resources, gt_seg):
+    """The same-page model on 0.9x/1.1x rescaled pages (GT scaled
+    identically): detection must stay near the unperturbed floor.
+    Measured on creation: F1 0.962 (0.9x), 0.955 (1.1x)."""
+    from kraken_tpu import blla
+    from kraken_tpu.models import load_models
+    im = Image.open(resources / f'{PAGE}.jpg')
+    im.load()
+    model = load_models(resources / 'blla_small.safetensors')[0]
+    for s in (0.9, 1.1):
+        sc = im.resize((round(im.width * s), round(im.height * s)),
+                       Image.LANCZOS)
+        with warnings.catch_warnings():
+            warnings.simplefilter('ignore')
+            pred = blla.segment(sc, model=model)
+        det = _detection(pred, _gt_polylines(gt_seg,
+                                             lambda p: (p[0] * s, p[1] * s)))
+        assert det['f1'] >= 0.90, (s, det)
+
+
+def test_perturbation_rotation_recall(resources, gt_seg):
+    """±2° rotation: the no-augmentation overfit fixture model fragments
+    its heatmaps off-orientation (~4x spurious baselines, measured
+    P≈0.14), which is a property of its single-page training, not of the
+    inference stack — so this test pins what the stack still guarantees:
+    most true lines remain recovered among the noise (measured R 0.642 /
+    0.620 at ±2°). Rotation-robust *models* come from training-time
+    augmentation (dataset/segmentation.py SegmentationAugmenter), like the
+    reference's."""
+    from kraken_tpu import blla
+    from kraken_tpu.models import load_models
+    im = Image.open(resources / f'{PAGE}.jpg')
+    im.load()
+    model = load_models(resources / 'blla_small.safetensors')[0]
+    for angle in (2, -2):
+        rot = im.rotate(angle, resample=Image.BILINEAR, expand=True,
+                        fillcolor='white')
+        a = math.radians(angle)
+        cos, sin = math.cos(a), math.sin(a)
+        cx, cy = im.width / 2, im.height / 2
+
+        def fwd(p, cos=cos, sin=sin, rw=rot.width, rh=rot.height):
+            return ((p[0] - cx) * cos + (p[1] - cy) * sin + rw / 2,
+                    -(p[0] - cx) * sin + (p[1] - cy) * cos + rh / 2)
+
+        with warnings.catch_warnings():
+            warnings.simplefilter('ignore')
+            pred = blla.segment(rot, model=model)
+        det = _detection(pred, _gt_polylines(gt_seg, fwd))
+        assert det['recall'] >= 0.55, (angle, det)
 
 
 def test_region_iu_floor(resources, gt_seg, pred_seg):
@@ -63,6 +172,36 @@ def test_region_iu_floor(resources, gt_seg, pred_seg):
     union = (pm | gm).sum()
     assert union > 0
     assert (pm & gm).sum() / union >= 0.90
+
+
+def test_packbits_transfer_matches_float(resources, pred_seg):
+    """heatmap_precision='packbits' (device-thresholded, bit-packed masks —
+    the low-bandwidth transfer policy) must reproduce the float32 pipeline's
+    segmentation: identical inputs to every host decision (region >0.5,
+    separator-orientation sign tests, ridge threshold) are computed on
+    device from the same full-precision sigmoid, so baselines match the
+    float path exactly on one platform while the transfer shrinks ~35x."""
+    from kraken_tpu.configs import SegmentationInferenceConfig
+    from kraken_tpu.inference.segmentation import (prepare_segmentation,
+                                                   segmentation_pred)
+    from kraken_tpu.lib import telemetry
+    from kraken_tpu.models import load_models
+    im = Image.open(resources / f'{PAGE}.jpg')
+    model = load_models(resources / 'blla_small.safetensors')[0]
+    prepare_segmentation(model, SegmentationInferenceConfig(
+        precision='32-true', heatmap_precision='packbits'))
+    assert model._seg_transfer == 'packbits'
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore')
+        with telemetry.collect() as xfer:
+            seg = segmentation_pred(model, im)
+    assert [l.baseline for l in seg.lines] == \
+        [l.baseline for l in pred_seg.lines]
+    assert {k: [r.boundary for r in v] for k, v in seg.regions.items()} == \
+        {k: [r.boundary for r in v] for k, v in pred_seg.regions.items()}
+    # the packed download must stay under a tenth of the uint8 heatmaps
+    # (fixture page: ~230 kB vs ~2 MB uint8 / ~8 MB float32+ridges)
+    assert 0 < xfer.down_bytes < 400_000, xfer.down_bytes
 
 
 def test_predicted_lines_have_boundaries_and_order(pred_seg, gt_seg):
