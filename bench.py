@@ -379,7 +379,7 @@ def _sustained_pipeline(n_pages: int = 100):
     from PIL import Image
     from kraken_tpu.configs import (RecognitionInferenceConfig,
                                     SegmentationInferenceConfig)
-    from kraken_tpu.lib.pdf import extract_page_images
+    from kraken_tpu.lib.pdf import extract_page_images_lazy
     from kraken_tpu.models import load_models
     from kraken_tpu.inference.segmentation import (prepare_segmentation,
                                                    segmentation_pred,
@@ -413,16 +413,19 @@ def _sustained_pipeline(n_pages: int = 100):
                                     '170025120000003,0074.jpg'),
                        n_pages, pdf_path)
     from kraken_tpu.lib import telemetry
+    prefetch, seg_batch = 3, 2
     lines = 0
     n_seen = 0
     t0 = time.perf_counter()
-    # extract_page_images is a generator: PDF parsing + JPEG decode stream
-    # into the pipeline page by page, like any long user document
+    # lazy page thunks: PDF parsing + JPEG decode run inside the prefetch
+    # pool (overlapping the recognizer's device waits) instead of stalling
+    # the page consumer — `prefetch` page groups are decoded+segmented ahead
     with telemetry.collect() as xfer:
         for _im, _seg, recs in process_pages(
-                extract_page_images(pdf_path), rec_model, segmenter,
+                extract_page_images_lazy(pdf_path), rec_model, segmenter,
+                prefetch=prefetch,
                 segmenter_batch=lambda ps: segmentation_pred_batch(seg_model, ps),
-                seg_batch=2):
+                seg_batch=seg_batch):
             lines += len(recs)
             n_seen += 1
     wall = time.perf_counter() - t0
@@ -434,6 +437,9 @@ def _sustained_pipeline(n_pages: int = 100):
             'lines_per_sec': round(lines / wall, 1),
             'total_lines': lines,
             'wall_s': round(wall, 1),
+            'pipeline_depth': {'prefetch_groups': prefetch,
+                               'seg_batch': seg_batch,
+                               'page_decode': 'lazy (in prefetch pool)'},
             'transfer': xfer.as_dict(pages=n_pages)}
 
 

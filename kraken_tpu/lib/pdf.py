@@ -807,6 +807,31 @@ def page_count(path) -> int:
     return len(_open_document(path).pages())
 
 
+def _decode_page(doc, page, idx: int):
+    """Decodes the dominant raster image of one parsed page (largest
+    embedded XObject by pixel count, ``/Rotate`` applied)."""
+    imgs = _page_images(doc, page)
+    if not imgs:
+        raise PDFError(
+            f'page {idx} contains no embedded raster image; '
+            'this looks like a born-digital PDF — install pyvips or '
+            'PyMuPDF to rasterize it')
+    sizes = [int(doc.resolve(x.dict['Width'])) * int(doc.resolve(x.dict['Height']))
+             for x in imgs]
+    best = max(range(len(imgs)), key=sizes.__getitem__)
+    if len(imgs) > 1 and sorted(sizes)[-2] >= 0.2 * sizes[best]:
+        logger.warning(f'page {idx}: multiple significant images; '
+                       'extracting the largest only')
+    im = _decode_image(doc, imgs[best])
+    rotate = int(doc.resolve(page.get('Rotate', 0)) or 0) % 360
+    if rotate:
+        from PIL import Image
+        im = im.transpose({90: Image.Transpose.ROTATE_270,
+                           180: Image.Transpose.ROTATE_180,
+                           270: Image.Transpose.ROTATE_90}[rotate])
+    return im
+
+
 def extract_page_images(path):
     """Yields one PIL image per page of a scanned PDF.
 
@@ -817,28 +842,20 @@ def extract_page_images(path):
     (pyvips or PyMuPDF, as the reference uses:
     ``/root/reference/kraken/kraken.py:363-399``).
     """
+    for thunk in extract_page_images_lazy(path):
+        yield thunk()
+
+
+def extract_page_images_lazy(path):
+    """Yields one zero-argument callable per page; calling it parses and
+    decodes that page's image (semantics of :func:`extract_page_images`
+    otherwise). Feeding these callables to ``kraken_tpu.pipeline
+    .process_pages`` moves JPEG/Flate decoding into the prefetch pool,
+    where it overlaps the recognition engine's device waits instead of
+    stalling the page consumer."""
     doc = _open_document(path)
     pages = doc.pages()
     if not pages:
         raise PDFError(f'{path} contains no pages')
     for idx, page in enumerate(pages):
-        imgs = _page_images(doc, page)
-        if not imgs:
-            raise PDFError(
-                f'page {idx} of {path} contains no embedded raster image; '
-                'this looks like a born-digital PDF — install pyvips or '
-                'PyMuPDF to rasterize it')
-        sizes = [int(doc.resolve(x.dict['Width'])) * int(doc.resolve(x.dict['Height']))
-                 for x in imgs]
-        best = max(range(len(imgs)), key=sizes.__getitem__)
-        if len(imgs) > 1 and sorted(sizes)[-2] >= 0.2 * sizes[best]:
-            logger.warning(f'page {idx}: multiple significant images; '
-                           'extracting the largest only')
-        im = _decode_image(doc, imgs[best])
-        rotate = int(doc.resolve(page.get('Rotate', 0)) or 0) % 360
-        if rotate:
-            from PIL import Image
-            im = im.transpose({90: Image.Transpose.ROTATE_270,
-                               180: Image.Transpose.ROTATE_180,
-                               270: Image.Transpose.ROTATE_90}[rotate])
-        yield im
+        yield lambda doc=doc, page=page, idx=idx: _decode_page(doc, page, idx)

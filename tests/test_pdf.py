@@ -457,3 +457,25 @@ def test_cli_pdf_input(tmp_path):
         import os
         produced = _glob.glob(os.path.join(fs, '**', '*.png'), recursive=True)
         assert produced, result.output
+
+
+def test_lazy_extraction_matches_eager(tmp_path):
+    """extract_page_images_lazy yields one thunk per page without decoding;
+    calling the thunks (in any order) reproduces the eager extractor —
+    the shape kraken_tpu.pipeline.process_pages consumes so page decoding
+    runs in its prefetch pool."""
+    from kraken_tpu.lib.pdf import extract_page_images_lazy
+    im_rgb = _rgb_gradient(40, 24)
+    rgb_raw = zlib.compress(np.asarray(im_rgb).tobytes())
+    objs = _doc_skeleton([3, 5])
+    objs[3] = _page_obj(3, 2, img_ref=4)
+    objs[4] = _image_obj(4, rgb_raw, 40, 24, filt='FlateDecode')
+    objs[5] = _page_obj(5, 2, img_ref=4)
+    p = tmp_path / 'lazy.pdf'
+    p.write_bytes(_assemble_classic(objs))
+    thunks = list(extract_page_images_lazy(p))
+    assert len(thunks) == 2
+    assert all(callable(t) for t in thunks)
+    eager = list(extract_page_images(p))
+    for t, e in zip(reversed(thunks), reversed(eager)):
+        assert np.array_equal(np.asarray(t()), np.asarray(e))

