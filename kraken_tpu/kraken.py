@@ -425,8 +425,10 @@ def binarize(ctx, threshold, zoom, escale, border, perc, range, low, high, accel
                    'useful when host cores are scarce).')
 @click.option('--transfer', default='float', type=click.Choice(['float', 'bytes']),
               help='Device-link payload format: "bytes" ships page tensors '
-                   'as uint8 and returns quantized heatmaps (2-4x less '
-                   'transfer on remote links; equivalence-tested).')
+                   'as uint8 and auto-selects the heatmap return policy from '
+                   'the measured link bandwidth (bit-packed binary masks on '
+                   'tunnel-grade links - ~10x less transfer than quantized '
+                   'heatmaps; equivalence-tested).')
 def segment(ctx, model, boxes, text_direction, legacy_scale, legacy_maxcolseps,
             legacy_black_colseps, legacy_no_hlines, bbox_line_padding, input_padding,
             device_vectorize, transfer):
@@ -444,7 +446,7 @@ def segment(ctx, model, boxes, text_direction, legacy_scale, legacy_maxcolseps,
                                          input_padding=input_padding,
                                          device_vectorize=device_vectorize,
                                          input_transfer='uint8' if transfer == 'bytes' else 'float',
-                                         heatmap_precision='uint8' if transfer == 'bytes' else 'float32',
+                                         heatmap_precision='auto' if transfer == 'bytes' else 'float32',
                                          device=ctx.meta['device'],
                                          precision=ctx.meta['precision'],
                                          raise_on_error=ctx.meta['raise_failed'])
