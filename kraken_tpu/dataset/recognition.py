@@ -134,7 +134,7 @@ class ArrowIPCRecognitionDataset(_RecognitionDatasetBase):
             ds_table = pa.ipc.open_file(source).read_all()
             raw_metadata = ds_table.schema.metadata
             if not raw_metadata or b'lines' not in raw_metadata:
-                raise ValueError(f'{file} does not contain a valid metadata record.')
+                raise ValueError(f'{file} lacks a readable arrow metadata record.')
             metadata = json.loads(raw_metadata[b'lines'])
         if metadata['type'] == 'kraken_recognition_baseline':
             expected = 'baselines'

@@ -159,8 +159,8 @@ def recognizer(model, no_segmentation, config, linetype, input, output) -> None:
             raise click.UsageError('No OCR script segmentation given. '
                                    'Add one with the input or run `segment` first.')
     elif no_segmentation:
-        logger.warning('no_segmentation mode enabled but segmentation defined. '
-                       'Ignoring --no-segmentation option.')
+        logger.warning('--no-segmentation given but the input already carries '
+                       'a segmentation; ignoring the flag.')
     message(f'Processing\t{input}\t', nl=False)
     try:
         records = list(model.predict(im=im, segmentation=bounds, config=config))

@@ -143,11 +143,11 @@ class RecognitionDataModule:
                                    'recompiling the dataset is recommended.')
                     status = False
                 if status != getattr(cfg, 'legacy_polygons', False):
-                    logger.warning(f'Setting dataset legacy polygon status to {status} '
-                                   'based on training set.')
+                    logger.warning(f'Dataset legacy-polygon mode resolved to {status} '
+                                   'from the training set (overriding the request).')
                 else:
-                    logger.info(f'Setting dataset legacy polygon status to {status} '
-                                'based on training set.')
+                    logger.info(f'Dataset legacy-polygon mode resolved to {status} '
+                                'from the training set.')
                 self.use_legacy_polygons = bool(status)
             if not len(self.train_set):
                 raise ValueError('No valid training data provided.')
@@ -295,15 +295,15 @@ class RecognitionModel:
         desired_legacy = (not is_binary and force_legacy) or use_legacy
         if not self._loaded_model:
             if not is_binary and force_legacy:
-                logger.warning('the new model will be flagged to use legacy')
+                logger.warning('trained model will be marked legacy-polygon')
             elif is_binary:
                 if force_legacy and not use_legacy:
-                    logger.warning('the new model will be flagged to use new')
+                    logger.warning('trained model will be marked new-polygon')
                 elif not force_legacy and use_legacy:
-                    logger.warning('the new model will be flagged to use legacy')
+                    logger.warning('trained model will be marked legacy-polygon')
         if self._loaded_model and not force_legacy and \
                 getattr(self.net, 'use_legacy_polygons', False) and not desired_legacy:
-            logger.warning('model will be flagged to use new')
+            logger.warning('loaded legacy-polygon model will be re-marked new-polygon')
         self.net.use_legacy_polygons = desired_legacy
         # recorded into checkpoints after samples have been seen (reference:
         # KrakenSetOneChannelMode, kraken/train/utils.py:232)

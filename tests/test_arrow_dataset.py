@@ -22,7 +22,7 @@ def _validate_ds(path, num_lines, num_empty_lines, ds_type):
         table = pa.ipc.open_file(source).read_all()
         raw_metadata = table.schema.metadata
         assert raw_metadata and b'lines' in raw_metadata, \
-            f'{path} does not contain a valid metadata record'
+            f'{path} lacks a readable arrow metadata record'
         metadata = json.loads(raw_metadata[b'lines'])
     assert metadata['type'] == ds_type
     assert metadata['counts']['all'] == num_lines

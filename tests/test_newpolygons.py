@@ -243,10 +243,10 @@ def test_arrow_status_coherence_warnings(resources, tmp_path, arrow_pair, caplog
         result = _train_on_arrow(tmp_path, 'm1', [arrow_pair[True]])
     assert result.exit_code == 0, result.output
     msgs = [r.message for r in caplog.records]
-    assert any('Setting dataset legacy polygon status to True' in m and
+    assert any('Dataset legacy-polygon mode resolved to True' in m and
                r.levelno >= logging.WARNING
                for m, r in zip(msgs, caplog.records))
-    assert any('the new model will be flagged to use legacy' in m for m in msgs)
+    assert any('trained model will be marked legacy-polygon' in m for m in msgs)
     assert load_models(tmp_path / 'm1_best.safetensors')[0].use_legacy_polygons is True
 
     # old arrow + forced legacy: coherent, no warning
@@ -255,8 +255,8 @@ def test_arrow_status_coherence_warnings(resources, tmp_path, arrow_pair, caplog
         result = _train_on_arrow(tmp_path, 'm2', [arrow_pair[True]], force_legacy=True)
     assert result.exit_code == 0, result.output
     warnings_ = [r.message for r in caplog.records if r.levelno >= logging.WARNING]
-    assert not any('Setting dataset legacy polygon status' in m for m in warnings_)
-    assert not any('flagged to use' in m for m in warnings_)
+    assert not any('legacy-polygon mode resolved' in m for m in warnings_)
+    assert not any('will be marked' in m or 're-marked' in m for m in warnings_)
 
     # new arrow + forced legacy: status False prevails, model flagged new
     caplog.clear()
@@ -264,8 +264,8 @@ def test_arrow_status_coherence_warnings(resources, tmp_path, arrow_pair, caplog
         result = _train_on_arrow(tmp_path, 'm3', [arrow_pair[False]], force_legacy=True)
     assert result.exit_code == 0, result.output
     warnings_ = [r.message for r in caplog.records if r.levelno >= logging.WARNING]
-    assert any('Setting dataset legacy polygon status to False' in m for m in warnings_)
-    assert any('the new model will be flagged to use new' in m for m in warnings_)
+    assert any('Dataset legacy-polygon mode resolved to False' in m for m in warnings_)
+    assert any('trained model will be marked new-polygon' in m for m in warnings_)
     assert load_models(tmp_path / 'm3_best.safetensors')[0].use_legacy_polygons is False
 
 
@@ -281,7 +281,7 @@ def test_arrow_old_model_flag_update_warning(resources, tmp_path, arrow_pair, ca
                                  from_model=resources / 'overfit_bl.safetensors')
     assert result.exit_code == 0, result.output
     warnings_ = [r.message for r in caplog.records if r.levelno >= logging.WARNING]
-    assert any('model will be flagged to use new' in m for m in warnings_)
+    assert any('will be re-marked new-polygon' in m for m in warnings_)
     assert load_models(tmp_path / 'm4_best.safetensors')[0].use_legacy_polygons is False
 
 
