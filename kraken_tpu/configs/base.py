@@ -92,6 +92,11 @@ class RecognitionInferenceConfig(Config):
         # 'uint8' ships line batches as bytes, rescaled on device (halves the
         # host->device upload on remote TPUs); 'float' is parity-exact
         self.input_transfer = kwargs.pop('input_transfer', 'float')
+        # undecoded batches kept in flight before the engine blocks on the
+        # oldest one: 1 = classic double-buffering (decode batch k while
+        # k+1 uploads/computes); higher values bridge longer device/link
+        # latencies at the cost of per-page completion latency
+        self.device_pipeline_depth = kwargs.pop('device_pipeline_depth', 1)
         # exact conv+maxpool space-to-depth phase fusion
         # (nn.layers.FusedConvPool). Measured 12% SLOWER than XLA's native
         # conv schedule on v5e (docs/architecture.md), so off by default;

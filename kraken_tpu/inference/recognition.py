@@ -258,11 +258,13 @@ def recognition_pred(model: 'VGSLModel', im: 'Image.Image',
     pending: list = []
     dispatcher = ThreadPoolExecutor(max_workers=1)
 
+    depth = max(1, getattr(config, 'device_pipeline_depth', 1))
+
     def _flush(drain: bool = False):
         if queue:
             pending.append(dispatcher.submit(_dispatch_batch, model, list(queue)))
             queue.clear()
-        while pending and (drain or len(pending) > 1):
+        while pending and (drain or len(pending) > depth):
             outputs, lines = pending.pop(0).result()
             for rec, idx in _decode_batch_results(model, outputs, lines):
                 results[idx] = rec
@@ -318,8 +320,10 @@ def recognition_stream(model: 'VGSLModel', pages, raise_on_error: bool = False):
     # preserved by the single worker
     dispatcher = ThreadPoolExecutor(max_workers=1)
 
+    depth = max(1, getattr(config, 'device_pipeline_depth', 1))
+
     def _decode_ready(drain: bool = False):
-        while pending and (drain or len(pending) > 1):
+        while pending and (drain or len(pending) > depth):
             future, states = pending.pop(0)
             try:
                 outputs, lines = future.result()
