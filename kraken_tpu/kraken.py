@@ -26,7 +26,21 @@ logging.captureWarnings(True)
 logger = logging.getLogger('kraken')
 
 APP_NAME = 'kraken'
-SEGMENTATION_DEFAULT_MODEL = Path(__file__).parent / 'blla.mlmodel'
+
+
+def _default_seg_model() -> Path:
+    """Packaged default baseline-segmentation weights: the bundled
+    safetensors demonstrator (trained on the annotated fixture corpus;
+    quality floors pinned in tests/test_seg_parity.py), with a CoreML
+    `blla.mlmodel` drop-in taking precedence when a user installs one
+    next to the package (the reference's packaged-model location,
+    kraken/kraken.py:43)."""
+    pkg = Path(__file__).parent
+    coreml = pkg / 'blla.mlmodel'
+    return coreml if coreml.exists() else pkg / 'blla.safetensors'
+
+
+SEGMENTATION_DEFAULT_MODEL = _default_seg_model()
 
 
 def message(msg: str, **styles) -> None:
@@ -455,9 +469,10 @@ def segment(ctx, model, boxes, text_direction, legacy_scale, legacy_maxcolseps,
         from kraken_tpu.tasks import SegmentationTaskModel
         if not model and not SEGMENTATION_DEFAULT_MODEL.exists():
             raise click.UsageError(
-                'No segmentation model given (-i) and the default blla.mlmodel '
-                'is not bundled with this build. Train one with `ketos segtrain` '
-                'or fetch one from the model repository (`kraken get`).')
+                'No segmentation model given (-i) and no packaged default '
+                '(blla.safetensors / blla.mlmodel) found in this build. Train '
+                'one with `ketos segtrain` or fetch one from the model '
+                'repository (`kraken get`).')
         paths = list(model) or [SEGMENTATION_DEFAULT_MODEL]
         models = []
         from kraken_tpu.models import load_models

@@ -92,7 +92,8 @@ def train_one(name: str, spec: str, corpus: list, epochs: int):
     tmp = pathlib.Path(tempfile.mkdtemp())
     config = RecognitionTrainingConfig(
         spec=spec, epochs=epochs, quit='fixed', lrate=1e-3, warmup=100,
-        freq=25, batch_size=16, checkpoint_path=str(tmp / name))
+        freq=min(25, epochs), batch_size=16,
+        checkpoint_path=str(tmp / name))
     dc = RecognitionTrainingDataConfig(
         format_type='binary', binary_dataset_split=True,
         training_data=corpus, evaluation_data=corpus, batch_size=16)
@@ -102,6 +103,9 @@ def train_one(name: str, spec: str, corpus: list, epochs: int):
     wall = time.perf_counter() - t0
     history = module.net.user_metadata['metrics']
     cers = [(ep, 1 - m.get('val_accuracy', 0.0)) for ep, m in history]
+    if not cers:
+        return {'arch': name, 'best_val_cer': None, 'best_epoch': None,
+                'wall_s': round(wall, 1), 'val_cer_tail': []}
     best_ep, best_cer = min(cers, key=lambda x: x[1])
     return {'arch': name,
             'best_val_cer': round(best_cer, 4),

@@ -138,6 +138,25 @@ def test_segment_neural_cli(runner, resources, tmp_path):
     assert seg['type'] == 'baselines'
 
 
+def test_segment_packaged_default_model(runner, resources, tmp_path):
+    """`segment -bl` with no -i model falls back to the packaged
+    blla.safetensors demonstrator and produces baselines on the annotated
+    fixture page (closes the reference's packaged-data row: the default
+    model location kraken/kraken.py:43 resolves out of the box)."""
+    import json
+    from kraken_tpu.kraken import SEGMENTATION_DEFAULT_MODEL
+
+    assert SEGMENTATION_DEFAULT_MODEL.exists()
+    out = tmp_path / 'seg.json'
+    result = runner.invoke(
+        kraken_cli, ['-i', str(resources / '170025120000003,0074.jpg'),
+                     str(out), '-r', 'segment', '-bl'])
+    assert result.exit_code == 0, result.output
+    seg = json.loads(out.read_text())
+    assert seg['type'] == 'baselines'
+    assert len(seg['lines']) > 30
+
+
 def test_pretrain_to_recognition_flow(resources, tmp_path):
     """A pretraining checkpoint warm-starts recognition training: the
     __pretrain__ parameter subtree is dropped and the backbone weights load."""
