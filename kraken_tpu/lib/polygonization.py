@@ -262,6 +262,14 @@ def _seam_prepare(baseline: np.ndarray, polygon: np.ndarray, angle: float,
     c_min, c_max = int(polygon[:, 0].min()), int(polygon[:, 0].max())
     r_min, r_max = int(polygon[:, 1].min()), int(polygon[:, 1].max())
     patch = im_feats[r_min:r_max + 2, c_min:c_max + 2].astype(np.float32).copy()
+    if patch.size == 0:
+        # negative/out-of-image ROI coordinates flip the window into an
+        # empty slice (same failure mode as the reference's unclipped
+        # window, kraken/lib/segmentation.py:569-571); fail with a clear
+        # per-line error instead of tripping asserts in cv2
+        raise ValueError(f'empty ROI patch (rows {r_min}:{r_max + 2}, cols '
+                         f'{c_min}:{c_max + 2} of {im_feats.shape}) — '
+                         'line ROI outside the image?')
     # distance-from-baseline bias
     mask = np.ones_like(patch, np.uint8)
     bl = np.round(np.asarray(baseline) - (c_min, r_min)).astype(np.int32)

@@ -166,19 +166,30 @@ class SegmentationTaskModel:
             return segmentation
 
         seg_class_mapping = self.seg_models[0].user_metadata.get('class_mapping', {})
+
+        def _ro_feature_mapping(ro_model, level):
+            # the one-hot layout of the pair features is fixed by the RO
+            # model's TRAINING-time class mapping — the seg model's mapping
+            # may share its keys yet differ in cardinality (e.g. an extra
+            # 'default' entry, which the compatibility check deliberately
+            # ignores), which would shift every feature dimension
+            return (ro_model.user_metadata.get('class_mapping')
+                    or getattr(ro_model, 'class_mapping', None)
+                    or seg_class_mapping.get(level, {}))
+
         all_regions = [reg for regs in segmentation.regions.values() for reg in regs]
 
         if region_ro and all_regions:
             region_order = neural_reading_order(lines=all_regions, model=region_ro,
                                                 im_size=im_size,
-                                                class_mapping=seg_class_mapping.get('regions', {}))
+                                                class_mapping=_ro_feature_mapping(region_ro, 'regions'))
             ordered_regions = ([all_regions[i] for i in region_order]
                                if region_order is not None else all_regions)
         else:
             ordered_regions = all_regions
 
         if line_ro:
-            line_cm = seg_class_mapping.get('baselines', {})
+            line_cm = _ro_feature_mapping(line_ro, 'baselines')
             region_ids = {reg.id for reg in ordered_regions}
             by_region = defaultdict(list)
             for line in segmentation.lines:

@@ -318,17 +318,20 @@ def test_combined_multimodel_container(runner, resources, tmp_path):
 
 
 def test_segment_with_neural_ro(runner, resources, tmp_path):
-    """A seg model with an embedded RO MLP applies neural reading order."""
+    """A seg model with an embedded RO MLP applies neural reading order.
+
+    The RO head is attached to the TRAINED blla_small fixture model (a
+    freshly-initialized 1-epoch seg net emits degenerate baselines that
+    rarely survive polygonization, leaving the RO path unexercised).
+    """
     import json
-    # train tiny seg + ro models and merge
-    r = runner.invoke(ketos_cli, ['segtrain', '-N', '1', '-o', str(tmp_path / 'seg'),
-                                  '-s', '[1,64,0,3 Cr3,3,4,2,2 Gn2]',
+    # seed: model init draws from the numpy RNG (vgsl.py)
+    r = runner.invoke(ketos_cli, ['-s', '42',
+                                  'rotrain', '-N', '1', '-o', str(tmp_path / 'ro'),
                                   str(resources / '170025120000003,0074.xml')])
     assert r.exit_code == 0, r.output
-    r = runner.invoke(ketos_cli, ['rotrain', '-N', '1', '-o', str(tmp_path / 'ro'),
-                                  str(resources / '170025120000003,0074.xml')])
-    assert r.exit_code == 0, r.output
-    r = runner.invoke(ketos_cli, ['roadd', '-i', str(tmp_path / 'seg_best.safetensors'),
+    r = runner.invoke(ketos_cli, ['roadd',
+                                  '-i', str(resources / 'blla_small.safetensors'),
                                   '-r', str(tmp_path / 'ro_best.safetensors'),
                                   '-o', str(tmp_path / 'seg_ro.safetensors')])
     assert r.exit_code == 0, r.output
@@ -340,6 +343,11 @@ def test_segment_with_neural_ro(runner, resources, tmp_path):
     assert r.exit_code == 0, r.output
     seg = json.loads(out.read_text())
     assert seg['type'] == 'baselines'
+    # the neural order must cover every detected line exactly once
+    assert len(seg['lines']) > 30
+    order = [o for o in seg.get('line_orders', [[]])[0]]
+    if order:
+        assert sorted(order) == list(range(len(seg['lines'])))
 
 
 def test_ocr_xml_bbox_linetype(runner, resources, tmp_path):
