@@ -221,3 +221,42 @@ def test_predicted_lines_have_boundaries_and_order(pred_seg, gt_seg):
     ys = [np.mean([p[1] for p in ln.baseline]) for ln in pred_seg.lines]
     third = max(1, len(ys) // 3)
     assert np.mean(ys[:third]) < np.mean(ys[-third:])
+
+
+def test_arabic_repolygonization_matches_reference_boundaries(resources):
+    """Cross-implementation polygonization probe on an RTL page: strip the
+    reference-computed boundaries from the pickled 24-line Arabic
+    segmentation (produced by upstream kraken's own polygonizer) and
+    re-derive them from the bare baselines with our
+    calculate_polygonal_environment. Per-line rasterized IoU against the
+    reference boundaries must stay high — this measures geometry parity on
+    a script/layout family the Latin/Greek fixture pages don't cover
+    (reference methodology: kraken/lib/segmentation.py:747)."""
+    import cv2
+    from kraken_tpu.lib.polygonization import calculate_polygonal_environment
+    from tests.test_serialization import load_ref_pickle
+
+    seg = load_ref_pickle(resources / 'arabic_seg.pkl')
+    im = Image.open(resources / 'arabic.webp')
+    baselines = [np.array(line.baseline) for line in seg.lines]
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore')
+        ours = calculate_polygonal_environment(im, baselines)
+    assert len(ours) == len(seg.lines) == 24
+    ious = []
+    for pol, line in zip(ours, seg.lines):
+        assert pol is not None, f'polygonization failed for line {line.id}'
+        a = np.zeros((im.height, im.width), np.uint8)
+        b = np.zeros((im.height, im.width), np.uint8)
+        cv2.fillPoly(a, [np.asarray(pol, np.int32).reshape(-1, 1, 2)], 1)
+        cv2.fillPoly(b, [np.asarray(line.boundary, np.int32).reshape(-1, 1, 2)], 1)
+        inter = np.logical_and(a, b).sum()
+        union = np.logical_or(a, b).sum()
+        ious.append(inter / union if union else 0.0)
+    ious = np.array(ious)
+    # measured: mean/median 0.846, min 0.810 (seam-tie and ROI-raster
+    # differences between the implementations bound agreement below 1.0);
+    # floors leave regression headroom below the measured values
+    assert ious.mean() >= 0.82, ious.round(3).tolist()
+    assert np.median(ious) >= 0.82, ious.round(3).tolist()
+    assert (ious >= 0.75).all(), ious.round(3).tolist()
