@@ -83,7 +83,8 @@ def build_corpus(out_dir: pathlib.Path) -> list:
     return outs
 
 
-def train_one(name: str, spec: str, corpus: list, epochs: int):
+def train_one(name: str, spec: str, corpus: list, epochs: int,
+              load: str = None):
     from kraken_tpu.configs import (RecognitionTrainingConfig,
                                     RecognitionTrainingDataConfig)
     from kraken_tpu.train import (KrakenTrainer, RecognitionDataModule,
@@ -97,7 +98,12 @@ def train_one(name: str, spec: str, corpus: list, epochs: int):
     dc = RecognitionTrainingDataConfig(
         format_type='binary', binary_dataset_split=True,
         training_data=corpus, evaluation_data=corpus, batch_size=16)
-    module = RecognitionModel(config)
+    if load:
+        # warm-continue a previous study run's checkpoint (same corpus →
+        # codec negotiation is the identity)
+        module = RecognitionModel.load_from_weights(config, load)
+    else:
+        module = RecognitionModel(config)
     t0 = time.perf_counter()
     KrakenTrainer(config).fit(module, RecognitionDataModule(dc))
     wall = time.perf_counter() - t0
@@ -122,6 +128,11 @@ def main():
     if '--only' in sys.argv:
         pick = sys.argv[sys.argv.index('--only') + 1]
         specs = {pick: SPECS[pick]}
+    loads = {}
+    for name in SPECS:
+        flag = f'--load-{name}'
+        if flag in sys.argv:
+            loads[name] = sys.argv[sys.argv.index(flag) + 1]
     corpus_dir = pathlib.Path(tempfile.mkdtemp())
     corpus = build_corpus(corpus_dir)
     from kraken_tpu.dataset.recognition import ArrowIPCRecognitionDataset
@@ -135,7 +146,7 @@ def main():
     results = []
     for name, spec in specs.items():
         print(f'=== training {name} ({epochs} epochs) ===', flush=True)
-        r = train_one(name, spec, corpus, epochs)
+        r = train_one(name, spec, corpus, epochs, load=loads.get(name))
         print(json.dumps(r), flush=True)
         results.append(r)
     print(json.dumps({'summary': results,
