@@ -28,17 +28,7 @@ logger = logging.getLogger('kraken')
 APP_NAME = 'kraken'
 
 
-def _default_seg_model() -> Path:
-    """Packaged default baseline-segmentation weights: the bundled
-    safetensors demonstrator (trained on the annotated fixture corpus;
-    quality floors pinned in tests/test_seg_parity.py), with a CoreML
-    `blla.mlmodel` drop-in taking precedence when a user installs one
-    next to the package (the reference's packaged-model location,
-    kraken/kraken.py:43)."""
-    pkg = Path(__file__).parent
-    coreml = pkg / 'blla.mlmodel'
-    return coreml if coreml.exists() else pkg / 'blla.safetensors'
-
+from kraken_tpu.lib.util import default_segmentation_model as _default_seg_model
 
 SEGMENTATION_DEFAULT_MODEL = _default_seg_model()
 

@@ -13,7 +13,21 @@ import numpy as np
 from PIL import Image
 
 __all__ = ['pil2array', 'array2pil', 'is_bitonal', 'open_image', 'get_im_str',
-           'make_printable', 'parse_gt_path']
+           'make_printable', 'parse_gt_path', 'default_segmentation_model']
+
+
+def default_segmentation_model() -> Path:
+    """Packaged default baseline-segmentation weights: the bundled
+    safetensors demonstrator (trained on the annotated fixture corpus;
+    quality floors pinned in tests/test_seg_parity.py), with a CoreML
+    ``blla.mlmodel`` drop-in taking precedence when a user installs one
+    next to the package (the reference's packaged-model location,
+    kraken/kraken.py:43). Shared by the CLI `segment -bl` fallback and
+    ``SegmentationTaskModel.load_model()`` so both default paths resolve
+    to the same file."""
+    pkg = Path(__file__).parent.parent
+    coreml = pkg / 'blla.mlmodel'
+    return coreml if coreml.exists() else pkg / 'blla.safetensors'
 
 
 def open_image(fname: Union[str, PathLike], mode=None) -> Image.Image:

@@ -87,8 +87,8 @@ class SegmentationTaskModel:
         model when omitted).
         """
         if not path:
-            from importlib import resources
-            path = resources.files('kraken_tpu').joinpath('blla.mlmodel')
+            from kraken_tpu.lib.util import default_segmentation_model
+            path = default_segmentation_model()
             logger.info(f'Segmentation model not specified; using the default from {path}.')
         return cls(load_models(path))
 

@@ -345,9 +345,11 @@ def test_segment_with_neural_ro(runner, resources, tmp_path):
     assert seg['type'] == 'baselines'
     # the neural order must cover every detected line exactly once
     assert len(seg['lines']) > 30
-    order = [o for o in seg.get('line_orders', [[]])[0]]
-    if order:
-        assert sorted(order) == list(range(len(seg['lines'])))
+    assert 'line_orders' in seg and seg['line_orders'], \
+        'neural RO model attached but no line order was emitted'
+    order = seg['line_orders'][0]
+    assert order, 'emitted neural line order is empty'
+    assert sorted(order) == list(range(len(seg['lines'])))
 
 
 def test_ocr_xml_bbox_linetype(runner, resources, tmp_path):

@@ -37,6 +37,16 @@ def test_recognition_task(resources, overfit_line):
     assert records[0].prediction == BBOX_GOLD
 
 
+def test_segmentation_task_default_model_loads():
+    """load_model() with no path resolves the packaged default segmentation
+    model (the blla.safetensors demonstrator, or a blla.mlmodel drop-in) —
+    the programmatic counterpart of `kraken segment -bl` with no -i."""
+    from kraken_tpu.tasks.segmentation import SegmentationTaskModel
+    task = SegmentationTaskModel.load_model()
+    assert task.seg_models, 'no segmentation model resolved from the default path'
+    assert 'class_mapping' in task.seg_models[0].user_metadata
+
+
 def test_recognition_task_rejects_seg_models(resources):
     import jax
     from kraken_tpu.vgsl import VGSLModel
