@@ -204,10 +204,11 @@ def _page_pipeline(torch_backend: bool, n_pages: int = 5, flagship: bool = False
         # additionally scopes jax.default_matmul_precision('highest') so the
         # TPU decode is digit-exact against the torch fp32 golden)
         precision='bf16' if flagship and not torch_backend else '32-true',
-        # production link config for the flagship leg: byte uploads cut the
-        # dominant per-batch transfer 4x on bandwidth-limited remote links.
+        # production link config for the flagship leg: packed-atlas byte
+        # uploads strip both the float width and the bucket/batch padding
+        # from the wire (bit-identical activations, tests/test_rpred.py).
         # The CER-parity leg keeps full-precision transfers.
-        input_transfer='uint8' if flagship and not torch_backend else 'float')
+        input_transfer='packed' if flagship and not torch_backend else 'float')
     model.prepare_for_inference(config)
     if torch_backend:
         sys.path.insert(0, os.path.join(repo, 'scripts'))
@@ -270,7 +271,7 @@ def _neural_page_pipeline(torch_backend: bool, n_pages: int = 3):
     rec_model.prepare_for_inference(RecognitionInferenceConfig(
         batch_size=32, num_line_workers=1,
         precision='32-true' if torch_backend else 'bf16',
-        input_transfer='float' if torch_backend else 'uint8'))
+        input_transfer='float' if torch_backend else 'packed'))
     if torch_backend:
         import torch
         sys.path.insert(0, os.path.join(repo, 'scripts'))
@@ -397,7 +398,7 @@ def _sustained_pipeline(n_pages: int = 100):
     rec_model = _flagship_model()
     rec_model.prepare_for_inference(RecognitionInferenceConfig(
         batch_size=32, num_line_workers=1, precision='bf16',
-        input_transfer='uint8'))
+        input_transfer='packed'))
 
     def segmenter(page):
         return segmentation_pred(seg_model, page)
@@ -587,7 +588,7 @@ def _stage_budget():
     rec_model = _flagship_model()
     rec_model.prepare_for_inference(RecognitionInferenceConfig(
         batch_size=32, num_line_workers=1, precision='bf16',
-        input_transfer='uint8'))
+        input_transfer='packed'))
 
     _ = _compute_segmentation_map(seg_model, im)   # warm seg forward
     seg = segmentation_pred(seg_model, im)         # warm host vectorize

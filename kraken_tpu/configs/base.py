@@ -90,7 +90,12 @@ class RecognitionInferenceConfig(Config):
         self.bidi_reordering = kwargs.pop('bidi_reordering', True)
         self.text_direction = kwargs.pop('text_direction', 'horizontal-tb')
         # 'uint8' ships line batches as bytes, rescaled on device (halves the
-        # host->device upload on remote TPUs); 'float' is parity-exact
+        # host->device upload on remote TPUs); 'packed' additionally strips
+        # the bucket/batch padding from the wire: the byte lines travel as
+        # ONE dense width-concatenated atlas plus a per-line offset/width
+        # vector, and a gather inside the forward jit rebuilds the exact
+        # padded batch on device (bit-identical activations to 'uint8',
+        # ~35-45% fewer bytes on real pages); 'float' is parity-exact
         self.input_transfer = kwargs.pop('input_transfer', 'float')
         # undecoded batches kept in flight before the engine blocks on the
         # oldest one: 1 = classic double-buffering (decode batch k while

@@ -113,7 +113,17 @@ def prepare_recognition(model: 'VGSLModel', config) -> None:
     model._mesh = mesh
     cast = lambda x: place(x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x)
     model._inf_params = jax.tree.map(cast, model.params)
-    if getattr(model, '_rec_fwd', None) is None:
+    # the softmax temperature is fixed per config: place it once instead of
+    # shipping a fresh scalar with every dispatch
+    model._temp_dev = place(jnp.float32(config.temperature))
+    # the compiled forward closes over the transfer mode, dtype, fusion and
+    # mesh choice: rebuild when any of them changes (re-preparing the same
+    # model with a different config must not reuse a stale closure)
+    fwd_key = (getattr(config, 'input_transfer', 'float') in ('uint8', 'packed'),
+               str(dtype), bool(getattr(config, 'fuse_conv_pools', True)), n_dev)
+    if getattr(model, '_rec_fwd', None) is None \
+            or getattr(model, '_rec_fwd_key', None) != fwd_key:
+        model._rec_fwd_key = fwd_key
         net = model.net
         if getattr(config, 'fuse_conv_pools', True):
             # exact conv+maxpool phase fusion: widens C_out 4x onto the MXU
@@ -123,13 +133,13 @@ def prepare_recognition(model: 'VGSLModel', config) -> None:
         # 'uint8' ships line batches as bytes and rescales on device —
         # pixels are natively 8-bit, so the upload halves (vs bf16) or
         # quarters (vs fp32) with at most 1/255 quantization on dewarped
-        # lines; 'float' is the parity-exact default
-        dequant = getattr(config, 'input_transfer', 'float') == 'uint8'
+        # lines; 'packed' further removes the bucket/batch zero padding
+        # from the wire (see _dispatch_batch); 'float' is the parity-exact
+        # default
+        transfer = getattr(config, 'input_transfer', 'float')
+        dequant = transfer in ('uint8', 'packed')
 
-        def fwd(params, x, seq_lens, temperature):
-            if dequant:
-                x = (x.astype(jnp.float32) / 255.0).astype(dtype)
-            logits, olens = net.apply(params, x, seq_lens)
+        def _tail(logits, olens, temperature):
             probs = jax.nn.softmax(logits.astype(jnp.float32) / temperature, axis=1)
             # per-frame best label/conf computed on device; full probs kept
             # for logits return
@@ -138,13 +148,40 @@ def prepare_recognition(model: 'VGSLModel', config) -> None:
             confs = jnp.max(probs, axis=1)
             return probs, labels, confs, olens
 
+        def fwd(params, x, seq_lens, temperature):
+            if dequant:
+                x = (x.astype(jnp.float32) / 255.0).astype(dtype)
+            logits, olens = net.apply(params, x, seq_lens)
+            return _tail(logits, olens, temperature)
+
+        def fwd_packed(params, atlas, aux, max_w, temperature):
+            # rebuild the exact (n, c, h, max_w) padded uint8 batch the
+            # 'uint8' path would have uploaded, from the dense atlas: one
+            # gather along the concatenated-width axis, then a width mask.
+            # Activations are bit-identical to the padded upload; only the
+            # wire payload shrinks (the padding never travels).
+            off, wid, seq_lens = aux[0], aux[1], aux[2]
+            xs = jnp.arange(max_w, dtype=jnp.int32)
+            idx = jnp.clip(off[:, None] + xs[None, :], 0, atlas.shape[-1] - 1)
+            batch = jnp.transpose(atlas[:, :, idx], (2, 0, 1, 3))
+            mask = xs[None, :] < wid[:, None]
+            batch = jnp.where(mask[:, None, None, :], batch, 0)
+            x = (batch.astype(jnp.float32) / 255.0).astype(dtype)
+            logits, olens = net.apply(params, x, seq_lens)
+            return _tail(logits, olens, temperature)
+
         if mesh is None:
             model._rec_fwd = jax.jit(fwd)
+            model._rec_fwd_packed = jax.jit(fwd_packed, static_argnums=(3,))
         else:
             model._rec_fwd = jax.jit(
                 fwd,
                 in_shardings=(repl, data, data, repl),
                 out_shardings=(data, data, data, data))
+            # packed transfer under SPMD: the atlas has no batch dim to
+            # shard before the gather, so mesh runs keep the padded-upload
+            # path (the multi-chip win is compute sharding, not the wire)
+            model._rec_fwd_packed = None
 
 
 def _extract_line(im, segmentation, line_idx: int, legacy: bool):
@@ -178,7 +215,7 @@ def _produce_entries(model: 'VGSLModel', im: 'Image.Image',
     batch, channels, height, width = model.input
     # byte uploads: produce uint8 line tensors directly (bit-identical to
     # quantizing the float pipeline; see ImageInputTransforms.tail)
-    transfer_u8 = getattr(config, 'input_transfer', 'float') == 'uint8'
+    transfer_u8 = getattr(config, 'input_transfer', 'float') in ('uint8', 'packed')
     transforms = ImageInputTransforms(batch, height, width, channels,
                                       (config.padding, 0), valid_norm,
                                       dtype=np.uint8 if transfer_u8 else np.float32)
@@ -384,6 +421,14 @@ def _dispatch_batch(model: 'VGSLModel', lines: list):
     """
     Pads queued lines to a common bucketed width and dispatches the jitted
     forward asynchronously; returns (device outputs, line meta).
+
+    With ``input_transfer='packed'`` the zero padding never crosses the
+    link: the uint8 line tensors travel width-concatenated as one dense
+    (c, h, ΣW) atlas plus a (3, n) offset/width/seq_len vector, and the
+    padded batch is rebuilt on device by a gather fused into the forward
+    jit (TPU-first replacement of the reference's padded host batches,
+    kraken/lib/vgsl/rpred.py:171-208 — there the pad bytes ride the PCIe
+    bus; here only real pixels ride the tunnel/ICI).
     """
     config = model._inf_config
     widths = [ts.shape[2] for ts, *_ in lines]
@@ -400,8 +445,38 @@ def _dispatch_batch(model: 'VGSLModel', lines: list):
     if mesh is not None:
         # additionally pad up to mesh divisibility
         n = -(-n // mesh.devices.size) * mesh.devices.size
-    transfer_u8 = getattr(config, 'input_transfer', 'float') == 'uint8'
+    transfer = getattr(config, 'input_transfer', 'float')
     lines_u8 = lines[0][0].dtype == np.uint8
+    from kraken_tpu.lib import telemetry
+    temp = getattr(model, '_temp_dev', None)
+    if temp is None:
+        temp = jnp.float32(config.temperature)
+
+    if transfer == 'packed' and lines_u8 and \
+            getattr(model, '_rec_fwd_packed', None) is not None:
+        # dense atlas: real pixels only, one geometric width bucket at the
+        # end so the compile cache stays bounded in (n, max_w, atlas_w)
+        total_w = sum(widths)
+        atlas_w = width_bucket(total_w, base=1024)
+        atlas = np.zeros((c, h, atlas_w), np.uint8)
+        aux = np.zeros((3, n), np.int32)
+        pos = 0
+        for i, (ts, *_) in enumerate(lines):
+            w = ts.shape[2]
+            atlas[:, :, pos:pos + w] = ts
+            aux[0, i] = pos
+            aux[1, i] = w
+            pos += w
+        aux[2] = max_w          # seq_len of batch-pad rows (as the padded path)
+        aux[2, :len(widths)] = widths
+        telemetry.record_up(atlas.nbytes + aux.nbytes)
+        outputs = model._rec_fwd_packed(
+            model._inf_params,
+            jax.device_put(jnp.asarray(atlas), model._device),
+            jax.device_put(jnp.asarray(aux), model._device),
+            max_w, temp)
+        return outputs, lines
+
     batch = np.zeros((n, c, h, max_w),
                      np.uint8 if lines_u8 else np.float32)
     for i, (ts, *_) in enumerate(lines):
@@ -410,18 +485,17 @@ def _dispatch_batch(model: 'VGSLModel', lines: list):
     seq_lens[:len(widths)] = widths
     if lines_u8:
         payload = batch  # already the quantized byte payload
-    elif transfer_u8:
+    elif transfer in ('uint8', 'packed'):
         payload = np.round(np.clip(batch, 0, 1) * 255).astype(np.uint8)
     else:
         payload = batch.astype(model._m_dtype)
     target = model._batch_sharding if mesh is not None else model._device
-    from kraken_tpu.lib import telemetry
     telemetry.record_up(payload.nbytes + seq_lens.nbytes)
     outputs = model._rec_fwd(
         model._inf_params,
         jax.device_put(jnp.asarray(payload), target),
         jax.device_put(jnp.asarray(seq_lens), target),
-        jnp.float32(config.temperature))
+        temp)
     return outputs, lines
 
 

@@ -527,8 +527,8 @@ def segment(ctx, model, boxes, text_direction, legacy_scale, legacy_maxcolseps,
               help='Beam width for the beam decoder.')
 @click.option('--transfer', default='float', type=click.Choice(['float', 'bytes']),
               help='Device-link payload format: "bytes" ships line batches '
-                   'as uint8 and rescales on device (2-4x less upload on '
-                   'remote links; bit-identical payload).')
+                   'as a dense uint8 atlas rebuilt on device (3-6x less '
+                   'upload on remote links; bit-identical activations).')
 def ocr(ctx, model, batch_size, pad, temperature, num_line_workers, devices,
         reorder, base_dir, no_segmentation, text_direction, no_legacy_polygons,
         linetype, decoder, beam_size, transfer):
@@ -567,7 +567,7 @@ def ocr(ctx, model, batch_size, pad, temperature, num_line_workers, devices,
                                         text_direction=text_direction,
                                         no_legacy_polygons=no_legacy_polygons,
                                         linetype=linetype,
-                                        input_transfer='uint8' if transfer == 'bytes' else 'float',
+                                        input_transfer='packed' if transfer == 'bytes' else 'float',
                                         device=ctx.meta['device'],
                                         precision=ctx.meta['precision'],
                                         raise_on_error=ctx.meta['raise_failed'])

@@ -37,7 +37,12 @@ class TransferStats:
         return {'up_mb_per_page': round(self.up_bytes / per / 1e6, 3),
                 'down_mb_per_page': round(self.down_bytes / per / 1e6, 3),
                 'up_calls': self.up_calls,
-                'down_calls': self.down_calls}
+                'down_calls': self.down_calls,
+                # dispatch-latency view: every upload call pays the link
+                # round trip unless overlapped; per-page counts are what the
+                # stage budget can be compared against
+                'up_calls_per_page': round(self.up_calls / per, 1),
+                'down_calls_per_page': round(self.down_calls / per, 1)}
 
 
 def record_up(nbytes: int) -> None:

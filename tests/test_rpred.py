@@ -197,6 +197,44 @@ def test_batched_engine_uint8_transfer(resources, overfit_line, bl_seg, box_seg)
     assert levenshtein(rec.prediction, BBOX_GOLD) <= 1
 
 
+def test_packed_atlas_transfer_bitwise_equals_uint8(resources, overfit_line):
+    """input_transfer='packed' (dense width-concatenated atlas + on-device
+    gather) must reproduce the padded 'uint8' upload bit-for-bit: the gather
+    rebuilds the exact padded batch, so predictions, cuts AND confidences
+    are equal — only the wire payload differs. Exercises multiple widths per
+    batch, ragged final batches, and batch-count padding."""
+    from kraken_tpu.lib import telemetry
+
+    # five lines of distinct widths from the overfit page: offsets/masks and
+    # the width-bucket ladder all get exercised
+    lines = [BaselineLine(id=f'l{i}',
+                          baseline=[[0, 10], [x1, 10]],
+                          boundary=[[0, 0], [x1, 0], [x1, 155], [0, 155]])
+             for i, x1 in enumerate((2543, 1800, 1200, 900, 2543))]
+    seg = Segmentation(type='baselines', imagename=resources / 'bw.png',
+                       text_direction='horizontal-lr', script_detection=False,
+                       lines=lines)
+
+    def run(transfer):
+        vmodel = load_models(resources / 'overfit.mlmodel')[0]
+        vmodel.prepare_for_inference(RecognitionInferenceConfig(
+            batch_size=4, num_line_workers=0, padding=1,
+            input_transfer=transfer))
+        with telemetry.collect() as stats:
+            recs = list(vmodel.predict(overfit_line, seg))
+        return recs, stats
+
+    recs_u8, stats_u8 = run('uint8')
+    recs_pk, stats_pk = run('packed')
+    assert len(recs_pk) == len(recs_u8) == 5
+    for a, b in zip(recs_pk, recs_u8):
+        assert a.prediction == b.prediction
+        assert a.cuts == b.cuts
+        assert list(a.confidences) == list(b.confidences)
+    # the padding stayed off the wire
+    assert stats_pk.up_bytes < stats_u8.up_bytes
+
+
 def test_process_pages_streaming(resources, overfit_line, bl_seg):
     """kraken_tpu.pipeline overlaps segmentation and recognition and yields
     per-page results in order, skipping failed pages."""
