@@ -9,12 +9,15 @@ bidi package (/root/reference/kraken/lib/bidi/__init__.py:461,505): a
 additionally returning the logical index of every display character, which the
 OCR records use to reorder per-character cuts and confidences.
 
-Character data (Bidi_Class, mirroring pairs, bracket pairs) is derived at
-import time from Python's ``unicodedata`` module instead of shipping generated
-tables: mirror/bracket pairs are reconstructed by LEFT↔RIGHT (and
-LESS-THAN↔GREATER-THAN etc.) name transposition over all code points with the
-``Bidi_Mirrored`` property, and default bidi classes for unassigned code
-points follow the @missing ranges of DerivedBidiClass.txt.
+Character data: Bidi_Class comes from Python's ``unicodedata`` module (host
+UCD version — characters assigned after it resolve through the @missing
+default ranges of DerivedBidiClass.txt below). Mirroring (L4) and paired
+brackets (BD14-16) merge two sources: pairs reconstructed by LEFT↔RIGHT (and
+LESS-THAN↔GREATER-THAN etc.) name transposition over all code points with
+the ``Bidi_Mirrored`` property, plus the checked-in UCD 17.0 supplement
+``_bidi_tables.json`` for the ~37% of pairs whose names do not transpose
+(regenerate with contrib/generate_bidi_tables.py). The merged tables are
+fuzz-pinned against an independent UBA implementation (tests/test_bidi.py).
 
 Rules P1 (paragraph splitting) and L3 (combining marks) are out of scope, as
 in the reference: input is always a single line of text.
@@ -102,28 +105,47 @@ def _name_mirror(cp: int) -> Optional[int]:
     return None
 
 
+def _derive_name_mirrors() -> dict[int, int]:
+    """The self-derived part of the mirroring map (L4): name transposition
+    over all code points with the Bidi_Mirrored property."""
+    mirrored: dict[int, int] = {}
+    for cp in range(sys.maxunicode + 1):
+        if not unicodedata.mirrored(chr(cp)):
+            continue
+        mirror = _name_mirror(cp)
+        if mirror is not None:
+            mirrored[cp] = mirror
+    return mirrored
+
+
 def _build_tables() -> tuple[dict[int, int], dict[int, int], dict[int, int]]:
     """
     Builds the mirroring map (L4) and the canonical open→close /
-    close→open bracket pair maps (BD14-BD16) from unicodedata.
+    close→open bracket pair maps (BD14-BD16): name-transposition pairs
+    from unicodedata merged with the checked-in UCD supplement
+    (_bidi_tables.json; see contrib/generate_bidi_tables.py).
     """
-    mirrored: dict[int, int] = {}
+    import json
+    import pathlib
+    mirrored = _derive_name_mirrors()
     open_to_close: dict[int, int] = {}
     close_to_open: dict[int, int] = {}
-    for cp in range(sys.maxunicode + 1):
-        ch = chr(cp)
-        if not unicodedata.mirrored(ch):
-            continue
-        mirror = _name_mirror(cp)
-        if mirror is None:
-            continue
-        mirrored[cp] = mirror
-        # Bidi_Paired_Bracket property covers Ps/Pe punctuation pairs
-        cat = unicodedata.category(ch)
-        if cat == 'Ps' and unicodedata.category(chr(mirror)) == 'Pe':
-            open_to_close[cp] = mirror
-            close_to_open[mirror] = cp
-    # BD16 note: U+3008/U+3009 are canonically equivalent to U+2329/U+232A
+    tables = pathlib.Path(__file__).parent / '_bidi_tables.json'
+    if tables.exists():
+        data = json.loads(tables.read_text())
+        for a, b in data['mirror_supplement']:
+            mirrored[a] = b
+        for a, b, typ in data['brackets']:
+            if typ == 'o':
+                open_to_close[a] = b
+            else:
+                close_to_open[a] = b
+    else:                                   # heuristic-only fallback
+        for cp, mirror in mirrored.items():
+            if unicodedata.category(chr(cp)) == 'Ps' \
+                    and unicodedata.category(chr(mirror)) == 'Pe':
+                open_to_close[cp] = mirror
+                close_to_open[mirror] = cp
     return mirrored, open_to_close, close_to_open
 
 

