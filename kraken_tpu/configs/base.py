@@ -97,6 +97,16 @@ class RecognitionInferenceConfig(Config):
         # padded batch on device (bit-identical activations to 'uint8',
         # ~35-45% fewer bytes on real pages); 'float' is parity-exact
         self.input_transfer = kwargs.pop('input_transfer', 'float')
+        # 'device' moves polygonal line extraction into the recognition
+        # forward jit (inference.extraction): the host ships native-
+        # resolution strip crops + per-line sampling grids, and a fused
+        # gather-warp cuts/dewarps/resizes/masks the lines on the TPU —
+        # no host warping and no resized-tensor upload. Falls back to
+        # 'host' automatically for unsupported combinations (bbox/legacy
+        # centerline models, RGB inputs, SPMD meshes, return_line_image).
+        # Equivalence pinned in tests/test_extraction.py; 'host' is the
+        # reference-parity-exact default.
+        self.line_extraction = kwargs.pop('line_extraction', 'host')
         # undecoded batches kept in flight before the engine blocks on the
         # oldest one: 1 = classic double-buffering (decode batch k while
         # k+1 uploads/computes); higher values bridge longer device/link

@@ -92,6 +92,8 @@ def main(mirroring_txt, brackets_txt, ucd_version):
                f'{len(brackets)} brackets (UCD {out["ucd_version"]})')
 
 
+cli = main
+
 if __name__ == '__main__':
     sys.path.insert(0, str(pathlib.Path(__file__).parents[2]))
     main()

@@ -120,7 +120,8 @@ def prepare_recognition(model: 'VGSLModel', config) -> None:
     # mesh choice: rebuild when any of them changes (re-preparing the same
     # model with a different config must not reuse a stale closure)
     fwd_key = (getattr(config, 'input_transfer', 'float') in ('uint8', 'packed'),
-               str(dtype), bool(getattr(config, 'fuse_conv_pools', True)), n_dev)
+               str(dtype), bool(getattr(config, 'fuse_conv_pools', True)), n_dev,
+               getattr(config, 'line_extraction', 'host'))
     if getattr(model, '_rec_fwd', None) is None \
             or getattr(model, '_rec_fwd_key', None) != fwd_key:
         model._rec_fwd_key = fwd_key
@@ -173,15 +174,27 @@ def prepare_recognition(model: 'VGSLModel', config) -> None:
         if mesh is None:
             model._rec_fwd = jax.jit(fwd)
             model._rec_fwd_packed = jax.jit(fwd_packed, static_argnums=(3,))
+            if getattr(config, 'line_extraction', 'host') == 'device':
+                # device-resident line extraction: the gather-warp that
+                # cuts/dewarps/resizes lines out of native-resolution page
+                # strips runs INSIDE the forward jit (inference.extraction)
+                from kraken_tpu.inference.extraction import make_extract_forward
+                model._rec_fwd_extract = jax.jit(
+                    make_extract_forward(net, dtype, model.input[2]),
+                    static_argnums=(6,))
+            else:
+                model._rec_fwd_extract = None
         else:
             model._rec_fwd = jax.jit(
                 fwd,
                 in_shardings=(repl, data, data, repl),
                 out_shardings=(data, data, data, data))
-            # packed transfer under SPMD: the atlas has no batch dim to
-            # shard before the gather, so mesh runs keep the padded-upload
-            # path (the multi-chip win is compute sharding, not the wire)
+            # packed transfer / device extraction under SPMD: the flat
+            # atlas has no batch dim to shard before the gather, so mesh
+            # runs keep the padded-upload path (the multi-chip win is
+            # compute sharding, not the wire)
             model._rec_fwd_packed = None
+            model._rec_fwd_extract = None
 
 
 def _extract_line(im, segmentation, line_idx: int, legacy: bool):
@@ -195,6 +208,96 @@ def _extract_line(im, segmentation, line_idx: int, legacy: bool):
         return None, line_idx
 
 
+# device gather-warp resampling is bilinear with 2x2 supersampling —
+# adequate through mild downscale; past this factor the host's Lanczos
+# anti-aliasing is materially different, so those lines host-extract and
+# ride the same batch as identity-grid pass-throughs (bit-identical to
+# the 'uint8' wire)
+DEVICE_DOWNSCALE_LIMIT = 2.0
+
+
+def _produce_entries_device(model: 'VGSLModel', im: 'Image.Image',
+                            segmentation: 'Segmentation'):
+    """
+    Pixel-free line producer for device-resident extraction: computes each
+    line's composed sampling grid (inference.extraction) over the cached
+    page array — no warping, resizing, or masking on the host; the pixels
+    travel once per page (the resident page buffer) instead of once per
+    line. Yields the same ('empty' | 'line') protocol as
+    :func:`_produce_entries`; 'line' payloads carry a DeviceLine in both
+    tensor slots (it duck-types the shape/width attributes decode reads).
+    """
+    from kraken_tpu.inference.extraction import (baseline_line_desc,
+                                                 host_line_desc)
+    config = model._inf_config
+    batch, channels, height, width = model.input
+    empty_cls = BaselineOCRRecord
+    # bitonal pages resample with order 0 on the host (geometry.
+    # extract_polygons converts '1' -> 'L' with nearest interpolation);
+    # the gather-warp is bilinear, so those pages ride the pass-through
+    force_host = im.mode == '1'
+
+    if im.mode != 'L':
+        gray = getattr(im, '_kraken_gray', None)
+        if gray is None or gray.size != im.size:
+            gray = im.convert('L')
+            try:
+                im._kraken_gray = gray
+            except Exception:
+                pass
+        im = gray
+    page_arr = getattr(im, '_kraken_page_array', None)
+    if page_arr is None or page_arr.shape != (im.height, im.width):
+        page_arr = np.asarray(im)
+        try:
+            im._kraken_page_array = page_arr
+        except Exception:
+            pass
+
+    legacy = False
+    if model.use_legacy_polygons:
+        if config.no_legacy_polygons:
+            logger.warning('Enforcing the new polygon extractor for a model trained '
+                           'with the legacy method; accuracy may be affected.')
+        else:
+            logger.info('Using legacy polygon extractor (model trained with old method).')
+            legacy = True
+
+    transforms = None
+    for line_idx, line in enumerate(segmentation.lines):
+        try:
+            desc = baseline_line_desc(page_arr, line, height, config.padding,
+                                      legacy=legacy)
+        except Exception as e:
+            logger.warning(f'Line geometry failed for line {line_idx}: {e}')
+            desc = None
+        if desc is not None and (force_host
+                                 or desc.scale_y > DEVICE_DOWNSCALE_LIMIT):
+            line_im, _ = _extract_line(im, segmentation, line_idx, legacy)
+            if line_im is None or 0 in line_im.size:
+                desc = None
+            else:
+                if transforms is None:
+                    transforms = ImageInputTransforms(
+                        batch, height, width, channels, (config.padding, 0),
+                        False, dtype=np.float32)
+                try:
+                    ts = transforms(line_im)
+                    desc = (None if ts.max() == ts.min() else
+                            host_line_desc(ts, line_im.width, height,
+                                           config.padding))
+                except Exception:
+                    desc = None
+        elif desc is not None:
+            desc.page = page_arr
+        if desc is None or desc.strip.size == 0 \
+                or desc.strip.max() == desc.strip.min():
+            yield 'empty', line_idx, empty_cls('', [], [],
+                                               segmentation.lines[line_idx])
+        else:
+            yield 'line', line_idx, (desc, desc, line_idx, segmentation)
+
+
 def _produce_entries(model: 'VGSLModel', im: 'Image.Image',
                      segmentation: 'Segmentation'):
     """
@@ -202,8 +305,17 @@ def _produce_entries(model: 'VGSLModel', im: 'Image.Image',
     extracts (thread pool), transforms, and yields either
     ``('empty', line_idx, record)`` for unrecognizable lines or
     ``('line', line_idx, (ts_im, line_im, line_idx, segmentation))``.
+
+    With ``config.line_extraction='device'`` (and a supported model/seg
+    combination) the pixel work moves into the recognition forward jit and
+    this produces coordinate descriptors instead (_produce_entries_device).
     """
     config = model._inf_config
+    from kraken_tpu.inference.extraction import supports_device_extraction
+    if supports_device_extraction(model, config, segmentation.type) \
+            and getattr(model, '_rec_fwd_extract', None) is not None:
+        yield from _produce_entries_device(model, im, segmentation)
+        return
     n_lines = len(segmentation.lines)
     if segmentation.type == 'baselines':
         valid_norm = False
@@ -446,11 +558,71 @@ def _dispatch_batch(model: 'VGSLModel', lines: list):
         # additionally pad up to mesh divisibility
         n = -(-n // mesh.devices.size) * mesh.devices.size
     transfer = getattr(config, 'input_transfer', 'float')
-    lines_u8 = lines[0][0].dtype == np.uint8
     from kraken_tpu.lib import telemetry
     temp = getattr(model, '_temp_dev', None)
     if temp is None:
         temp = jnp.float32(config.temperature)
+
+    from kraken_tpu.inference.extraction import (DeviceLine,
+                                                 PAGE_BUCKET_BASE,
+                                                 PAGE_BUCKET_GROWTH,
+                                                 build_extract_payload)
+    if isinstance(lines[0][0], DeviceLine):
+        # device-resident extraction: the page's pixels live in a
+        # once-per-page device buffer; per batch only the per-line sampling
+        # grids (and the strips of any pass-through stragglers) cross the
+        # wire, and the gather-warp inside the forward jit rebuilds the
+        # padded batch on device
+        dev = model._device
+        cache = getattr(model, '_page_buf_cache', None)
+        if cache is None:
+            from collections import OrderedDict
+            cache = model._page_buf_cache = OrderedDict()
+        page_arr = next((e[0].page for e in lines if e[0].page is not None),
+                        None)
+        if page_arr is not None:
+            key = id(page_arr)
+            if key not in cache:
+                flat = page_arr.reshape(-1)
+                plen = width_bucket(flat.size, base=PAGE_BUCKET_BASE,
+                                    growth=PAGE_BUCKET_GROWTH)
+                buf = np.zeros(plen, np.uint8)
+                buf[:flat.size] = flat
+                telemetry.record_up(buf.nbytes)
+                # keep the source array referenced so the id stays unique
+                cache[key] = (page_arr,
+                              jax.device_put(jnp.asarray(buf), dev))
+                while len(cache) > 4:
+                    cache.popitem(last=False)
+            else:
+                cache.move_to_end(key)
+            page_buf = cache[key][1]
+            page_len, page_w = page_buf.shape[0], page_arr.shape[1]
+            # a batch may mix pages (cross-page streaming): lines of other
+            # pages pack their strips instead of gathering from this buffer
+            page_offs = [e[0].page_off if e[0].page is page_arr else -1
+                         for e in lines]
+        else:
+            page_buf = getattr(model, '_empty_page_buf', None)
+            if page_buf is None or page_buf.devices() != {dev}:
+                page_buf = model._empty_page_buf = \
+                    jax.device_put(jnp.zeros((0,), jnp.uint8), dev)
+            page_len, page_w, page_offs = 0, 0, None
+        atlas, grid, mask, meta = build_extract_payload(
+            [entry[0] for entry in lines], max_w, n, config.padding,
+            page_len, page_w, page_offs)
+        telemetry.record_up(atlas.nbytes + grid.nbytes + mask.nbytes
+                            + meta.nbytes)
+        outputs = model._rec_fwd_extract(
+            model._inf_params, page_buf,
+            jax.device_put(jnp.asarray(atlas), dev),
+            jax.device_put(jnp.asarray(grid), dev),
+            jax.device_put(jnp.asarray(mask), dev),
+            jax.device_put(jnp.asarray(meta), dev),
+            max_w, temp)
+        return outputs, lines
+
+    lines_u8 = lines[0][0].dtype == np.uint8
 
     if transfer == 'packed' and lines_u8 and \
             getattr(model, '_rec_fwd_packed', None) is not None:

@@ -80,18 +80,49 @@ def _packbits_w(m: jnp.ndarray) -> jnp.ndarray:
 
 
 def prepare_segmentation(model: 'VGSLModel', config) -> None:
-    """Sets up device placement and the jitted forward+upsample+sigmoid."""
+    """Sets up device placement and the jitted forward+upsample+sigmoid.
+
+    With ``config.devices > 1`` the page-batch forward runs SPMD over a 1-D
+    mesh — parameters replicated, the page stack sharded on its batch dim —
+    so multi-page segmentation (`segmentation_pred_batch`, the pipeline's
+    ``seg_batch`` fan-out) spreads over every chip instead of leaving N-1
+    idle (SURVEY §2.5 TPU mapping; the reference's analog is Lightning
+    device placement, kraken/lib/vgsl/model.py:518-525)."""
     from kraken_tpu.inference.recognition import _PRECISION_DTYPES, _resolve_device
     from kraken_tpu.lib.util import enable_xla_cache
     enable_xla_cache()
     model._inf_config = config
     dtype = _PRECISION_DTYPES.get(getattr(config, 'precision', '32-true'), jnp.float32)
     model._m_dtype = dtype
-    device = _resolve_device(config)
+    n_dev = int(getattr(config, 'devices', 1) or 1)
+    mesh = None
+    if n_dev > 1:
+        from kraken_tpu.parallel import make_mesh, batch_sharding, replicate
+        available = jax.devices()
+        if len(available) < n_dev:
+            raise ValueError(f'devices={n_dev} requested but only '
+                             f'{len(available)} jax device(s) are visible')
+        mesh = make_mesh(available[:n_dev])
+        repl = replicate(mesh)
+        model._seg_batch_sharding = batch_sharding(mesh)
+        device = available[0]
+        place = lambda x: jax.device_put(x, repl)
+    else:
+        device = _resolve_device(config)
+        model._seg_batch_sharding = None
+        place = lambda x: jax.device_put(x, device)
+    model._seg_mesh = mesh
     model._device = device
-    cast = lambda x: jax.device_put(x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x, device)
+    cast = lambda x: place(x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x)
     model._inf_params = jax.tree.map(cast, model.params)
-    if getattr(model, '_seg_fwd', None) is None:
+    # the compiled forward closes over transfer mode, dtype, and mesh:
+    # rebuild when re-prepared with a different combination
+    fwd_key = (getattr(config, 'input_transfer', 'float'),
+               getattr(config, 'heatmap_precision', 'float32'),
+               bool(getattr(config, 'fused_ridge', True)), str(dtype), n_dev)
+    if getattr(model, '_seg_fwd', None) is None \
+            or getattr(model, '_seg_fwd_key', None) != fwd_key:
+        model._seg_fwd_key = fwd_key
         net = model.net
         cls_map = model.user_metadata.get('class_mapping') or {}
         # fused ridge: the Sato tubularity filter of every baseline channel
@@ -170,7 +201,21 @@ def prepare_segmentation(model: 'VGSLModel', config) -> None:
                     return heat, (ridges > ridge_threshold).astype(jnp.uint8)
                 return heat
 
-        model._seg_fwd = jax.jit(fwd, static_argnums=(2, 3))
+        if mesh is None:
+            model._seg_fwd = jax.jit(fwd, static_argnums=(2, 3))
+        else:
+            from kraken_tpu.parallel import replicate
+
+            def fwd_mesh(params, x, seq_lens, out_h, out_w):
+                # statics reordered to the tail so in_shardings lines up
+                # with the dynamic (params, pages, seq_lens) triple
+                return fwd(params, x, out_h, out_w, seq_lens)
+
+            data = model._seg_batch_sharding
+            model._seg_fwd = jax.jit(
+                fwd_mesh, static_argnums=(3, 4),
+                in_shardings=(replicate(mesh), data, data),
+                out_shardings=data)
         model._seg_fused_channels = bl_channels
         model._seg_transfer = hm_prec
         model._seg_packed_regions = region_channels
@@ -335,7 +380,14 @@ def _compute_segmentation_maps(model: 'VGSLModel', ims: list) -> list[dict[str, 
     if getattr(config, 'width_bucketing', False) or len(pages) > 1:
         from kraken_tpu.inference.recognition import width_bucket
         max_w = width_bucket(max_w)
-    stack = np.zeros((len(pages), pages[0]['tensor'].shape[0],
+    mesh = getattr(model, '_seg_mesh', None)
+    n_rows = len(pages)
+    if mesh is not None:
+        # batch dim must split evenly over the mesh; pad rows are dead
+        # compute on otherwise-idle chips
+        n_dev = mesh.devices.size
+        n_rows = -(-n_rows // n_dev) * n_dev
+    stack = np.zeros((n_rows, pages[0]['tensor'].shape[0],
                       pages[0]['tensor'].shape[1], max_w),
                      np.uint8 if transfer_u8 else np.float32)
     for i, p in enumerate(pages):
@@ -344,18 +396,25 @@ def _compute_segmentation_maps(model: 'VGSLModel', ims: list) -> list[dict[str, 
     payload = stack if transfer_u8 else stack.astype(model._m_dtype)
     from kraken_tpu.lib import telemetry
     telemetry.record_up(payload.nbytes)
-    x = jax.device_put(jnp.asarray(payload), model._device)
     # upsample in bucket space (static args stay bucketed), then crop the
     # padding back off on the host. Per-page valid widths thread through as
     # seq_lens so the padding-aware GroupNorm layers exclude the shared
     # width bucket's zero pad from their statistics — without this the pad
     # shifts every activation of narrower pages in the batch.
-    if any(p['tensor'].shape[2] != max_w for p in pages):
-        seq_lens = jnp.asarray([p['tensor'].shape[2] for p in pages], jnp.int32)
+    widths = [p['tensor'].shape[2] for p in pages]
+    widths += [max_w] * (n_rows - len(pages))
+    if mesh is not None:
+        seq_lens = jnp.asarray(widths, jnp.int32)
+        out = model._seg_fwd(model._inf_params, jnp.asarray(payload),
+                             seq_lens, max_padded_h, max_w)
+    elif any(w != max_w for w in widths):
+        x = jax.device_put(jnp.asarray(payload), model._device)
+        seq_lens = jnp.asarray(widths, jnp.int32)
         out = model._seg_fwd(model._inf_params, x, max_padded_h, max_w, seq_lens)
     else:
         # unpadded batch: omit seq_lens so externally-supplied forwards
         # (e.g. the bench's torch mirror) keep their 4-arg signature
+        x = jax.device_put(jnp.asarray(payload), model._device)
         out = model._seg_fwd(model._inf_params, x, max_padded_h, max_w)
     if getattr(model, '_seg_transfer', None) == 'packbits':
         packed_all = np.asarray(out)  # (n, K, h, ceil(w/8)) uint8

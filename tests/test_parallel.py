@@ -163,6 +163,46 @@ def test_ketos_train_devices_cli(resources, tmp_path):
     assert (tmp_path / 'model_best.safetensors').exists()
 
 
+def test_sharded_segmentation_matches_single_device(resources):
+    """
+    prepare_segmentation with devices=8 runs the page-batch forward SPMD
+    over the mesh (parameters replicated, pages sharded on the batch dim)
+    and must reproduce the single-device segmentation exactly, including
+    the ragged (1 page on 8 devices) padding path.
+    """
+    from PIL import Image
+    from kraken_tpu.configs import SegmentationInferenceConfig
+    from kraken_tpu.inference.segmentation import (prepare_segmentation,
+                                                   segmentation_pred,
+                                                   segmentation_pred_batch)
+    from kraken_tpu.models import load_models
+
+    im = Image.open(resources / 'input.webp')
+    im = im.resize((im.width // 3, im.height // 3))
+
+    single = load_models(resources / 'blla_small.safetensors')[0]
+    prepare_segmentation(single, SegmentationInferenceConfig())
+    ref = segmentation_pred(single, im)
+
+    sharded = load_models(resources / 'blla_small.safetensors')[0]
+    prepare_segmentation(sharded, SegmentationInferenceConfig(devices=8))
+    assert sharded._seg_mesh is not None and sharded._seg_mesh.devices.size == 8
+    got = segmentation_pred(sharded, im)
+    assert len(ref.lines) > 0
+    assert [l.baseline for l in got.lines] == [l.baseline for l in ref.lines]
+    assert [l.boundary for l in got.lines] == [l.boundary for l in ref.lines]
+
+    # the 2-page batched path (the pipeline's seg_batch fan-out) over the
+    # same mesh: per-page results must match the single-device batched run
+    # (compared batch-to-batch because the shared width bucket legitimately
+    # shifts the upsample grid vs the single-page path)
+    ref_batch = segmentation_pred_batch(single, [im, im.copy()])
+    got_batch = segmentation_pred_batch(sharded, [im, im.copy()])
+    for got_seg, ref_seg in zip(got_batch, ref_batch):
+        assert [l.baseline for l in got_seg.lines] == \
+            [l.baseline for l in ref_seg.lines]
+
+
 def _per_device_flops(n_devices: int, batch_size: int = 16) -> float:
     """Per-device FLOPs of the compiled DP train step on an n-device mesh
     (XLA cost analysis of the SPMD partition — deterministic, unlike
