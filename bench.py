@@ -651,6 +651,74 @@ def _stage_budget():
                  'path amortizes.')}
 
 
+def _stage_budget_flagship():
+    """
+    Same-pass stage decomposition of the FLAGSHIP leg (legacy bitonal
+    pageseg + packed-transfer recognition on bw.png) — the least-
+    instrumented, furthest-from-target leg until round 5. Methodology
+    identical to `_stage_budget`: all stages timed sequentially within one
+    pass, best pass by serial sum, cross-checked against an independently
+    timed full pipeline pass.
+    """
+    import os
+    from PIL import Image
+    from kraken_tpu.configs import RecognitionInferenceConfig
+    from kraken_tpu.inference import recognition as R
+    from kraken_tpu.pageseg import segment
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    im = Image.open(os.path.join(repo, 'tests/resources/bw.png'))
+    im.load()
+    rec_model = _flagship_model()
+    rec_model.prepare_for_inference(RecognitionInferenceConfig(
+        batch_size=32, num_line_workers=1, precision='bf16',
+        input_transfer='packed'))
+
+    seg = segment(im)                              # warm nothing; host-only
+    list(rec_model.predict(im, seg))               # warm rec buckets
+
+    def dispatch_all(lines):
+        outs = []
+        cfg_bs = rec_model._inf_config.batch_size
+        for i in range(0, len(lines), cfg_bs):
+            outs.append(R._dispatch_batch(rec_model, lines[i:i + cfg_bs]))
+        for out, _ in outs:
+            _ = np.asarray(out[1])
+        return outs
+
+    passes = []
+    for _ in range(3):
+        marks = [time.perf_counter()]
+        seg_p = segment(im)
+        marks.append(time.perf_counter())
+        entries = list(R._produce_entries(rec_model, im, seg_p))
+        marks.append(time.perf_counter())
+        lines = [p for k, _, p in entries if k == 'line']
+        outs = dispatch_all(lines)
+        marks.append(time.perf_counter())
+        for o, ls in outs:
+            list(R._decode_batch_results(rec_model, o, ls))
+        marks.append(time.perf_counter())
+        passes.append([1000 * (b - a) for a, b in zip(marks, marks[1:])])
+    best = min(passes, key=sum)
+    assert all(v >= 0 for v in best), f'negative stage in flagship budget: {best}'
+    pageseg_ms, produce_ms, device_ms, decode_ms = best
+    wall = min(_timed(lambda: list(rec_model.predict(im, segment(im))))
+               for _ in range(3)) * 1000
+    return {
+        'per_page_ms': {
+            'pageseg_host': round(pageseg_ms, 1),
+            'rec_extract_transform_host': round(produce_ms, 1),
+            'rec_upload_forward_download': round(device_ms, 1),
+            'rec_decode_records_host': round(decode_ms, 1),
+            'serial_sum': round(sum(best), 1)},
+        'serial_check': {
+            'segment_plus_predict_wall_ms': round(wall, 1),
+            'within_tolerance': wall <= sum(best) * 1.5 + 100
+            and sum(best) <= wall * 1.5 + 100},
+        'lines_per_page': len(seg.lines)}
+
+
 def _timed(f) -> float:
     t = time.perf_counter()
     f()
@@ -723,6 +791,7 @@ def bench_e2e():
     link_flag = _link_sample()
     pps_flag, pps_flag_total, _, meta_flag = _page_pipeline(
         torch_backend=False, n_pages=8, flagship=True)
+    flag_stages = _stage_budget_flagship()
     link_neural = _link_sample()
     pps_neural, pps_neural_total, neural_lines, meta_neural = \
         _neural_page_pipeline(torch_backend=False, n_pages=8)
@@ -763,7 +832,8 @@ def bench_e2e():
                 'tpu_pages_per_sec_total': round(pps_flag_total, 3),
                 'torch_cpu_pages_per_sec': round(child['flagship_pages_per_sec'], 3),
                 'vs_baseline': round(pps_flag / child['flagship_pages_per_sec'], 2),
-                'link_at_leg_start': link_flag, **meta_flag},
+                'link_at_leg_start': link_flag, **meta_flag,
+                'stage_budget': flag_stages},
             'neural': {
                 'metric': 'BLLA U-Net segment + CNN+3xBiLSTM-200 ocr '
                           f'({neural_lines} lines/page)',
@@ -885,6 +955,7 @@ def compact_summary(detail: dict) -> dict:
         'cer': {'tpu': e2e['cer_parity']['tpu_cer_vs_golden'],
                 'torch': e2e['cer_parity']['torch_cer_vs_golden']},
         'stage_budget_ms': budget['per_page_ms'],
+        'flagship_stage_budget_ms': e2e['flagship']['stage_budget']['per_page_ms'],
         'link_up_mbps_per_leg': {
             k: e2e[k]['link_at_leg_start']['up_mbps']
             for k in ('cer_parity', 'flagship', 'neural', 'sustained')},

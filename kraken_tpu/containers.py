@@ -29,6 +29,19 @@ __all__ = ['ProcessingStep', 'ocr_line', 'BaselineLine', 'BBoxLine', 'Region',
            'Segmentation', 'ocr_record', 'BaselineOCRRecord', 'BBoxOCRRecord']
 
 
+def _copy_jsonish(v):
+    """Independent copy of a JSON-like structure (dicts/lists/tuples of
+    scalars) without `copy.deepcopy`'s memo/dispatch machinery, which cost
+    ~0.5 ms per OCR record for the 3-level tag dicts in the e2e profile."""
+    if isinstance(v, dict):
+        return {k: _copy_jsonish(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_copy_jsonish(x) for x in v]
+    if isinstance(v, tuple):
+        return tuple(_copy_jsonish(x) for x in v)
+    return v
+
+
 def _line_asdict(line) -> dict:
     """`dataclasses.asdict` semantics for flat line records — independent
     copies of geometry point lists and tag structures — without the generic
@@ -45,11 +58,11 @@ def _line_asdict(line) -> dict:
                 d[f.name] = [p.copy() if isinstance(p, list) else tuple(p)
                              for p in v]
             elif any(isinstance(p, (list, tuple, dict)) for p in v):
-                d[f.name] = copy.deepcopy(v)
+                d[f.name] = _copy_jsonish(v)
             else:
                 d[f.name] = v.copy()
         elif isinstance(v, dict):
-            d[f.name] = copy.deepcopy(v)
+            d[f.name] = _copy_jsonish(v)
         elif isinstance(v, tuple):
             d[f.name] = tuple(v)
         else:
@@ -375,7 +388,21 @@ class BaselineOCRRecord(ocr_record, BaselineLine):
             (self._polygon_cuts,
              self._intersection_cache,
              self._bl_length) = _sections
-        elif self.baseline and self.boundary and self._cuts:
+        else:
+            # per-character polygon cuts are computed lazily on first
+            # geometry access (`cuts`, indexing, iteration): the geometry
+            # is ~70 ms/page of host time that consumers which only read
+            # `prediction`/`confidences` never need. The reference computes
+            # them eagerly in the ctor (kraken/containers.py:484-488);
+            # observable values are identical (tests/test_container.py).
+            self._polygon_cuts = None
+            self._intersection_cache, self._bl_length = {}, 0.0
+
+    def _ensure_sections(self) -> None:
+        """Materializes the per-character polygon cuts on first access."""
+        if self._polygon_cuts is not None:
+            return
+        if self.baseline and self.boundary and self._cuts:
             (self._polygon_cuts,
              self._intersection_cache,
              self._bl_length) = precompute_polygon_sections(self.baseline, self.boundary, self._cuts)
@@ -389,6 +416,7 @@ class BaselineOCRRecord(ocr_record, BaselineLine):
     def __next__(self):
         if self.idx + 1 < len(self):
             self.idx += 1
+            self._ensure_sections()
             return (self.prediction[self.idx],
                     self._polygon_cuts[self.idx],
                     self.confidences[self.idx])
@@ -402,6 +430,7 @@ class BaselineOCRRecord(ocr_record, BaselineLine):
         return (self.prediction[key], self._cuts[key], self.confidences[key])
 
     def __getitem__(self, key):
+        self._ensure_sections()
         if isinstance(key, slice):
             recs = [self._get_raw_item(i) for i in range(*key.indices(len(self)))]
             prediction = ''.join(x[0] for x in recs)
@@ -429,6 +458,7 @@ class BaselineOCRRecord(ocr_record, BaselineLine):
 
     @property
     def cuts(self) -> tuple:
+        self._ensure_sections()
         return tuple(self._polygon_cuts)
 
     def logical_order(self, base_dir: Optional[Literal['L', 'R']] = None) -> 'BaselineOCRRecord':
@@ -462,7 +492,9 @@ class BaselineOCRRecord(ocr_record, BaselineLine):
                                  _sections=([self._polygon_cuts[idx] for idx in order],
                                             self._intersection_cache,
                                             self._bl_length)
-                                 if len(self._polygon_cuts) == len(self._cuts) else None)
+                                 if self._polygon_cuts is not None
+                                 and len(self._polygon_cuts) == len(self._cuts)
+                                 else None)
 
 
 class BBoxOCRRecord(ocr_record, BBoxLine):

@@ -628,8 +628,81 @@ def show(ctx, metadata_version, model_id):
     except KrakenRepoException as e:
         message(str(e), fg='red')
         ctx.exit(1)
-    for k, v in desc.items():
-        message(f'{k}: {v}')
+    _render_remote_description(desc)
+
+
+def _render_remote_description(desc: dict) -> None:
+    """
+    Renders a remote metadata record as the reference does
+    (kraken/kraken.py:651-724): a rich key/value table titled with the
+    record summary, script codes resolved to ISO 15924 names, language
+    codes to ISO 639-3 names, creators with ORCID/affiliation, metrics
+    formatted per line; v0 records show the alphabet split into printable
+    and combining characters, v1 records the dataset/base-model/software
+    fields with a Markdown description.
+    """
+    from rich.console import Console, Group
+    from rich.markdown import Markdown
+    from rich.table import Table
+
+    from kraken_tpu.lib.iso_names import iso15924_to_name, iso639_3_to_name
+    from kraken_tpu.lib.util import is_printable, make_printable
+
+    def _creators(creators):
+        out = []
+        for creator in creators or []:
+            if not isinstance(creator, dict):
+                out.append(str(creator))
+                continue
+            text = creator.get('name', '')
+            if creator.get('orcid'):
+                text += f' ({creator["orcid"]})'
+            if creator.get('affiliation'):
+                text += f' ({creator["affiliation"]})'
+            out.append(text)
+        return out
+
+    def _metrics(metrics):
+        return [f'{k}: {v:.2f}' for k, v in (metrics or {}).items()]
+
+    pub = desc.get('publication_date')
+    pub = pub.isoformat() if hasattr(pub, 'isoformat') else str(pub or '')
+    version = desc.get('version') or ('v1' if 'language' in desc else 'v0')
+
+    table = Table(title=desc.get('summary', ''), show_header=False)
+    table.add_column('key', justify='left', no_wrap=True)
+    table.add_column('value', justify='left', no_wrap=False)
+    table.add_row('DOI', desc.get('doi', ''))
+    table.add_row('concept DOI', desc.get('concept_doi', ''))
+    table.add_row('publication date', pub)
+    table.add_row('model type', Group(*(desc.get('model_type') or [])))
+    if version == 'v0':
+        chars, combining = [], []
+        for char in sorted(desc.get('graphemes') or []):
+            (chars if is_printable(char) else combining).append(make_printable(char))
+        table.add_row('script', Group(*[iso15924_to_name(s)
+                                        for s in desc.get('script') or []]))
+        table.add_row('alphabet', Group(' '.join(chars), ', '.join(combining)))
+        table.add_row('keywords', Group(*(desc.get('keywords') or [])))
+        table.add_row('metrics', Group(*_metrics(desc.get('metrics'))))
+        table.add_row('license', desc.get('license', ''))
+        table.add_row('creators', Group(*_creators(desc.get('creators'))))
+        table.add_row('description', desc.get('description', ''))
+    else:
+        table.add_row('language', Group(*[iso639_3_to_name(l)
+                                          for l in desc.get('language') or []]))
+        table.add_row('script', Group(*[iso15924_to_name(s)
+                                        for s in desc.get('script') or []]))
+        table.add_row('keywords', Group(*(desc.get('keywords') or [])))
+        table.add_row('datasets', Group(*(desc.get('datasets') or [])))
+        table.add_row('metrics', Group(*_metrics(desc.get('metrics'))))
+        table.add_row('base model', Group(*(desc.get('base_model') or [])))
+        table.add_row('software', desc.get('software_name', ''))
+        table.add_row('software_hints', Group(*(desc.get('software_hints') or [])))
+        table.add_row('license', desc.get('license', ''))
+        table.add_row('creators', Group(*_creators(desc.get('creators'))))
+        table.add_row('description', Markdown(desc.get('description') or ''))
+    Console().print(table)
 
 
 @cli.command('list')

@@ -13,7 +13,7 @@ import numpy as np
 from PIL import Image
 
 __all__ = ['pil2array', 'array2pil', 'is_bitonal', 'open_image', 'get_im_str',
-           'make_printable', 'parse_gt_path', 'default_segmentation_model']
+           'is_printable', 'make_printable', 'parse_gt_path', 'default_segmentation_model']
 
 
 def default_segmentation_model() -> Path:
@@ -71,6 +71,19 @@ def is_bitonal(im: Union[Image.Image, np.ndarray]) -> bool:
     return len(np.unique(im)) == 2
 
 
+def is_printable(char: str) -> bool:
+    """
+    True when a code point renders on its own: control, combining-mark, and
+    non-space separator characters (which `kraken show` lists by Unicode
+    name instead) are not printable. Reference: kraken/lib/util.py:57.
+    """
+    if not char:
+        return False
+    if char == ' ':
+        return True
+    return unicodedata.category(char)[0] not in ('C', 'M', 'Z')
+
+
 def make_printable(char: str) -> str:
     """
     Returns a printable representation of a code point: control and combining
@@ -80,7 +93,7 @@ def make_printable(char: str) -> str:
         return ''
     if len(char) > 1:
         return ''.join(make_printable(c) for c in char)
-    if unicodedata.category(char)[0] in ('C', 'Z') and char != ' ':
+    if unicodedata.category(char)[0] in ('C', 'M', 'Z') and char != ' ':
         try:
             return unicodedata.name(char)
         except ValueError:

@@ -37,7 +37,12 @@ def _fake_detail():
         'value': 123456.78, 'unit': 'lines/sec', 'vs_baseline': 99999.99,
         'train': {'vs_baseline': 99999.99},
         'e2e': {
-            'flagship': dict(leg),
+            'flagship': {**leg, 'stage_budget': {'per_page_ms': {
+                'pageseg_host': 99999.9,
+                'rec_extract_transform_host': 99999.9,
+                'rec_upload_forward_download': 99999.9,
+                'rec_decode_records_host': 99999.9,
+                'serial_sum': 999999.9}}},
             'neural': {**leg, 'stage_budget': budget},
             'cer_parity': {**leg, 'tpu_cer_vs_golden': 0.9999,
                            'torch_cer_vs_golden': 0.9999},

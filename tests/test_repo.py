@@ -179,6 +179,86 @@ def test_cli_show_success(fake_htrmopo):
     result = CliRunner().invoke(cli, ['show', '10.5281/zenodo.2'])
     assert result.exit_code == 0
     assert 'new version' in result.output
+    # script/language codes are resolved to display names in the rendered
+    # table (reference rendering: kraken/kraken.py:651-724)
+    assert 'Latin' in result.output
+    assert 'English' in result.output
+
+
+def test_show_renders_reference_table_v1():
+    """The remote-metadata renderer produces the reference's rich table for
+    a v1 record: resolved script/language names, creators with ORCID and
+    affiliation, two-decimal metrics, datasets, and base model."""
+    from rich.console import Console
+    from kraken_tpu.kraken import _render_remote_description
+
+    desc = {
+        'version': 'v1', 'summary': 'print transcription model',
+        'doi': '10.5281/zenodo.42', 'concept_doi': '10.5281/zenodo.c42',
+        'publication_date': '2024-06-01',
+        'model_type': ['recognition'],
+        'language': ['eng', 'fra', 'zzz-unknown'],
+        'script': ['Latn', 'Grek', 'Qxyz'],
+        'keywords': ['htr', 'print'],
+        'datasets': ['https://example.org/ds'],
+        'metrics': {'cer': 0.0413},
+        'base_model': ['10.5281/zenodo.7'],
+        'software_name': 'kraken',
+        'software_hints': ['segmentation=blla'],
+        'license': 'Apache-2.0',
+        'creators': [{'name': 'A. Scholar', 'orcid': '0000-0001-2345-6789',
+                      'affiliation': 'Université de Test'}],
+        'description': 'A **markdown** description.',
+    }
+    console = Console(record=True, width=120)
+    import kraken_tpu.kraken as K
+    import rich.console
+    orig = rich.console.Console
+    rich.console.Console = lambda *a, **k: console
+    try:
+        _render_remote_description(desc)
+    finally:
+        rich.console.Console = orig
+    out = console.export_text()
+    assert 'print transcription model' in out
+    assert 'Latin' in out and 'Greek' in out
+    assert 'Qxyz' in out            # unknown codes fall back to the code
+    assert 'English' in out and 'French' in out
+    assert 'cer: 0.04' in out
+    assert 'A. Scholar (0000-0001-2345-6789) (Université de Test)' in out
+    assert '10.5281/zenodo.7' in out
+
+
+def test_show_renders_reference_table_v0():
+    """v0 records render the alphabet split into printable glyphs and
+    named combining marks."""
+    from rich.console import Console
+    from kraken_tpu.kraken import _render_remote_description
+
+    desc = {
+        'version': 'v0', 'summary': 'legacy model',
+        'doi': 'x', 'concept_doi': 'y', 'publication_date': '2020-01-01',
+        'model_type': ['recognition'],
+        'script': ['Arab'],
+        'graphemes': ['a', 'b', '́'],
+        'keywords': ['kraken_pytorch'],
+        'metrics': {},
+        'license': 'MIT',
+        'creators': [],
+        'description': 'old',
+    }
+    console = Console(record=True, width=120)
+    import rich.console
+    orig = rich.console.Console
+    rich.console.Console = lambda *a, **k: console
+    try:
+        _render_remote_description(desc)
+    finally:
+        rich.console.Console = orig
+    out = console.export_text()
+    assert 'Arabic' in out
+    assert 'a b' in out
+    assert 'COMBINING ACUTE ACCENT' in out
 
 
 def test_cli_list_success(fake_htrmopo):
