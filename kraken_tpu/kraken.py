@@ -433,15 +433,19 @@ def binarize(ctx, threshold, zoom, escale, border, perc, range, low, high, accel
                    'the measured link bandwidth (bit-packed binary masks on '
                    'tunnel-grade links - ~10x less transfer than quantized '
                    'heatmaps; equivalence-tested).')
+@click.option('--devices', default=1, type=int,
+              help='Number of devices to shard page batches over (SPMD '
+                   'data-parallel segmentation forward on a 1-D mesh).')
 def segment(ctx, model, boxes, text_direction, legacy_scale, legacy_maxcolseps,
             legacy_black_colseps, legacy_no_hlines, bbox_line_padding, input_padding,
-            device_vectorize, transfer):
+            device_vectorize, transfer, devices):
     """
     Segments page images into text lines.
     """
     from kraken_tpu.configs import SegmentationInferenceConfig
 
     config = SegmentationInferenceConfig(text_direction=text_direction,
+                                         devices=devices,
                                          legacy_scale=legacy_scale,
                                          legacy_maxcolseps=legacy_maxcolseps,
                                          legacy_black_colseps=legacy_black_colseps,

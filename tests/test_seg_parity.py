@@ -107,6 +107,38 @@ def test_heldout_detection_floor(resources):
     assert det['recall'] >= 0.90, det
 
 
+def test_heldout_xscript_detection_floors(resources):
+    """TWO CROSS-SCRIPT generalization floors: blla_heldout_xscript is
+    trained on the top halves of the Latin-script annotated page AND the
+    Arabic fixture page (scripts/train_seg_heldout_xscript.py); detection
+    is asserted on both disjoint bottom halves — page-disjoint lines in
+    two scripts, the reference's held-out-validation protocol
+    (kraken/train/blla.py:321-348). The cross-script training mix is what
+    lifts held-out precision over the single-page fixture (0.708)."""
+    import pathlib
+    import sys
+    from kraken_tpu import blla
+    from kraken_tpu.models import load_models
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / 'scripts'))
+    from train_seg_heldout import pad_to_height
+    from train_seg_heldout_xscript import prepare
+
+    model_path = resources / 'blla_heldout_xscript.safetensors'
+    if not model_path.exists():
+        pytest.skip('cross-script held-out fixture model not trained yet')
+    import tempfile
+    _, eval_halves = prepare(pathlib.Path(tempfile.mkdtemp()))
+    model = load_models(model_path)[0]
+    for name, bot_im, bot_seg, top_h in eval_halves:
+        with warnings.catch_warnings():
+            warnings.simplefilter('ignore')
+            pred = blla.segment(pad_to_height(bot_im, top_h), model=model)
+        det = _detection(pred, _gt_polylines(bot_seg))
+        # measured on creation: see docs/SEG_PARITY.md round-5 table
+        assert det['precision'] >= 0.85, (name, det)
+        assert det['recall'] >= 0.85, (name, det)
+
+
 def test_perturbation_scale_floor(resources, gt_seg):
     """The same-page model on 0.9x/1.1x rescaled pages (GT scaled
     identically): detection must stay near the unperturbed floor.
