@@ -851,6 +851,10 @@ def bench_e2e():
                 'torch_cpu_pages_per_sec': round(child['neural_pages_per_sec'], 3),
                 'vs_baseline': round(pps_neural / child['neural_pages_per_sec'], 2),
                 'link_at_leg_start': link_neural, **meta_neural,
+                # fixed per-dispatch cost the pipeline must hide: every
+                # upload call pays the tunnel round trip unless overlapped
+                'dispatch_latency_ms_per_page': round(
+                    meta_neural['transfer']['up_calls_per_page'] * rt_ms, 1),
                 'stage_budget': stages},
             'sustained': {**sustained, 'link_at_leg_start': link_sustained},
             'cer_parity': {

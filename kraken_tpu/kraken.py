@@ -725,15 +725,35 @@ def list_models(ctx, model_type, language, script, keyword):
     from kraken_tpu import repo
     from kraken_tpu.exceptions import KrakenRepoException
     try:
-        listing = repo.get_listing(model_type=model_type,
-                                   language=language,
-                                   script=script,
-                                   keyword=keyword)
+        listing = repo.get_listing_versions(model_type=model_type,
+                                            language=language,
+                                            script=script,
+                                            keyword=keyword)
     except KrakenRepoException as e:
         message(str(e), fg='red')
         ctx.exit(1)
-    for model_id, meta in listing.items():
-        message(f'{model_id}: {meta.get("summary", "")}')
+    # reference rendering (kraken/kraken.py:774-788): one row per concept
+    # DOI with a tree of its deposits and grouped summary/type/keywords
+    from rich.console import Console, Group
+    from rich.table import Table
+    from rich.tree import Tree
+
+    table = Table(show_header=True)
+    table.add_column('DOI', justify='left', no_wrap=True)
+    table.add_column('summary', justify='left', no_wrap=False)
+    table.add_column('model type', justify='left', no_wrap=False)
+    table.add_column('keywords', justify='left', no_wrap=False)
+    for concept_id, versions in listing.items():
+        tree = Tree(concept_id)
+        for v in versions:
+            tree.add(v.get('doi', ''))
+        table.add_row(tree,
+                      Group(*[''] + [v.get('summary', '') for v in versions]),
+                      Group(*[''] + ['; '.join(v.get('model_type') or [])
+                                     for v in versions]),
+                      Group(*[''] + ['; '.join(v.get('keywords') or [])
+                                     for v in versions]))
+    Console().print(table)
 
 
 @cli.command('get')

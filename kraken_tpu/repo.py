@@ -70,6 +70,24 @@ def get_listing(model_type: str = 'all', language=None, script=None,
     htrmopo's listing maps record DOIs to per-schema-version records
     ({'v0': record, 'v1': record}); plain record values are accepted too.
     """
+    return {concept_id: versions[0]
+            for concept_id, versions in _grouped_listing(
+                model_type, language, script, keyword, callback).items()}
+
+
+def get_listing_versions(model_type: str = 'all', language=None, script=None,
+                         keyword=None,
+                         callback=lambda total, advance: None) -> dict[str, list]:
+    """
+    Like :func:`get_listing` but retains EVERY matching version per concept
+    DOI, newest first — the shape the CLI's version-tree table renders
+    (reference: kraken/kraken.py:780-786 lists all deposits of a concept).
+    """
+    return _grouped_listing(model_type, language, script, keyword, callback)
+
+
+def _grouped_listing(model_type, language, script, keyword,
+                     callback) -> dict[str, list]:
     mopo = _htrmopo()
     full = mopo.get_listing(callback=callback)
 
@@ -100,11 +118,9 @@ def get_listing(model_type: str = 'all', language=None, script=None,
             continue
         concepts.setdefault(meta.get('concept_doi') or meta.get('doi'), []).append(meta)
 
-    records = {}
-    for concept_id, versions in concepts.items():
+    for versions in concepts.values():
         versions.sort(key=lambda m: str(m.get('publication_date') or ''), reverse=True)
-        records[concept_id] = versions[0]
-    return records
+    return concepts
 
 
 def get_model(model_id: str, path: Optional[str] = None,

@@ -265,7 +265,13 @@ def test_cli_list_success(fake_htrmopo):
     from kraken_tpu.kraken import cli
     result = CliRunner().invoke(cli, ['list'])
     assert result.exit_code == 0
-    assert '10.5281/zenodo.c1: new version' in result.output
+    # reference-style table: concept DOI rows carrying a tree of every
+    # deposit with per-version summary/type/keywords
+    assert '10.5281/zenodo.c1' in result.output
+    assert '10.5281/zenodo.2' in result.output   # newest version...
+    assert '10.5281/zenodo.1' in result.output   # ...and the older deposit
+    assert 'new version' in result.output
+    assert 'old version' in result.output
     assert 'legacy seg model' in result.output
     assert 'transkribus' not in result.output
 
