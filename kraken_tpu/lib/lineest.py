@@ -52,6 +52,10 @@ def _bilinear_diag(img: np.ndarray, inv_scale: float,
     """
     h, w = img.shape
     oh, ow = out_shape
+    from kraken_tpu import native
+    out = native.bilinear_diag_native(img, inv_scale, out_shape, cval)
+    if out is not None:
+        return out
     r = np.arange(oh) * inv_scale
     c = np.arange(ow) * inv_scale
     r0 = np.floor(r).astype(np.int64)

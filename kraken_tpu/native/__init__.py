@@ -20,7 +20,7 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
-__all__ = ['skeletonize_native', 'endpoints_native', 'link_paths_native',
+__all__ = ['skeletonize_native', 'endpoints_native', 'link_paths_native', 'bilinear_diag_native',
            'resize_lanczos_native', 'polygonize_page_native', 'available']
 
 _LIB: Optional[ctypes.CDLL] = None
@@ -29,7 +29,8 @@ _TRIED = False
 
 def _build_lib() -> Optional[Path]:
     srcs = [Path(__file__).parent / 'skeletonize.cpp',
-            Path(__file__).parent / 'polygonize.cpp']
+            Path(__file__).parent / 'polygonize.cpp',
+            Path(__file__).parent / 'lineest.cpp']
     out = Path(__file__).parent / '_native.so'
     if out.exists() and all(out.stat().st_mtime >= s.stat().st_mtime for s in srcs):
         return out
@@ -130,6 +131,13 @@ def _load() -> Optional[ctypes.CDLL]:
                                                ctypes.c_double,
                                                ctypes.POINTER(ctypes.c_double)]
         lib.sliding_percentile_f64.restype = None
+        lib.bilinear_diag_f64.argtypes = [ctypes.POINTER(ctypes.c_double),
+                                          ctypes.c_int64, ctypes.c_int64,
+                                          ctypes.c_double,
+                                          ctypes.c_int64, ctypes.c_int64,
+                                          ctypes.c_double,
+                                          ctypes.POINTER(ctypes.c_double)]
+        lib.bilinear_diag_f64.restype = None
         _LIB = lib
     except Exception as e:
         logger.warning(f'Failed to build/load native helpers: {e}')
@@ -431,4 +439,28 @@ def resize_lanczos_native(img: np.ndarray, oh: int, ow: int) -> Optional[np.ndar
         int(oh), int(ow))
     if rc != 0:
         return None
+    return out
+
+
+def bilinear_diag_native(img: np.ndarray, inv_scale: float,
+                         out_shape, cval: float) -> Optional[np.ndarray]:
+    """
+    Bit-exact native evaluation of lib/lineest._bilinear_diag (the diagonal
+    order-1 affine transform of the CenterNormalizer dewarp path): the C++
+    kernel evaluates the identical IEEE double expression tree, so outputs
+    match the numpy implementation bit for bit
+    (tests/test_lineest.py pins this). Returns None without a compiler.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(img, np.float64)
+    if src.ndim != 2:
+        return None
+    oh, ow = int(out_shape[0]), int(out_shape[1])
+    out = np.empty((oh, ow), np.float64)
+    lib.bilinear_diag_f64(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        src.shape[0], src.shape[1], float(inv_scale), oh, ow, float(cval),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
     return out

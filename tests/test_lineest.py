@@ -68,3 +68,31 @@ def test_dewarp_real_line(resources):
     rows = ink.sum(axis=1)
     center = (rows * np.arange(48)).sum() / max(rows.sum(), 1)
     assert 12 < center < 36
+
+
+def test_native_bilinear_diag_bitexact():
+    """The C++ bilinear_diag kernel (native/lineest.cpp) must be BIT-exact
+    against the numpy implementation — same IEEE double expression tree,
+    FMA contraction off — across random shapes, scales, and cvals."""
+    import numpy as np
+    import kraken_tpu.lib.lineest as L
+    import kraken_tpu.native as N
+    if not N.available():
+        import pytest
+        pytest.skip('no C++ compiler')
+    rng = np.random.RandomState(7)
+    for _ in range(15):
+        h, w = rng.randint(2, 200), rng.randint(2, 1500)
+        img = rng.rand(h, w) * 255
+        inv = float(np.exp(rng.uniform(-1.5, 1.5)))
+        oh, ow = max(1, int(round(h / inv))), max(1, int(round(w / inv)))
+        cval = float(rng.choice([0.0, 255.0]))
+        nat = N.bilinear_diag_native(img, inv, (oh, ow), cval)
+        lib = N._LIB
+        try:
+            N._LIB = None     # force the numpy path
+            ref = L._bilinear_diag(img, inv, (oh, ow), cval)
+        finally:
+            N._LIB = lib
+        assert nat.shape == ref.shape
+        assert np.array_equal(nat, ref)
