@@ -208,7 +208,11 @@ def _page_pipeline(torch_backend: bool, n_pages: int = 5, flagship: bool = False
         # uploads strip both the float width and the bucket/batch padding
         # from the wire (bit-identical activations, tests/test_rpred.py).
         # The CER-parity leg keeps full-precision transfers.
-        input_transfer='packed' if flagship and not torch_backend else 'float')
+        input_transfer='packed' if flagship and not torch_backend else 'float',
+        # depth-2 device pipeline on the TPU flagship leg: two undecoded
+        # batches in flight keep the wire busy across page boundaries
+        # (steady 1.92 vs 1.25 pages/s at depth 1, same link minute)
+        device_pipeline_depth=2 if flagship and not torch_backend else 1)
     model.prepare_for_inference(config)
     if torch_backend:
         sys.path.insert(0, os.path.join(repo, 'scripts'))
@@ -271,7 +275,10 @@ def _neural_page_pipeline(torch_backend: bool, n_pages: int = 3):
     rec_model.prepare_for_inference(RecognitionInferenceConfig(
         batch_size=32, num_line_workers=1,
         precision='32-true' if torch_backend else 'bf16',
-        input_transfer='float' if torch_backend else 'packed'))
+        input_transfer='float' if torch_backend else 'packed',
+        # depth-2 pipeline keeps the tunnel busy across page boundaries
+        # (same rationale/measurement as the flagship and sustained legs)
+        device_pipeline_depth=1 if torch_backend else 2))
     if torch_backend:
         import torch
         sys.path.insert(0, os.path.join(repo, 'scripts'))
@@ -413,7 +420,7 @@ def _sustained_pipeline(n_pages: int = 100):
     for im in ims:
         seg = segmenter(im)
         list(rec_model.predict(im, seg))
-    segmentation_pred_batch(seg_model, ims[:2])
+    segmentation_pred_batch(seg_model, [ims[0]] * 2)
     segmentation_pred_batch(seg_model, [ims[0]] * seg_batch)
 
     pdf_path = os.path.join(tempfile.mkdtemp(), 'bench_document.pdf')
@@ -421,6 +428,23 @@ def _sustained_pipeline(n_pages: int = 100):
                                     '170025120000003,0074.jpg'),
                        n_pages, pdf_path)
     from kraken_tpu.lib import telemetry
+
+    # adjacent single-page comparator: the tunnel bandwidth swings 2-10x
+    # between minutes and both legs are wire-bound, so "sustained vs
+    # single-page" is only meaningful against a single-page steady state
+    # measured seconds (not minutes) apart — the neural leg's own number
+    # runs several minutes earlier
+    def _probe_once(n):
+        for _ in process_pages(ims * n, rec_model,
+                               segmenter,
+                               segmenter_batch=lambda ps:
+                               segmentation_pred_batch(seg_model, ps),
+                               seg_batch=2):
+            pass
+    t0 = time.perf_counter(); _probe_once(1); t1 = time.perf_counter() - t0
+    t0 = time.perf_counter(); _probe_once(5); t5 = time.perf_counter() - t0
+    adjacent_single = 4 / max(t5 - t1, 1e-9)
+
     lines = 0
     n_seen = 0
     t0 = time.perf_counter()
@@ -441,6 +465,8 @@ def _sustained_pipeline(n_pages: int = 100):
     return {'metric': f'{n_pages}-page scanned PDF, neural segment+ocr, '
                       'single pass incl. PDF extraction and pipeline fill',
             'pages_per_sec': round(n_pages / wall, 3),
+            'adjacent_single_page_steady': round(adjacent_single, 3),
+            'vs_adjacent_single_page': round(n_pages / wall / adjacent_single, 3),
             'lines_per_sec': round(lines / wall, 1),
             'total_lines': lines,
             'wall_s': round(wall, 1),
@@ -964,7 +990,12 @@ def compact_summary(detail: dict) -> dict:
         'tpu_pages_per_sec': {
             'flagship': e2e['flagship']['tpu_pages_per_sec'],
             'neural': e2e['neural']['tpu_pages_per_sec'],
-            'sustained_100pg_pdf': e2e['sustained']['pages_per_sec']},
+            'sustained_100pg_pdf': e2e['sustained']['pages_per_sec'],
+            # sustained vs a single-page steady state measured seconds
+            # apart (the tunnel swings 2-10x between minutes, so only the
+            # adjacent pair is a meaningful comparison)
+            'sustained_vs_adjacent_single':
+                e2e['sustained'].get('vs_adjacent_single_page')},
         'cer': {'tpu': e2e['cer_parity']['tpu_cer_vs_golden'],
                 'torch': e2e['cer_parity']['torch_cer_vs_golden']},
         'stage_budget_ms': budget['per_page_ms'],

@@ -47,6 +47,8 @@ def _fake_detail():
             'cer_parity': {**leg, 'tpu_cer_vs_golden': 0.9999,
                            'torch_cer_vs_golden': 0.9999},
             'sustained': {'pages_per_sec': 99999.999,
+                          'adjacent_single_page_steady': 99999.999,
+                          'vs_adjacent_single_page': 99999.999,
                           'link_at_leg_start': link}}}
 
 
@@ -62,7 +64,8 @@ def test_compact_summary_carries_required_keys():
         'train_ctc_step', 'e2e_flagship', 'e2e_neural_seg_ocr',
         'e2e_cer_parity'}
     assert set(s['tpu_pages_per_sec']) == {'flagship', 'neural',
-                                           'sustained_100pg_pdf'}
+                                           'sustained_100pg_pdf',
+                                           'sustained_vs_adjacent_single'}
     assert set(s['link_up_mbps_per_leg']) == {'cer_parity', 'flagship',
                                               'neural', 'sustained'}
     # one JSON object, parseable round trip
