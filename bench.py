@@ -441,9 +441,14 @@ def _sustained_pipeline(n_pages: int = 100):
                                segmentation_pred_batch(seg_model, ps),
                                seg_batch=2):
             pass
-    t0 = time.perf_counter(); _probe_once(1); t1 = time.perf_counter() - t0
-    t0 = time.perf_counter(); _probe_once(5); t5 = time.perf_counter() - t0
-    adjacent_single = 4 / max(t5 - t1, 1e-9)
+    # best-of-2 PAIRED marginals (the _steady_throughput discipline): a
+    # single tunnel stall inside one unpaired pass poisons the number
+    best_marginal = float('inf')
+    for _ in range(2):
+        t0 = time.perf_counter(); _probe_once(1); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); _probe_once(5); t5 = time.perf_counter() - t0
+        best_marginal = min(best_marginal, max(t5 - t1, 1e-9))
+    adjacent_single = 4 / best_marginal
 
     lines = 0
     n_seen = 0
