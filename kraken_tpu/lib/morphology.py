@@ -18,7 +18,15 @@ __all__ = ['label', 'find_objects', 'dilate_rect', 'erode_rect',
 
 
 def label(image: np.ndarray, **kw):
-    """scipy label with integer-dtype coercion fallback."""
+    """scipy label with integer-dtype coercion fallback. The default-
+    structure 2-D case (every call site in pageseg) runs the native C++
+    union-find CCL, which reproduces scipy's raster-first-encounter label
+    numbering exactly (tests/test_pageseg.py randomized equality)."""
+    if not kw and getattr(image, 'ndim', 0) == 2:
+        from kraken_tpu import native
+        out = native.label4_native(image)
+        if out is not None:
+            return out
     try:
         return _label(image, **kw)
     except Exception:
@@ -31,7 +39,15 @@ def label(image: np.ndarray, **kw):
 
 
 def find_objects(image: np.ndarray, **kw):
-    """scipy find_objects with integer-dtype coercion fallback."""
+    """scipy find_objects with integer-dtype coercion fallback; 2-D
+    integer inputs run the native single-pass bbox scan (same output,
+    including None entries for absent labels)."""
+    if getattr(image, 'ndim', 0) == 2 and set(kw) <= {'max_label'} \
+            and np.issubdtype(getattr(image, 'dtype', np.float64), np.integer):
+        from kraken_tpu import native
+        out = native.find_objects_native(image, kw.get('max_label', 0))
+        if out is not None:
+            return out
     try:
         return _find_objects(image, **kw)
     except Exception:

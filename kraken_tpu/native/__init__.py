@@ -20,7 +20,7 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
-__all__ = ['skeletonize_native', 'endpoints_native', 'link_paths_native', 'bilinear_diag_native',
+__all__ = ['skeletonize_native', 'endpoints_native', 'link_paths_native', 'bilinear_diag_native', 'label4_native', 'find_objects_native',
            'resize_lanczos_native', 'polygonize_page_native', 'available']
 
 _LIB: Optional[ctypes.CDLL] = None
@@ -30,7 +30,8 @@ _TRIED = False
 def _build_lib() -> Optional[Path]:
     srcs = [Path(__file__).parent / 'skeletonize.cpp',
             Path(__file__).parent / 'polygonize.cpp',
-            Path(__file__).parent / 'lineest.cpp']
+            Path(__file__).parent / 'lineest.cpp',
+            Path(__file__).parent / 'morphology.cpp']
     out = Path(__file__).parent / '_native.so'
     if out.exists() and all(out.stat().st_mtime >= s.stat().st_mtime for s in srcs):
         return out
@@ -138,6 +139,15 @@ def _load() -> Optional[ctypes.CDLL]:
                                           ctypes.c_double,
                                           ctypes.POINTER(ctypes.c_double)]
         lib.bilinear_diag_f64.restype = None
+        lib.label4_u8.argtypes = [ctypes.POINTER(ctypes.c_uint8),
+                                  ctypes.c_int64, ctypes.c_int64,
+                                  ctypes.POINTER(ctypes.c_int32)]
+        lib.label4_u8.restype = ctypes.c_int64
+        lib.find_objects_i32.argtypes = [ctypes.POINTER(ctypes.c_int32),
+                                         ctypes.c_int64, ctypes.c_int64,
+                                         ctypes.c_int64,
+                                         ctypes.POINTER(ctypes.c_int64)]
+        lib.find_objects_i32.restype = None
         _LIB = lib
     except Exception as e:
         logger.warning(f'Failed to build/load native helpers: {e}')
@@ -464,3 +474,45 @@ def bilinear_diag_native(img: np.ndarray, inv_scale: float,
         src.shape[0], src.shape[1], float(inv_scale), oh, ow, float(cval),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
     return out
+
+
+def label4_native(image: np.ndarray):
+    """
+    4-connectivity connected-component labeling identical to
+    scipy.ndimage.label's default (cross structure): labels numbered 1..n
+    in raster order of each component's first pixel. Returns
+    (labels int32 array, n) or None without a compiler.
+    """
+    lib = _load()
+    if lib is None or image.ndim != 2:
+        return None
+    src = np.ascontiguousarray(image != 0, np.uint8) \
+        if image.dtype != np.uint8 else np.ascontiguousarray(image)
+    out = np.empty(src.shape, np.int32)
+    n = lib.label4_u8(src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                      src.shape[0], src.shape[1],
+                      out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out, int(n)
+
+
+def find_objects_native(labels: np.ndarray, max_label: int = 0):
+    """
+    scipy.ndimage.find_objects equivalent for 2-D int32 label arrays:
+    a list of (row slice, col slice) per label 1..max_label (or
+    labels.max()), None entries for absent labels. Returns None without a
+    compiler or for unsupported inputs.
+    """
+    lib = _load()
+    if lib is None or labels.ndim != 2:
+        return None
+    src = np.ascontiguousarray(labels, np.int32)
+    n = int(max_label) if max_label else (int(src.max()) if src.size else 0)
+    if n <= 0:
+        return []
+    boxes = np.empty((n, 4), np.int64)
+    lib.find_objects_i32(src.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                         src.shape[0], src.shape[1], n,
+                         boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return [None if b[0] < 0 else
+            (slice(int(b[0]), int(b[1])), slice(int(b[2]), int(b[3])))
+            for b in boxes]

@@ -124,3 +124,30 @@ def test_nlbin_fft_path_no_nan(resources):
     vals = _np.unique(_np.asarray(bw.convert('L')))
     assert set(vals.tolist()) <= {0, 255}
     assert bw.size == im.size
+
+
+def test_native_label_find_objects_match_scipy():
+    """The native 4-connectivity CCL and bbox scan (native/morphology.cpp)
+    must reproduce scipy.ndimage.label (default structure, including the
+    raster-first-encounter label numbering) and find_objects exactly."""
+    import numpy as np
+    from scipy import ndimage
+    import kraken_tpu.native as N
+    if not N.available():
+        import pytest
+        pytest.skip('no C++ compiler')
+    rng = np.random.RandomState(11)
+    for _ in range(12):
+        h, w = rng.randint(2, 250), rng.randint(2, 250)
+        img = rng.rand(h, w) < rng.uniform(0.2, 0.8)
+        lab_n, n_n = N.label4_native(img)
+        lab_s, n_s = ndimage.label(img)
+        assert n_n == n_s
+        assert np.array_equal(lab_n, lab_s)
+        assert N.find_objects_native(lab_n) == ndimage.find_objects(lab_s)
+        # absent labels emit None, max_label is honored
+        holes = lab_s.copy()
+        if n_s:
+            holes[holes == 1] = 0
+        assert N.find_objects_native(holes, n_s) == \
+            ndimage.find_objects(holes, n_s)
